@@ -1,0 +1,64 @@
+"""Benchmark runner.
+
+Runs the full declared corpus at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is materialized through the noop datasource sink — full execution
+on the executors, zero driver-side collection, so timings measure the plan,
+not row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from cdc_init_spark.plans import QUERIES
+    from cdc_init_spark.session import get_spark
+
+    spark = get_spark(app_name="cdc-init-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen path once so q01 doesn't absorb startup cost.
+    materialize(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        try:
+            materialize(fn(spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — record and move on
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            dt = -1.0
+        timings[name] = dt
+        if dt > 0:
+            total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "declared_corpus_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""The declared query corpus (SURVEY.md §2.3) — registry.
+
+Every operator claimed in SURVEY §2.2 Part B registers here as:
+  - a Spark callable ``(spark, sf_dir) -> DataFrame`` (DataFrame-first,
+    built-in functions only in the hot path), and
+  - where SQL-expressible, an equivalent ANSI/DuckDB oracle SQL string.
+
+The driver runs both sides at sf0.01 and compares row-count + schema +
+order-insensitive value hash. Column names are part of the contract: every
+computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a corpus query. ``oracle`` is the DuckDB-runnable SQL twin;
+    omit for non-SQL-expressible operators (driver then does rows-only)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query id {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# Importing the corpus modules populates the registry.
+from cdc_init_spark.plans import functions as _functions  # noqa: E402,F401
+from cdc_init_spark.plans import llm as _llm  # noqa: E402,F401
+from cdc_init_spark.plans import relational as _relational  # noqa: E402,F401
+from cdc_init_spark.plans import temporal as _temporal  # noqa: E402,F401
+from cdc_init_spark.plans import windows as _windows  # noqa: E402,F401
