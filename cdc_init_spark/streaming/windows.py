@@ -1,0 +1,157 @@
+"""Streaming operators T1-T9 (SURVEY §2.2 B-IX): watermarks, windowed
+aggregations, streaming dedup, stateful last-state-per-key, stream-static
+joins.
+
+Batch/stream symmetry is deliberate: the window expressions here are the
+SAME F.window / F.session_window expressions the batch corpus pins against
+DuckDB (plans/temporal.py Q55-Q57), so the streaming tests only need to
+establish that the streaming execution (watermark + incremental state)
+converges to the batch answer.
+
+Scale notes: every operator states its state-store footprint — the thing
+that kills 100 TB streams is unbounded state, so each aggregation carries a
+watermark that lets Spark evict closed windows/keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def watermarked(stream: DataFrame, ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
+    """T1: bound event-time lateness; rows older than max(ts)-delay are
+    dropped and state older than that is evictable."""
+    return stream.withWatermark(ts_col, delay)
+
+
+def tumbling_agg(
+    stream: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """T2: tumbling event-time window counts/sums. State = one row per
+    (open window × key); closed windows evict at the watermark."""
+    gcols = [F.window(ts_col, window).alias("w")] + [F.col(k) for k in (keys or [])]
+    return (
+        watermarked(stream, ts_col, delay)
+        .groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *[F.col(k) for k in (keys or [])],
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """T3: sliding windows — each event feeds window/slide overlapping
+    states (state multiplier = window/slide)."""
+    return (
+        watermarked(stream, ts_col, delay)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+def session_agg(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """T4: session windows with a dynamic gap — state is one open session
+    per key, merged on overlap, closed (and emitted) at the watermark."""
+    return (
+        watermarked(stream, ts_col, delay)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """T5: exactly-once-per-key emission within the watermark horizon.
+    State = the key set inside the horizon (bounded by the watermark —
+    without it, dropDuplicates state grows forever)."""
+    return watermarked(stream, ts_col, delay).dropDuplicates(keys + [ts_col])
+
+
+def stream_static_join(stream: DataFrame, static_dim: DataFrame, on: str) -> DataFrame:
+    """T7: enrich a stream against a static dimension — broadcast-hash per
+    micro-batch, no streaming state at all."""
+    return stream.join(F.broadcast(static_dim), on=on, how="left")
+
+
+def last_state_per_key(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    output_schema: StructType,
+    state_schema: str = "max_ts timestamp",
+) -> DataFrame:
+    """T6: the reference's log-compaction semantics as a custom stateful
+    operator (A2 streaming form — initializer.clj:37 + compacted topic,
+    topic_store.clj:15): for each key, emit only rows newer than anything
+    seen before. State per key = a single timestamp (tiny, bounded by key
+    cardinality).
+
+    Implemented with applyInPandasWithState (Arrow-batched; the Python
+    worker sees whole key-groups per batch)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ts_field = ts_col
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        max_seen = state.get[0] if state.exists else None
+        best: pd.Series | None = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(ts_field)
+            cand = pdf.iloc[-1]
+            if best is None or cand[ts_field] > best[ts_field]:
+                best = cand
+        if best is not None and (max_seen is None or best[ts_field] > max_seen):
+            state.update((best[ts_field].to_pydatetime(),))
+            yield best.to_frame().T
+        else:
+            yield pd.DataFrame(columns=list(output_schema.fieldNames()))
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

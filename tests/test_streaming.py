@@ -1,0 +1,263 @@
+"""Streaming operator tests (T1-T9): memory-sink streams converge to the
+batch answers; stateful last-state-per-key; progress/backoff utilities.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cdc_init_spark.streaming import windows as W
+from cdc_init_spark.streaming.progress import (
+    ProgressMeter,
+    cubic_backoff,
+    job_progress,
+    retry_with_backoff,
+)
+from cdc_init_spark.tables import load_table
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path):
+    """A JSON copy of the events fixture usable as a file-stream source."""
+    out = str(tmp_path / "events_json")
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+        .coalesce(2)
+        .write.mode("overwrite")
+        .json(out)
+    )
+    return out
+
+
+def _run_stream(spark, stream_df, name, mode="update"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_agg_stream_matches_batch(spark, sf_dir, events_dir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(events_dir)
+    result = _run_stream(
+        spark, W.tumbling_agg(stream, "1 hour", keys=["event_type"]), "t2_tumbling"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # streaming update-mode keeps the final value per window/key
+    got = {
+        (r["window_start"], r["event_type"]): r["n"] for r in result.collect()
+    }
+    exp = {(r["w"]["start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == exp
+
+
+def test_session_agg_stream_matches_batch(spark, sf_dir, events_dir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(events_dir)
+    result = _run_stream(
+        spark, W.session_agg(stream, "30 minutes"), "t4_session", mode="complete"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in result.collect()
+    }
+    exp = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()
+    }
+    assert got == exp
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "dup_src")
+    rows = [
+        (1, "2026-01-01T00:00:00.000000", "a"),
+        (1, "2026-01-01T00:00:00.000000", "a"),  # duplicate
+        (2, "2026-01-01T00:01:00.000000", "b"),
+    ]
+    spark.createDataFrame(rows, ["k", "ts", "v"]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(src)
+    schema = "k bigint, ts string, v string"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    result = _run_stream(
+        spark, W.streaming_dedup(stream, ["k"]), "t5_dedup", mode="append"
+    )
+    assert result.count() == 2
+
+
+def test_stream_static_join(spark, sf_dir, events_dir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(events_dir)
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "interaction"), ("error", "fault")],
+        ["event_type", "category"],
+    )
+    joined = W.stream_static_join(stream, dim, on="event_type")
+    result = _run_stream(
+        spark,
+        joined.select("event_id", "category"),
+        "t7_join",
+        mode="append",
+    )
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert result.count() == n_events
+    assert result.filter(F.col("category") == "fault").count() > 0
+
+
+def test_last_state_per_key_across_batches(spark, tmp_path):
+    """T6: two appends; only newer-than-state rows are emitted."""
+    src = str(tmp_path / "state_src")
+    chk = str(tmp_path / "state_chk")
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    import os
+
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        import json
+
+        with open(f"{src}/{name}", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch(
+        "b0.json",
+        [
+            {"user_id": 1, "ts": "2026-01-01T00:00:00", "event_type": "x"},
+            {"user_id": 1, "ts": "2026-01-01T00:05:00", "event_type": "y"},
+            {"user_id": 2, "ts": "2026-01-01T00:01:00", "event_type": "z"},
+        ],
+    )
+    schema = "user_id bigint, ts string, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    compacted = W.last_state_per_key(stream, "user_id", "ts", out_schema)
+    q = (
+        compacted.writeStream.format("memory")
+        .queryName("t6_state")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch: one stale row (ignored) + one newer row (emitted)
+    write_batch(
+        "b1.json",
+        [
+            {"user_id": 1, "ts": "2026-01-01T00:02:00", "event_type": "stale"},
+            {"user_id": 2, "ts": "2026-01-01T00:09:00", "event_type": "w"},
+        ],
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT user_id, event_type FROM t6_state ORDER BY user_id, event_type"
+    ).collect()
+    emitted = {(r["user_id"], r["event_type"]) for r in rows}
+    assert (1, "y") in emitted and (2, "z") in emitted and (2, "w") in emitted
+    assert (1, "stale") not in emitted
+
+
+# --- progress / backoff ---------------------------------------------------
+
+def test_progress_meter_contract():
+    emissions = []
+    m = ProgressMeter(1000, lambda c, t: emissions.append((c, t)))
+    for c in range(1001):
+        m.update(c)
+    counts = [c for c, _ in emissions]
+    assert counts[0] == 0
+    assert len([c for c in counts if c > 0]) <= 50
+    assert all(x < y for x, y in zip(counts, counts[1:]))
+    assert all(t == 1000 for _, t in emissions)
+
+
+def test_progress_meter_zero_total():
+    emissions = []
+    m = ProgressMeter(0, lambda c, t: emissions.append((c, t)))
+    m.update(0)
+    assert emissions == []
+
+
+def test_job_progress_emits(spark):
+    emissions = []
+    df = spark.range(0, 100000, 1, 8)
+    with job_progress(spark, 100000, lambda c, t: emissions.append((c, t))):
+        df.selectExpr("sum(id)").collect()
+    assert emissions[0][0] == 0
+    assert emissions[-1] == (100000, 100000)
+    counts = [c for c, _ in emissions]
+    assert all(x <= y for x, y in zip(counts, counts[1:]))
+
+
+def test_cubic_backoff_formula():
+    """topic_store.clj:21-27 — max(2, 2·round(n³/2))."""
+    assert [cubic_backoff(n) for n in range(1, 6)] == [2.0, 8.0, 28.0, 64.0, 126.0]
+
+
+def test_retry_with_backoff():
+    calls = {"n": 0}
+    sleeps = []
+
+    def check():
+        calls["n"] += 1
+        return calls["n"] >= 3
+
+    assert retry_with_backoff(check, attempts=10, sleep=sleeps.append)
+    assert calls["n"] == 3
+    assert sleeps == [2.0, 8.0]
+
+    calls["n"] = -100
+    sleeps.clear()
+    assert not retry_with_backoff(
+        lambda: False, attempts=3, sleep=sleeps.append
+    )
+    assert len(sleeps) == 2
