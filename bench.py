@@ -21,6 +21,41 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def pipeline_benches(spark, sf_dir: str) -> dict[str, float]:
+    """The reference-derived data-plane benches (BASELINE.md 'to be
+    measured'): seed-snapshot message encoding throughput over lineitem
+    (SURVEY §3 entry point 3) and control-log catch-up compaction over
+    events (SURVEY A2 / Q23 shape)."""
+    from pyspark.sql import functions as F
+
+    from cdc_init_spark.streaming.snapshot import seed_frame
+    from cdc_init_spark.tables import load_table
+
+    out: dict[str, float] = {}
+
+    li = load_table(spark, sf_dir, "lineitem")
+    t0 = time.perf_counter()
+    materialize(
+        seed_frame(
+            li,
+            "bench.lineitem",
+            pk_cols=["l_orderkey", "l_linenumber"],
+            timestamp=F.lit("2026-01-01T00:00:00.000000+00:00"),
+        )
+    )
+    out["seed_snapshot_lineitem"] = round(time.perf_counter() - t0, 3)
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = time.perf_counter()
+    materialize(
+        ev.groupBy("user_id").agg(
+            F.max_by(F.struct(*ev.columns), "ts").alias("s")
+        ).select("s.*")
+    )
+    out["catchup_compaction_events"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from cdc_init_spark.plans import QUERIES
@@ -45,6 +80,10 @@ def main() -> None:
         timings[name] = dt
         if dt > 0:
             total += dt
+
+    for name, dt in pipeline_benches(spark, sf_dir).items():
+        timings[name] = dt
+        total += dt
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

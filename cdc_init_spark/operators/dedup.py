@@ -277,9 +277,47 @@ def fold_simhash(votes: Column, bits: int = 64) -> Column:
 
 def simhash64(col: Column, n: int = 3, bits: int = 64) -> Column:
     """One-shot 64-bit SimHash column (convenience; for bulk use prefer
-    the projected two-step simhash_votes → fold_simhash shape that
-    simhash_candidate_pairs uses)."""
+    simhash_signatures, which stays in whole-stage codegen)."""
     return fold_simhash(simhash_votes(col, n, bits), bits)
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Bulk SimHash: explode shingles → hash aggregate with one
+    sum(±1 bit vote) per bit — fully codegen'd, map-side partial agg
+    (same rationale as lsh_band_buckets; the HOF form is ~20× slower).
+    Returns (id, simhash BIGINT)."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingle_hashes(F.col(text_col), n)).alias("_h")
+    )
+    votes = sh.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1).cast("long"))
+                    == 1,
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+            ).alias(f"_v{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_v{i}") > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_candidate_pairs(
@@ -293,9 +331,9 @@ def simhash_candidate_pairs(
     bit-slices; docs sharing any slice value are candidates (catches all
     pairs within Hamming distance blocks-1). Shuffle key = (block, slice)."""
     width = 64 // blocks
-    sig = df.select(
-        F.col(id_col), simhash_votes(F.col(text_col), n).alias("_v")
-    ).select(F.col(id_col), fold_simhash(F.col("_v")).alias("_sig"))
+    sig = simhash_signatures(df, text_col, id_col, n).withColumnRenamed(
+        "simhash", "_sig"
+    )
     block_structs = F.array(
         *[
             F.struct(

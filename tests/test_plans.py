@@ -1,0 +1,100 @@
+"""Physical-plan shape assertions: the optimizations we rely on must
+actually appear in the plan (pushdown reaching the scan, broadcast joins
+staying broadcast, top-k compiling to TakeOrderedAndProject, partial
+aggregation before the exchange). Guards against silent plan regressions.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_init_spark.plans import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q03/q04 predicates must appear as PushedFilters on the parquet scan."""
+    p = plan_of(spark, sf_dir, "q03_filter_in")
+    assert "PushedFilters" in p and "In(o_orderstatus, [F,O])" in p
+    p4 = plan_of(spark, sf_dir, "q04_filter_range_like")
+    assert "GreaterThanOrEqual(p_size,5)" in p4
+    assert "LessThanOrEqual(p_size,15)" in p4
+    assert "StringContains(p_type,ECO)" in p4
+
+
+def test_column_pruning(spark, sf_dir):
+    """q01 projects 3 of 11 lineitem columns — ReadSchema must be pruned."""
+    p = plan_of(spark, sf_dir, "q01_scan_project")
+    assert "l_orderkey" in p.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" not in p.split("ReadSchema")[1][:300]
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q11_broadcast_join")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """q36 orderBy+limit must compile to TakeOrderedAndProject, not a
+    global sort."""
+    p = plan_of(spark, sf_dir, "q36_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_grouped_agg_is_partial(spark, sf_dir):
+    """q21 must do map-side partial aggregation before the exchange."""
+    p = plan_of(spark, sf_dir, "q21_grouped_agg_having")
+    assert "partial_sum" in p or "partial_count" in p
+
+
+def test_semi_anti_join_forms(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q13_semi_join")
+    assert "LeftSemi" in p
+    p = plan_of(spark, sf_dir, "q13_anti_join")
+    assert "LeftAnti" in p
+
+
+def test_range_join_stays_equi(spark, sf_dir):
+    """q14's equi-key must carry the join (sort-merge/shuffle-hash), with
+    the range predicates as post-join conditions — never a nested-loop
+    cross product."""
+    p = plan_of(spark, sf_dir, "q14_range_self_join")
+    # any HASH-family equi join is fine (broadcast at tiny SF, sort-merge/
+    # shuffled-hash at scale) — what must never appear is a nested loop
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
+    """The scan→project pipeline of q02 must compile into at least one
+    WholeStageCodegen subtree (explain('codegen') reports the spans;
+    the pre-execution AQE 'formatted' plan does not)."""
+    import contextlib
+    import io
+
+    # AQE-wrapped plans report 0 subtrees before execution — disable it
+    # for this inspection only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            QUERIES["q02_computed_column"](spark, sf_dir).explain("codegen")
+        p = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    n = int(p.split("Found ")[1].split(" WholeStageCodegen")[0])
+    assert n >= 1
