@@ -95,13 +95,25 @@ def canonical_key(df: DataFrame) -> Column:
     prefix_len = len(CDC_PREFIX + "id.")
     names = [c.lower()[prefix_len:] for c in idcols]
     dtypes = dict(df.dtypes)
-    if all(dtypes[c] == "string" for c in idcols):
-        # JVM fast path: array<string> → JSON array, no Python in the loop.
+    _JVM_TYPES = {"string", "tinyint", "smallint", "int", "bigint", "boolean"}
+    if all(dtypes[c] in _JVM_TYPES for c in idcols):
+        # JVM fast path — assemble the JSON array with concat_ws. Scalar
+        # encodings are byte-compatible with json.dumps/Cheshire:
+        # strings via to_json(array(s)) minus its brackets (full JSON
+        # escaping), integrals as bare digits, booleans as true/false,
+        # NULL as null. No Python in the loop.
         parts: list[Column] = []
         for name, col in zip(names, idcols):
-            parts.append(F.lit(name))
-            parts.append(F.col(f"`{col}`"))
-        return F.to_json(F.array(*parts))
+            parts.append(F.lit(json.dumps(name)))
+            c = F.col(f"`{col}`")
+            if dtypes[col] == "string":
+                j = F.to_json(F.array(c))  # ["escaped"] / [null]
+                parts.append(j.substr(F.lit(2), F.length(j) - 2))
+            elif dtypes[col] == "boolean":
+                parts.append(F.coalesce(F.when(c, "true").otherwise("false"), F.lit("null")))
+            else:  # integral
+                parts.append(F.coalesce(c.cast("string"), F.lit("null")))
+        return F.concat(F.lit("["), F.concat_ws(",", *parts), F.lit("]"))
     # Exact path for typed id values: Arrow-batched pandas UDF.
     @F.pandas_udf(StringType())
     def encode(*series: pd.Series) -> pd.Series:

@@ -161,6 +161,34 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "q72_asof_union_window",
+    oracle="""
+    SELECT o.o_orderkey, max_by(e.event_id, e.ts) AS asof_event_id
+    FROM orders o
+    LEFT JOIN events e
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """,
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    """J7 alternate physical form: the union+window as-of join
+    (operators.asof.asof_join_union — ONE shuffle of |L|+|R| rows instead
+    of join+aggregate; preferable at high per-key right-side density).
+    Same oracle as q16 proves both forms agree."""
+    from cdc_init_spark.operators.asof import asof_join_union
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    e = load_table(spark, sf, "events")
+    res = asof_join_union(
+        o, e,
+        left_on="o_custkey", right_on="user_id",
+        left_time="o_orderdate", right_time="ts",
+        value_cols=["event_id"],
+    )
+    return res.select("o_orderkey", "asof_event_id").orderBy("o_orderkey")
+
+
 @query("q71_approx_distinct")  # rows-only: HLL differs from DuckDB's
 def q71(spark: SparkSession, sf: str) -> DataFrame:
     """G4: approx_count_distinct (HLL++) — algorithmic result, verified
