@@ -1,0 +1,108 @@
+"""Statistical aggregates + skew-safe twin entries (engine completeness
+beyond SURVEY B-IV: stddev/variance/correlation/percentiles, and the
+salted-aggregation path proven equal to the plain one via the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_init_spark.functions.compat import round_compat
+from cdc_init_spark.plans import query
+from cdc_init_spark.tables import load_table
+
+
+@query(
+    "q73_stats_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_discount), 6) AS var_disc,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregate family — single-pass co-moment aggregates
+    (Welford-style partial+final, no extra shuffle vs. plain agg)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round_compat(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            round_compat(F.var_samp("l_discount"), 6).alias("var_disc"),
+            round_compat(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+            round_compat(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "cov_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q74_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous percentiles (linear interpolation — identical
+    definition in Spark's percentile and DuckDB's quantile_cont). Exact
+    percentile sorts per group; at 100 TB prefer approx_percentile
+    (t-digest, partial-aggregable) — bench-only because the sketch
+    differs across engines."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            round_compat(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            round_compat(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q75_salted_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice,
+           COUNT(o_orderkey) AS count_o_orderkey,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators.skew.salted_agg) proven
+    equal to the plain GROUP BY via the oracle. o_orderstatus has only 3
+    values — exactly the key-cardinality regime where one hot key would
+    otherwise serialize into a single reducer."""
+    from cdc_init_spark.operators.skew import salted_agg
+
+    o = load_table(spark, sf, "orders")
+    res = salted_agg(
+        o,
+        keys=["o_orderstatus"],
+        aggs={"o_totalprice": "sum", "o_orderkey": "count"},
+        n_salts=8,
+    )
+    # avg derived from the salted sum/count partials
+    avg = salted_agg(o, keys=["o_orderstatus"], aggs={"o_totalprice": "avg"}, n_salts=8)
+    return (
+        res.join(avg, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            round_compat(F.col("sum_o_totalprice"), 2).alias("sum_o_totalprice"),
+            F.col("count_o_orderkey"),
+            round_compat(F.col("avg_o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
