@@ -44,7 +44,7 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
         F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
-    ).orderBy("p_partkey")
+    )
 
 
 @query(
@@ -67,7 +67,7 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
         F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
         F.col("p_type").rlike("^ECO").alias("is_eco"),
-    ).orderBy("p_partkey")
+    )
 
 
 @query(
@@ -100,7 +100,7 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
             "days_since"
         ),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -133,7 +133,7 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_orderkey") % 7).alias("mod7"),
         F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("sgn"),
         round_compat(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @query(
@@ -158,7 +158,7 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join(F.sort_array(words), ",").alias("sorted_words"),
         F.array_contains(words, "red").alias("has_red"),
         F.element_at(words, 1).alias("first_word"),
-    ).orderBy("p_partkey")
+    )
 
 
 @query(
@@ -173,7 +173,7 @@ def q49_explode(spark: SparkSession, sf: str) -> DataFrame:
     p = load_table(spark, sf, "part")
     return p.select(
         "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("word")
-    ).orderBy("p_partkey", "word")
+    )
 
 
 @query(
@@ -199,7 +199,7 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at(m, "brand").alias("brand_val"),
         F.element_at(m, "type").alias("type_val"),
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_joined"),
-    ).orderBy("p_partkey")
+    )
 
 
 @query(
@@ -220,7 +220,7 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
         F.col("event_id").cast("string").alias("id_str"),
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -245,4 +245,4 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
         F.greatest(F.col("value"), F.lit(0.5)).alias("g"),
         F.least(F.col("value"), F.lit(0.5)).alias("l"),
         F.col("props").eqNullSafe(F.lit(None).cast("string")).alias("props_null_safe"),
-    ).orderBy("event_id")
+    )

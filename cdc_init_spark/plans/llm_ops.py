@@ -37,7 +37,7 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         text.token_count_whitespace(F.col("text")).alias("ws_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -158,7 +158,7 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.sha2(F.col("text"), 256).alias("sha"),
         F.md5(F.col("text")).alias("md5"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(

@@ -32,9 +32,10 @@ def q01(spark: SparkSession, sf: str) -> DataFrame:
     """S1+P1: parquet scan with column projection (reference A18/A17 —
     seed_store.clj:107-110 generalized). Column pruning reaches the scan."""
     li = load_table(spark, sf, "lineitem")
-    return li.select("l_orderkey", "l_linenumber", "l_quantity").orderBy(
-        "l_orderkey", "l_linenumber"
-    )
+    # no Spark-side global sort: the compare is order-insensitive and a
+    # full-output sort is pure shuffle cost at scale (oracle keeps ORDER BY
+    # as the declared deterministic form)
+    return li.select("l_orderkey", "l_linenumber", "l_quantity")
 
 
 @query(
@@ -51,9 +52,7 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
     charge = round_compat(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 4
     ).alias("charge")
-    return li.select("l_orderkey", "l_linenumber", charge).orderBy(
-        "l_orderkey", "l_linenumber"
-    )
+    return li.select("l_orderkey", "l_linenumber", charge)
 
 
 @query(

@@ -35,7 +35,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 @query(
@@ -57,7 +57,7 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -83,7 +83,7 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         round_compat(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 @query(
@@ -108,7 +108,7 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
         F.ntile(4).over(w_tb).alias("quartile"),
         round_compat(F.percent_rank().over(w), 4).alias("pr"),
         round_compat(F.cume_dist().over(w), 4).alias("cd"),
-    ).orderBy("p_partkey")
+    )
 
 
 @query(
@@ -131,4 +131,4 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey", "o_custkey", F.count(F.lit(1)).over(w).alias("orders_30d")
-    ).orderBy("o_orderkey")
+    )
