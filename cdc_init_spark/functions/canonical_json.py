@@ -126,7 +126,7 @@ def canonical_key(df: DataFrame) -> Column:
                 if hasattr(v, "item"):
                     v = v.item()
                 flat.extend([name, v])
-            out.append(json.dumps(flat, separators=(",", ":")))
+            out.append(json.dumps(flat, separators=(",", ":"), ensure_ascii=False))
         return pd.Series(out)
 
     return encode(*[F.col(f"`{c}`") for c in idcols])
@@ -162,8 +162,8 @@ def dml_to_seed_message(dml: dict[str, Any]) -> dict[str, str]:
     for k in sorted(id_map):
         flat.extend([k, id_map[k]])
     return {
-        "key": json.dumps(flat, separators=(",", ":")),
-        "value": json.dumps(_sorted_deep(dml), separators=(",", ":")),
+        "key": json.dumps(flat, separators=(",", ":"), ensure_ascii=False),
+        "value": json.dumps(_sorted_deep(dml), separators=(",", ":"), ensure_ascii=False),
     }
 
 

@@ -126,6 +126,46 @@ class FileControlLog(ControlLog):
             .json(self.path)
         )
 
+    def compact(self, spark: SparkSession) -> int:
+        """Log-compaction maintenance (the file-based analog of the
+        reference's `cleanup.policy=compact` topic config,
+        topic_store.clj:15-16): rewrite the log keeping only the latest
+        state per CCD key, preserving each survivor's offset. Returns the
+        number of records removed.
+
+        Safe to run between processing cycles (not concurrently with an
+        active tail — the file source would re-read survivors as new
+        files)."""
+        import glob
+
+        # latest state per key, offset preserved (last_known_states drops
+        # the offset column, so inline the same max_by keeping all columns)
+        log_df = self.read(spark)
+        latest = (
+            log_df.groupBy("table")
+            .agg(F.max_by(F.struct(*log_df.columns), F.col("offset")).alias("s"))
+            .select("s.*")
+        )
+        rows = latest.collect()
+        removed = sum(1 for _ in glob.glob(os.path.join(self.path, "*.jsonl"))) - len(
+            rows
+        )
+        for f in glob.glob(os.path.join(self.path, "*.jsonl")):
+            os.remove(f)
+        for r in rows:
+            rec = {k: r[k] for k in r.asDict()}
+            if rec.get("timestamp") is not None:
+                rec["timestamp"] = rec["timestamp"].isoformat()
+            if rec.get("error") is not None:
+                rec["error"] = dict(rec["error"].asDict())
+            if rec.get("progress") is not None:
+                rec["progress"] = list(rec["progress"])
+            off = rec["offset"]
+            name = f"{off:020d}-{uuid.uuid4().hex[:8]}.jsonl"
+            with open(os.path.join(self.path, name), "w", encoding="utf-8") as fh:
+                fh.write(json.dumps(rec, separators=(",", ":")) + "\n")
+        return removed
+
 
 class KafkaControlLog(ControlLog):
     """Kafka-backed control log (the reference's deployment shape:

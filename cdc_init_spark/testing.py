@@ -79,6 +79,23 @@ class DiffResult:
         return msg
 
 
+_TYPE_CLASS = {
+    "int8": "int", "int16": "int", "int32": "int", "int64": "int",
+    "uint8": "int", "uint16": "int", "uint32": "int", "uint64": "int",
+    "float32": "float", "float64": "float",
+    "bool": "bool", "boolean": "bool",
+    "object": "object", "string": "object",
+}
+
+
+def _type_classes(df: pd.DataFrame) -> dict[str, str]:
+    out = {}
+    for c in df.columns:
+        d = str(df[c].dtype)
+        out[c] = _TYPE_CLASS.get(d, "object" if "datetime" not in d else "ts")
+    return out
+
+
 def compare_frames(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> DiffResult:
     res = DiffResult(name, True, len(spark_pd), len(duck_pd))
     if sorted(spark_pd.columns) != sorted(duck_pd.columns):
@@ -86,6 +103,18 @@ def compare_frames(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> 
         res.mismatches.append(
             f"columns differ: spark={sorted(spark_pd.columns)} oracle={sorted(duck_pd.columns)}"
         )
+        return res
+    # coarse schema-class check (int/float/bool/object families) — the
+    # driver compares schemas too, so a bigint-vs-double drift must fail
+    # here first
+    sc, dc = _type_classes(spark_pd), _type_classes(duck_pd)
+    for c in spark_pd.columns:
+        if len(spark_pd) and len(duck_pd) and sc[c] != dc[c]:
+            res.ok = False
+            res.mismatches.append(
+                f"type class differs for {c!r}: spark={sc[c]} oracle={dc[c]}"
+            )
+    if not res.ok:
         return res
     if len(spark_pd) != len(duck_pd):
         res.ok = False

@@ -123,6 +123,27 @@ def test_initializer_end_to_end_file_stores(spark, tmp_path):
     assert seeding and seeding[0]["progress"] == [0, 25]
 
 
+def test_control_log_compaction(spark, tmp_path):
+    """File-log compaction keeps exactly the latest state per key and the
+    backlog computed afterwards is unchanged."""
+    log = FileControlLog(str(tmp_path / "control"))
+    log.append(_ccd(1, "submitted", 0))
+    log.append(_ccd(1, "prepared", 1))
+    log.append(_ccd(1, "active", 2))
+    log.append(_ccd(2, "submitted", 3))
+    before = ccds_to_initialize(log.read(spark)).collect()
+    removed = log.compact(spark)
+    assert removed == 2  # table_1's two superseded states
+    after_df = log.read(spark)
+    assert after_df.count() == 2
+    after = ccds_to_initialize(after_df).collect()
+    assert [r["table"] for r in before] == [r["table"] for r in after]
+    # appends continue past the surviving max offset
+    log.append(_ccd(3, "submitted", 4))
+    offs = [r["offset"] for r in log.read(spark).collect()]
+    assert len(offs) == len(set(offs))
+
+
 @pytest.mark.slow
 def test_streaming_tail_processes_new_submissions(spark, tmp_path):
     """A4/A8: the live tail picks up new `submitted` CCDs, skips

@@ -150,6 +150,19 @@ def test_spark_seed_frame_matches_driver_encoding(spark):
     assert rows[0]["value"] == json.dumps(v, separators=(",", ":"), sort_keys=True)
 
 
+def test_unicode_key_parity(spark):
+    """Non-ASCII id values: the JVM fast path and the driver-side encoder
+    must agree byte-for-byte (raw UTF-8, no \\uXXXX escaping — matching
+    the reference's Cheshire output)."""
+    df = spark.createDataFrame([("héllo–wörld", "x")], ["pk", "payload"])
+    row = seed_frame(df, "s.t", pk_cols=["pk"]).first()
+    expected = dml_to_seed_message(
+        {"id": {"pk": "héllo–wörld"}, "type": "insert", "table": "s.t",
+         "data": {}, "info": {}}
+    )["key"]
+    assert row["key"] == expected == '["pk","héllo–wörld"]'
+
+
 def test_spark_seed_frame_typed_ids_exact_path(spark):
     """Non-string id columns take the pandas-UDF path and keep JSON types."""
     df = spark.createDataFrame([(7, "a"), (9, "b")], ["pk", "payload"])
