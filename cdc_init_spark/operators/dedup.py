@@ -218,19 +218,72 @@ def near_dedup_minhash(
     k: int = 128,
     bands: int = 32,
     threshold: float = 0.8,
+    persist: bool = True,
 ) -> DataFrame:
     """Full near-dedup: LSH candidates → Jaccard verify → drop the higher
     id of each confirmed pair (connected-component-free approximation:
-    b survives only if it is nobody's duplicate)."""
-    confirmed = jaccard_pairs(
-        df, minhash_candidate_pairs(df, text_col, id_col, n, k, bands),
-        text_col, id_col, n, threshold,
+    b survives only if it is nobody's duplicate).
+
+    ``persist`` caches the per-doc shingle arrays — they feed the LSH
+    banding once and the Jaccard verify twice (both pair sides). At
+    cluster scale the same role is played by checkpointing the signature
+    table to storage instead of memory."""
+    sh = df.select(
+        F.col(id_col), shingle_hashes(F.col(text_col), n).alias("_sh")
+    )
+    if persist:
+        # left persisted after return: the result is lazy, so eager
+        # unpersist would evict before the action runs. Spark's LRU
+        # storage reclaims it under memory pressure.
+        sh = sh.persist()
+    exploded = sh.select(id_col, F.explode("_sh").alias("_h"))
+    sig = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(k)
+        ]
+    )
+    r = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"_m{i}") for i in range(b * r, (b + 1) * r)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bk = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
+    )
+    sized = bk.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("_n") <= 1000)
+    a = sized.select(F.col(id_col).alias("a"), "band", "bucket")
+    b_side = sized.select(F.col(id_col).alias("b"), "band", "bucket")
+    cand = (
+        a.join(b_side, on=["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sa"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_sb"))
+    confirmed = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sa", "_sb"))
+            / F.size(F.array_union("_sa", "_sb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
     losers = confirmed.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
-
-# --- SimHash (L2 variant) -------------------------------------------------
 
 def simhash_votes(col: Column, n: int = 3, bits: int = 64) -> Column:
     """Per-bit ±1 vote totals over shingle hashes, as ARRAY<BIGINT>[bits].

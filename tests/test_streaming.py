@@ -206,6 +206,62 @@ def test_last_state_per_key_across_batches(spark, tmp_path):
     assert (1, "stale") not in emitted
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T1: an event older than max(ts) - delay arriving in a later batch
+    is dropped from an append-mode windowed aggregation."""
+    import json as _json
+    import os
+
+    src = str(tmp_path / "late_src")
+    chk = str(tmp_path / "late_chk")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        with open(f"{src}/{name}", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # batch 0 advances event time to 12:00
+    write_batch(
+        "b0.json",
+        [
+            {"k": 1, "ts": "2026-01-01T10:00:30", "value": 1.0},
+            {"k": 1, "ts": "2026-01-01T12:00:00", "value": 1.0},
+        ],
+    )
+    schema = "k bigint, ts string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t1_late")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 1: a straggler for the (long-closed) 10:00 window
+    write_batch("b1.json", [{"k": 1, "ts": "2026-01-01T10:00:31", "value": 9.0}])
+    q.processAllAvailable()
+    # batch 2: advance time far enough to close and emit every window
+    write_batch("b2.json", [{"k": 1, "ts": "2026-01-01T15:00:00", "value": 1.0}])
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["ws"].hour: r["n"] for r in spark.sql("SELECT * FROM t1_late").collect()}
+    assert rows.get(10) == 1, f"late row must be dropped, got {rows}"
+    assert rows.get(12) == 1
+
+
 # --- progress / backoff ---------------------------------------------------
 
 def test_progress_meter_contract():
