@@ -41,6 +41,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps (truncation — exactly what DuckDB does on the same file)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLE_NAMES}")
+    # Timestamp rendering (date_format / window starts) must match the
+    # timezone-naive DuckDB oracle regardless of the caller's session
+    # timezone — pin UTC on every load path (runtime-settable, idempotent).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 
