@@ -71,6 +71,62 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q79_cdc_apply",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id,
+             max_by(event_type, ts) AS op,
+             max_by(value, ts) AS new_bal
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+      GROUP BY user_id
+    )
+    SELECT c.c_custkey,
+           ROUND(CASE WHEN l.user_id IS NOT NULL THEN l.new_bal
+                      ELSE c.c_acctbal END, 4) AS acctbal
+    FROM customer c
+    LEFT JOIN latest l ON l.user_id = c.c_custkey AND l.op <> 'error'
+    WHERE NOT EXISTS (
+      SELECT 1 FROM latest d WHERE d.user_id = c.c_custkey AND d.op = 'error'
+    )
+    ORDER BY c.c_custkey
+    """,
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC apply (streaming/apply.apply_changes): events replayed as a DML
+    change log over the customer snapshot — 'signup'/'purchase' upsert the
+    account balance, 'error' deletes the customer; latest change per key
+    wins (the compacted-topic semantics of the reference,
+    topic_store.clj:15). Oracle reproduces the merge in pure SQL."""
+    from cdc_init_spark.streaming.apply import apply_changes
+
+    c = load_table(spark, sf, "customer")
+    e = load_table(spark, sf, "events")
+    changes = (
+        e.filter(F.col("event_type").isin("signup", "purchase", "error"))
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.col("ts"),
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("type"),
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("int").alias("c_nationkey"),
+            F.col("value").alias("c_acctbal"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
+    )
+    # restrict to keys present in the snapshot (the oracle starts FROM
+    # customer; pure inserts of brand-new keys are covered by pytest)
+    changes = changes.join(
+        c.select("c_custkey"), on="c_custkey", how="left_semi"
+    )
+    merged = apply_changes(c, changes, pk_cols=["c_custkey"], order_col="ts")
+    return merged.select(
+        "c_custkey", round_compat(F.col("c_acctbal"), 4).alias("acctbal")
+    ).orderBy("c_custkey")
+
+
+@query(
     "q75_salted_agg",
     oracle="""
     SELECT o_orderstatus,

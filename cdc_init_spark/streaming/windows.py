@@ -111,6 +111,40 @@ def stream_static_join(stream: DataFrame, static_dim: DataFrame, on: str) -> Dat
     return stream.join(F.broadcast(static_dim), on=on, how="left")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    delay: str = "10 minutes",
+    within: str = "5 minutes",
+) -> DataFrame:
+    """T7+: watermarked stream-stream inner join — right rows match left
+    rows with the same key whose event time is within ``within`` after the
+    left event. BOTH sides carry watermarks and the join condition bounds
+    event-time distance, so Spark can size and evict the row buffers
+    (state per side = rows inside watermark+within horizon; without the
+    time bound the buffers grow forever)."""
+    l_wm = left.withWatermark(left_ts, delay)
+    r_wm = right.withWatermark(right_ts, delay)
+    l = l_wm.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_lts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (on, left_ts)],
+    )
+    r = r_wm.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (on, right_ts)],
+    )
+    cond = (
+        (F.col("_rts") >= F.col("_lts"))
+        & (F.col("_rts") <= F.col("_lts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, on=["_k"], how="inner").filter(cond).withColumnRenamed("_k", on)
+
+
 def last_state_per_key(
     stream: DataFrame,
     key_col: str,

@@ -171,6 +171,31 @@ def test_streaming_tail_processes_new_submissions(spark, tmp_path):
         ini.stop()
 
 
+@pytest.mark.slow
+def test_streaming_tail_restart_no_reprocess(spark, tmp_path):
+    """Restarting the tail from its checkpoint does not re-seed CCDs the
+    previous incarnation already processed (at-least-once emission into a
+    compacted log = the reference's restart behavior, initializer.clj:27-39)."""
+    log = FileControlLog(str(tmp_path / "control"))
+    db, kafka, ss = FakeDatabase(), FakeKafka(), FakeSeedStore()
+    chk = str(tmp_path / "chk")
+    ini = Initializer(log, db, ss, kafka)
+    ini.catch_up(spark)
+    q = ini.start_tail(spark, chk, poll_interval="200 milliseconds")
+    ss.seed_data["s.table_9"] = [{"key": "k", "value": "v"}]
+    log.append(_ccd(9, "submitted", 1))
+    q.processAllAvailable()
+    ini.stop()
+    assert kafka.topics["queue_9"] == [{"key": "k", "value": "v"}]
+    # restart from the same checkpoint: nothing new → no duplicate seeding
+    ini2 = Initializer(log, db, ss, kafka)
+    ini2._caught_up_to = ini._caught_up_to
+    q2 = ini2.start_tail(spark, chk, poll_interval="200 milliseconds")
+    q2.processAllAvailable()
+    ini2.stop()
+    assert kafka.topics["queue_9"] == [{"key": "k", "value": "v"}]
+
+
 def _log_statuses(log: FileControlLog):
     import glob
     import json as _json

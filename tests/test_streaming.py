@@ -206,6 +206,34 @@ def test_last_state_per_key_across_batches(spark, tmp_path):
     assert (1, "stale") not in emitted
 
 
+def test_stream_stream_join(spark, tmp_path):
+    """T7+: watermarked stream-stream join — pairs within the time bound
+    match; outside it they don't."""
+    import json as _json
+    import os
+
+    lsrc, rsrc = str(tmp_path / "ss_l"), str(tmp_path / "ss_r")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+    with open(f"{lsrc}/a.json", "w") as f:
+        f.write(_json.dumps({"k": 1, "ts": "2026-01-01T12:00:00", "lv": "L1"}) + "\n")
+        f.write(_json.dumps({"k": 2, "ts": "2026-01-01T12:00:00", "lv": "L2"}) + "\n")
+    with open(f"{rsrc}/a.json", "w") as f:
+        f.write(_json.dumps({"k": 1, "ts": "2026-01-01T12:03:00", "rv": "R1"}) + "\n")
+        f.write(_json.dumps({"k": 2, "ts": "2026-01-01T12:30:00", "rv": "R2"}) + "\n")
+    lschema, rschema = "k bigint, ts string, lv string", "k bigint, ts string, rv string"
+    ls = (
+        spark.readStream.schema(lschema).json(lsrc).withColumn("ts", F.to_timestamp("ts"))
+    )
+    rs = (
+        spark.readStream.schema(rschema).json(rsrc).withColumn("ts", F.to_timestamp("ts"))
+    )
+    joined = W.stream_stream_join(ls, rs, on="k", within="5 minutes")
+    result = _run_stream(spark, joined, "t7ss", mode="append")
+    rows = [(r["k"], r["l_lv"], r["r_rv"]) for r in result.collect()]
+    assert rows == [(1, "L1", "R1")]  # k=2's right event is 30 min late
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """T1: an event older than max(ts) - delay arriving in a later batch
     is dropped from an append-mode windowed aggregation."""
