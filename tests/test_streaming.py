@@ -82,6 +82,21 @@ def test_tumbling_agg_stream_matches_batch(spark, sf_dir, events_dir):
     assert got == exp
 
 
+def test_sliding_agg_stream_matches_batch(spark, sf_dir, events_dir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(events_dir)
+    result = _run_stream(
+        spark, W.sliding_agg(stream, "1 hour", "15 minutes"), "t3_sliding"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r["window_start"]: r["n"] for r in result.collect()}
+    exp = {r["w"]["start"]: r["n"] for r in batch.collect()}
+    assert got == exp
+
+
 def test_session_agg_stream_matches_batch(spark, sf_dir, events_dir):
     stream = spark.readStream.schema(EVENTS_SCHEMA).json(events_dir)
     result = _run_stream(
