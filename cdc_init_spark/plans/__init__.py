@@ -44,5 +44,6 @@ from cdc_init_spark.plans import llm_ops as _llm_ops  # noqa: E402,F401
 from cdc_init_spark.plans import relational as _relational  # noqa: E402,F401
 from cdc_init_spark.plans import reshape as _reshape  # noqa: E402,F401
 from cdc_init_spark.plans import stats as _stats  # noqa: E402,F401
+from cdc_init_spark.plans import tpch as _tpch  # noqa: E402,F401
 from cdc_init_spark.plans import temporal as _temporal  # noqa: E402,F401
 from cdc_init_spark.plans import windows as _windows  # noqa: E402,F401
