@@ -1,0 +1,155 @@
+"""Property-based differential fuzzing: randomly composed
+filter/project/aggregate/join plans over the fixtures, executed on Spark
+AND DuckDB, must agree cell-for-cell. A SQLSmith-lite for the engine —
+catches semantic drift the hand-written corpus never exercises.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cdc_init_spark.functions.compat import round_compat
+from cdc_init_spark.tables import load_table
+from cdc_init_spark.testing import compare_frames, duckdb_connection
+
+SETTLE = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+KEY_COLS = ["l_returnflag", "l_linestatus", "l_suppkey"]
+OPS = {"<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__"}
+AGGS = ["sum", "min", "max", "avg", "count"]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@st.composite
+def filter_agg_plan(draw):
+    fcol = draw(st.sampled_from(NUM_COLS))
+    op = draw(st.sampled_from(sorted(OPS)))
+    # literal inside each column's realistic range
+    ranges = {
+        "l_quantity": (1, 50),
+        "l_extendedprice": (1000, 90000),
+        "l_discount": (0.0, 0.1),
+        "l_tax": (0.0, 0.08),
+    }
+    lo, hi = ranges[fcol]
+    lit = draw(
+        st.floats(min_value=float(lo), max_value=float(hi), allow_nan=False)
+    )
+    gcol = draw(st.sampled_from(KEY_COLS))
+    agg = draw(st.sampled_from(AGGS))
+    acol = draw(st.sampled_from(NUM_COLS))
+    return fcol, op, round(float(lit), 3), gcol, agg, acol
+
+
+@SETTLE
+@given(plan=filter_agg_plan())
+def test_fuzz_filter_group_agg(spark, sf_dir, duck, plan):
+    fcol, op, lit, gcol, agg, acol = plan
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = getattr(F.col(fcol), OPS[op])(F.lit(lit))
+    if agg == "count":
+        agg_expr = F.count(F.lit(1)).alias("v")
+        agg_sql = "COUNT(*)"
+    elif agg == "avg":
+        agg_expr = round_compat(F.avg(acol), 4).alias("v")
+        agg_sql = f"ROUND(AVG({acol}), 4)"
+    elif agg == "sum":
+        agg_expr = round_compat(F.sum(acol), 2).alias("v")
+        agg_sql = f"ROUND(SUM({acol}), 2)"
+    else:
+        agg_expr = getattr(F, agg)(acol).alias("v")
+        agg_sql = f"{agg.upper()}({acol})"
+    spark_pd = li.filter(cond).groupBy(gcol).agg(agg_expr).toPandas()
+    sql = (
+        f"SELECT {gcol}, {agg_sql} AS v FROM lineitem "
+        f"WHERE {fcol} {op} {lit!r} GROUP BY {gcol}"
+    )
+    duck_pd = duck.execute(sql).df()
+    res = compare_frames("fuzz_agg", spark_pd, duck_pd)
+    assert res.ok, f"{plan}: {res}"
+
+
+@st.composite
+def join_plan(draw):
+    join_type = draw(st.sampled_from(["inner", "left", "left_semi", "left_anti"]))
+    status = draw(st.sampled_from(["F", "O", "P"]))
+    min_bal = draw(st.integers(min_value=-1000, max_value=9000))
+    return join_type, status, min_bal
+
+
+@SETTLE
+@given(plan=join_plan())
+def test_fuzz_join_shapes(spark, sf_dir, duck, plan):
+    join_type, status, min_bal = plan
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > min_bal)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == status)
+    joined = c.join(o, c.c_custkey == o.o_custkey, join_type)
+    if join_type in ("left_semi", "left_anti"):
+        spark_df = joined.select("c_custkey")
+        exists = "EXISTS" if join_type == "left_semi" else "NOT EXISTS"
+        sql = f"""
+          SELECT c_custkey FROM customer c
+          WHERE c_acctbal > {min_bal} AND {exists} (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = '{status}')
+        """
+    else:
+        spark_df = joined.select(c.c_custkey, o.o_orderkey)
+        jt = "JOIN" if join_type == "inner" else "LEFT JOIN"
+        sql = f"""
+          SELECT c.c_custkey, o.o_orderkey
+          FROM (SELECT * FROM customer WHERE c_acctbal > {min_bal}) c
+          {jt} (SELECT * FROM orders WHERE o_orderstatus = '{status}') o
+            ON c.c_custkey = o.o_custkey
+        """
+    res = compare_frames("fuzz_join", spark_df.toPandas(), duck.execute(sql).df())
+    assert res.ok, f"{plan}: {res}"
+
+
+@st.composite
+def window_plan(draw):
+    func = draw(st.sampled_from(["row_number", "rank", "dense_rank"]))
+    direction = draw(st.sampled_from(["asc", "desc"]))
+    return func, direction
+
+
+@SETTLE
+@given(plan=window_plan())
+def test_fuzz_window_ranks(spark, sf_dir, duck, plan):
+    from pyspark.sql.window import Window
+
+    func, direction = plan
+    o = load_table(spark, sf_dir, "orders")
+    order_col = (
+        F.col("o_totalprice").desc() if direction == "desc" else F.col("o_totalprice")
+    )
+    # row_number needs a total order → add the key as tiebreak
+    if func == "row_number":
+        w = Window.partitionBy("o_custkey").orderBy(order_col, "o_orderkey")
+        sql_order = f"o_totalprice {direction.upper()}, o_orderkey"
+    else:
+        w = Window.partitionBy("o_custkey").orderBy(order_col)
+        sql_order = f"o_totalprice {direction.upper()}"
+    spark_pd = o.select(
+        "o_orderkey", getattr(F, func)().over(w).alias("r")
+    ).toPandas()
+    duck_pd = duck.execute(
+        f"SELECT o_orderkey, {func.upper()}() OVER "
+        f"(PARTITION BY o_custkey ORDER BY {sql_order}) AS r FROM orders"
+    ).df()
+    res = compare_frames("fuzz_window", spark_pd, duck_pd)
+    assert res.ok, f"{plan}: {res}"
