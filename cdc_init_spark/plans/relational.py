@@ -417,6 +417,32 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q24_cube",
+    oracle="""
+    SELECT n_regionkey, n_nationkey, COUNT(*) AS n,
+           grouping(n_regionkey) AS g_r, grouping(n_nationkey) AS g_n
+    FROM nation GROUP BY CUBE(n_regionkey, n_nationkey)
+    ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST, n
+    """,
+)
+def q24_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """G6 twin: CUBE grouping sets with grouping() indicators (disambiguate
+    real NULL keys from subtotal rows)."""
+    n = load_table(spark, sf, "nation")
+    return (
+        n.cube("n_regionkey", "n_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("n_regionkey").cast("bigint").alias("g_r"),
+            F.grouping("n_nationkey").cast("bigint").alias("g_n"),
+        )
+        .orderBy(
+            F.asc_nulls_first("n_regionkey"), F.asc_nulls_first("n_nationkey"), "n"
+        )
+    )
+
+
+@query(
     "q25_collect_list_ordered",
     oracle="""
     SELECT o_custkey,
