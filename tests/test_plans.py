@@ -98,3 +98,34 @@ def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     n = int(p.split("Found ")[1].split(" WholeStageCodegen")[0])
     assert n >= 1
+
+
+def test_q86_semi_join_with_non_equi_conjunct(spark, sf_dir):
+    """q86's EXISTS must stay a hash-family LeftSemi (equi key carries the
+    join; shipped-after-ordered is a post-join condition), never a loop."""
+    p = plan_of(spark, sf_dir, "q86_order_priority_check")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q88_dims_broadcast(spark, sf_dir):
+    """q88's 8-way star join: every dimension side must broadcast — the
+    fact table shuffles at most on its own join keys."""
+    p = plan_of(spark, sf_dir, "q88_market_share")
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_q91_decorrelated_threshold_no_cartesian(spark, sf_dir):
+    """q91's correlated-subquery decorrelation must stay equi-join-only
+    with partial aggregation on the threshold side."""
+    p = plan_of(spark, sf_dir, "q91_small_quantity_revenue")
+    assert "CartesianProduct" not in p
+    assert "partial_avg" in p or "partial_sum" in p
+
+
+def test_q93_anti_join(spark, sf_dir):
+    """q93's NOT EXISTS is a LeftAnti; the scalar-average side is a
+    one-row broadcast (a nested-loop there is correct and O(rows))."""
+    p = plan_of(spark, sf_dir, "q93_dormant_customers")
+    assert "LeftAnti" in p
