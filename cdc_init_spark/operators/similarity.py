@@ -271,8 +271,10 @@ def cosine_self_join(
 ) -> DataFrame:
     """Near-dup vector pairs (a < b, cosine ≥ threshold): bucket join on
     (table, bucket) then exact verify — the blocked alternative to a
-    quadratic cross join."""
-    bk = hyperplane_buckets(df, n_planes, n_tables, None, vec_col, id_col)
+    quadratic cross join. The bucket relation is persisted: both self-join
+    branches share its lineage and would otherwise recompute the
+    hyperplane projections twice (see dedup.minhash_candidate_pairs)."""
+    bk = hyperplane_buckets(df, n_planes, n_tables, None, vec_col, id_col).persist()
     a = bk.select(F.col(id_col).alias("a"), "table_id", "bucket")
     b = bk.select(F.col(id_col).alias("b"), "table_id", "bucket")
     cand = (

@@ -117,9 +117,13 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("q68_embedding_neardup")  # rows-only: randomized (seeded) LSH
 def q68(spark: SparkSession, sf: str) -> DataFrame:
-    """L6: embedding near-dup pairs above cosine 0.95 via hyperplane LSH."""
+    """L6: embedding near-dup pairs via hyperplane LSH + exact verify.
+    The fixture embeddings are random vectors (max pairwise cosine ~0.6),
+    so a production-style 0.95 near-dup threshold matches nothing; the
+    corpus entry runs at 0.45 with 6 hyperplanes per table so the
+    bucket-join + verify path demonstrably produces pairs at sf0.01+."""
     e = load_table(spark, sf, "embeddings")
-    pairs = similarity.cosine_self_join(e, threshold=0.95)
+    pairs = similarity.cosine_self_join(e, threshold=0.45, n_planes=6)
     return pairs.select(
         "a", "b", round_compat(F.col("score"), 4).alias("score")
     ).orderBy("a", "b")
