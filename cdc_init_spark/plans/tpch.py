@@ -591,3 +591,358 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q94_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+           ROUND(su.cost, 2) AS min_cost
+    FROM part p
+    JOIN supply su ON su.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = su.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+      AND su.cost = (SELECT MIN(su2.cost) FROM supply su2
+                     WHERE su2.l_partkey = p.p_partkey)
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (fixtures lack partsupp, so the supply relation is
+    derived: per (part, supplier) MIN lineitem price). The correlated
+    MIN-cost subquery decorrelates into a per-part aggregate joined back
+    on (partkey, cost) — MIN of identical doubles is exact on both
+    engines, so the equality join is safe (no summation involved).
+    Scale: supply aggregates once and is reused for both branches;
+    part/supplier/nation are broadcast dims."""
+    li = load_table(spark, sf, "lineitem")
+    p = (
+        load_table(spark, sf, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    supply = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    min_cost = supply.groupBy(F.col("l_partkey").alias("_mk")).agg(
+        F.min("cost").alias("_min_cost")
+    )
+    return (
+        supply.join(
+            F.broadcast(min_cost),
+            (supply.l_partkey == F.col("_mk"))
+            & (supply.cost == F.col("_min_cost")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            round_compat(F.col("cost"), 2).alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q95_product_type_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - p.p_retailprice * 0.1 * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE p.p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-table join, profit expression (supply cost
+    substituted with a retail-price fraction — fixtures lack
+    ps_supplycost), grouped by nation x order-year. part filters first
+    and broadcasts; lineitem-orders is the one fact-fact shuffle."""
+    li = load_table(spark, sf, "lineitem")
+    p = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.lit(0.1) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(round_compat(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q96_important_stock",
+    oracle="""
+    WITH psv AS (
+      SELECT l.l_partkey, l.l_quantity,
+             l.l_extendedprice * l.l_quantity AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_11')
+    SELECT l_partkey, ROUND(SUM(value), 2) AS val
+    FROM psv
+    GROUP BY l_partkey
+    HAVING SUM(l_quantity) > (SELECT SUM(l_quantity) * 0.001 FROM psv)
+    ORDER BY val DESC, l_partkey
+    """,
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped value with a HAVING threshold that is a
+    scalar subquery over the SAME relation (fraction of the grand
+    total). The threshold compares SUMs of integral quantities — exact
+    in IEEE doubles — so the gate cannot flip on 1-ulp summation-order
+    differences between engines (the displayed value sum is rounded).
+    The scalar total is a one-row broadcast; the filtered relation is
+    computed once and feeds both aggregates."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_11")
+    psv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "l_partkey",
+            "l_quantity",
+            (F.col("l_extendedprice") * F.col("l_quantity")).alias("value"),
+        )
+    )
+    total = psv.agg((F.sum("l_quantity") * F.lit(0.001)).alias("_thresh"))
+    return (
+        psv.groupBy("l_partkey")
+        .agg(
+            round_compat(F.sum("value"), 2).alias("val"),
+            F.sum("l_quantity").alias("_qty"),
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_qty") > F.col("_thresh"))
+        .select("l_partkey", "val")
+        .orderBy(F.col("val").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q97_priority_shipping",
+    oracle="""
+    SELECT l.l_returnflag AS flag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + dual conditional counts in one
+    aggregation pass (l_returnflag stands in for the missing
+    l_shipmode). The ship-date filter prunes lineitem before the
+    shuffle; both CASE branches share the scan."""
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "q98_supplier_part_types",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct part-supplier pairs (lineitem stands in
+    for partsupp), NOT-IN exclusion list (negative-balance suppliers ~
+    'complaints'), COUNT(DISTINCT) per part attribute triple. The
+    exclusion list is tiny → broadcast anti join; the distinct and the
+    count-distinct share one shuffle on l_partkey via partial aggs."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q99_excess_volume_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(l.l_quantity) > 60)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN chain — parts by name prefix → per
+    (supplier, part) shipped volume over a year → HAVING on the exact
+    integral quantity sum → semi join back to supplier. Two broadcast
+    semi joins and one hash aggregate; nothing widens."""
+    s = load_table(spark, sf, "supplier")
+    pk = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    heavy = (
+        li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 60)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q100_waiting_orders",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT-EXISTS self-joins with an
+    inequality on the correlation ('some other supplier in the order /
+    no other failing supplier'), l_returnflag='R' standing in for
+    late receipt. Decorrelated as a semi join then an anti join, both
+    on l_orderkey with the supplier-inequality as a join condition —
+    the canonical Spark plan for Q21 (no row explosion: semi/anti
+    stop at first match)."""
+    s = load_table(spark, sf, "supplier")
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    cand = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

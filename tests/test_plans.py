@@ -129,3 +129,38 @@ def test_q93_anti_join(spark, sf_dir):
     one-row broadcast (a nested-loop there is correct and O(rows))."""
     p = plan_of(spark, sf_dir, "q93_dormant_customers")
     assert "LeftAnti" in p
+
+def test_q94_supply_agg_shared_no_cartesian(spark, sf_dir):
+    """q94's decorrelated MIN-cost subquery: equi joins only (the
+    (partkey, cost) join back must never degrade to a loop), with
+    partial aggregation on the supply relation."""
+    p = plan_of(spark, sf_dir, "q94_min_cost_supplier")
+    assert "CartesianProduct" not in p
+    assert "partial_min" in p
+
+
+def test_q95_star_join_broadcasts_dims(spark, sf_dir):
+    """q95's 5-table join: part/supplier/nation broadcast; the only
+    shuffle-worthy join is lineitem-orders."""
+    p = plan_of(spark, sf_dir, "q95_product_type_profit")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q98_not_in_is_broadcast_anti(spark, sf_dir):
+    """q98's NOT-IN exclusion must be a broadcast LeftAnti on the tiny
+    complaint list, and count-distinct must expand to a two-stage agg
+    (partial on the distinct keys)."""
+    p = plan_of(spark, sf_dir, "q98_supplier_part_types")
+    assert "LeftAnti" in p
+    assert "partial_count" in p
+
+
+def test_q100_semi_anti_self_joins(spark, sf_dir):
+    """q100 (Q21 shape): the EXISTS/NOT-EXISTS pair must be one LeftSemi
+    + one LeftAnti on the order key — the supplier inequality rides as a
+    join condition, never a cross product over lineitem x lineitem."""
+    p = plan_of(spark, sf_dir, "q100_waiting_orders")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
