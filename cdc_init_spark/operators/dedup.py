@@ -236,13 +236,16 @@ def minhash_candidate_pairs(
     It is |docs| × bands rows of three longs — at cluster scale,
     checkpoint it to storage instead."""
     bk = lsh_band_buckets(df, text_col, id_col, n, k, bands)
-    sized = (
-        bk.withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-        )
-        .filter(F.col("_n") <= max_bucket)
-        .persist()
+    heavy = (
+        bk.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("band", "bucket")
     )
+    # heavy-bucket exclusion as a partial-agg + broadcast anti join: the
+    # oversized-bucket list is tiny (usually empty), vs a window count
+    # that would sort EVERY bucket row
+    sized = bk.join(F.broadcast(heavy), ["band", "bucket"], "left_anti").persist()
     a = sized.select(F.col(id_col).alias("a"), "band", "bucket")
     b = sized.select(F.col(id_col).alias("b"), "band", "bucket")
     return (
@@ -295,18 +298,34 @@ def near_dedup_minhash(
     id of each confirmed pair (connected-component-free approximation:
     b survives only if it is nobody's duplicate).
 
-    ``persist`` caches the per-doc shingle arrays — they feed the LSH
-    banding once and the Jaccard verify twice (both pair sides). At
-    cluster scale the same role is played by checkpointing the signature
-    table to storage instead of memory."""
-    sh = shingle_sets(df, text_col, id_col, n)
+    The whole pipeline stays in the exploded (id, shingle-hash) row world
+    — no per-doc arrays are ever materialized:
+
+    - The distinct shingle rows come out of ``shingle_hash_rows`` already
+      hash-partitioned by id (its window), and a partitioning on id
+      satisfies every downstream per-id aggregate (dedup, signature,
+      sizes) — those aggregates run exchange-free.
+    - Jaccard verification is relational: |A∩B| is a join of the
+      candidate pairs against the shingle rows of both sides + a count;
+      |A∪B| = |A| + |B| - |A∩B| from per-doc counts. Identical values to
+      the array_intersect/array_union form, but the per-pair work is a
+      hash join probe instead of an O(|A|+|B|) array merge, and nothing
+      ever collects a document's shingles into one row (a 100 GB doc
+      would OOM the array form).
+    - Oversized LSH buckets are dropped via a tiny heavy-bucket aggregate
+      + broadcast anti join, not a window sort over every bucket row.
+
+    ``persist`` caches the distinct shingle rows — they feed the
+    signature aggregate once and the verify joins twice. At cluster
+    scale the same role is played by checkpointing to storage instead of
+    memory."""
+    rows = shingle_hash_rows(df, text_col, id_col, n, distinct=True)
     if persist:
         # left persisted after return: the result is lazy, so eager
         # unpersist would evict before the action runs. Spark's LRU
         # storage reclaims it under memory pressure.
-        sh = sh.persist()
-    exploded = sh.select(id_col, F.explode("_sh").alias("_h"))
-    sig = exploded.groupBy(id_col).agg(
+        rows = rows.persist()
+    sig = rows.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}")
             for i in range(k)
@@ -327,15 +346,15 @@ def near_dedup_minhash(
     bk = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         id_col, "bb.band", "bb.bucket"
     )
+    heavy = (
+        bk.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1000)
+        .select("band", "bucket")
+    )
     # persist: the a/b self-join branches would otherwise each re-run the
     # signature aggregate (see minhash_candidate_pairs)
-    sized = (
-        bk.withColumn(
-            "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-        )
-        .filter(F.col("_n") <= 1000)
-        .persist()
-    )
+    sized = bk.join(F.broadcast(heavy), ["band", "bucket"], "left_anti").persist()
     a = sized.select(F.col(id_col).alias("a"), "band", "bucket")
     b_side = sized.select(F.col(id_col).alias("b"), "band", "bucket")
     cand = (
@@ -344,15 +363,27 @@ def near_dedup_minhash(
         .select("a", "b")
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sa"))
-    sb = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_sb"))
+    sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    ra = rows.select(F.col(id_col).alias("a"), "_h")
+    rb = rows.select(F.col(id_col).alias("b"), "_h")
+    inter = (
+        cand.join(ra, "a")
+        .join(rb, ["b", "_h"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    # pairs with empty intersection drop out of `inter` — they cannot
+    # reach any threshold > 0
     confirmed = (
-        cand.join(sa, "a")
-        .join(sb, "b")
+        inter.join(
+            sizes.select(F.col(id_col).alias("a"), F.col("_sz").alias("_sa")), "a"
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("b"), F.col("_sz").alias("_sb")), "b"
+        )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("_sa", "_sb"))
-            / F.size(F.array_union("_sa", "_sb")),
+            F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -269,26 +269,53 @@ def cosine_self_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-dup vector pairs (a < b, cosine ≥ threshold): bucket join on
-    (table, bucket) then exact verify — the blocked alternative to a
-    quadratic cross join. The bucket relation is persisted: both self-join
-    branches share its lineage and would otherwise recompute the
-    hyperplane projections twice (see dedup.minhash_candidate_pairs)."""
-    bk = hyperplane_buckets(df, n_planes, n_tables, None, vec_col, id_col).persist()
-    a = bk.select(F.col(id_col).alias("a"), "table_id", "bucket")
-    b = bk.select(F.col(id_col).alias("b"), "table_id", "bucket")
-    cand = (
-        a.join(b, on=["table_id", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    """Near-dup vector pairs (a < b, cosine ≥ threshold): hyperplane-LSH
+    blocking, then per-bucket exact verification — the blocked
+    alternative to a quadratic cross join.
+
+    Verification shape matters: attaching both vectors to every candidate
+    pair and evaluating a per-pair cosine expression re-fetches each
+    vector O(bucket_size) times and runs interpreted HOF folds in the hot
+    path. Instead the vectors ride WITH the bucket rows (one equi join),
+    and each (table, bucket) group computes its full pairwise cosine
+    block as a single normalized matmul in Arrow/numpy — each vector
+    shuffles exactly n_tables times, and per-bucket work is one BLAS
+    call. Duplicate pairs across tables collapse in a final grouped max
+    (scores are identical; max is just the deterministic pick)."""
+    bk = hyperplane_buckets(df, n_planes, n_tables, None, vec_col, id_col)
+    with_vec = bk.join(df.select(id_col, vec_col), id_col)
+
+    out_schema = StructType(
+        [
+            StructField("a", LongType()),
+            StructField("b", LongType()),
+            StructField("score", DoubleType()),
+        ]
     )
-    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
-    return (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .withColumn("score", cosine_similarity(F.col("_va"), F.col("_vb")))
-        .filter(F.col("score") >= threshold)
-        .select("a", "b", "score")
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "score": []}).astype(
+                {"a": np.int64, "b": np.int64, "score": np.float64}
+            )
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        ai, bi = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "a": np.minimum(ai, bi),
+                "b": np.maximum(ai, bi),
+                "score": sims[iu[keep], ju[keep]],
+            }
+        )
+
+    pairs = with_vec.groupBy("table_id", "bucket").applyInPandas(
+        bucket_pairs, out_schema
     )
+    return pairs.groupBy("a", "b").agg(F.max("score").alias("score"))

@@ -245,6 +245,25 @@ def test_fingerprint_stability(spark, docs):
     assert len(s1 & s2) / max(len(s1 | s2), 1) > 0.5
 
 
+def test_text_profile_matches_per_row_forms(spark, docs):
+    """The fused explode-once text_profile must produce bit-identical
+    values to the per-row column-function composition it replaces."""
+    d = docs.limit(200)
+    old = text.quality_features(d).withColumns(
+        {
+            "detected_lang": text.detect_language(F.col("text")),
+            "bpe_token_count": text.token_count_bpe_like(F.col("text")),
+            "fingerprint": text.fingerprint(F.col("text")),
+            "rolling_hash": text.rolling_hash(F.col("text")),
+        }
+    )
+    new = text.text_profile(d)
+    cols = sorted(set(old.columns) & set(new.columns))
+    po = old.select(*cols).orderBy("doc_id").collect()
+    pn = new.select(*cols).orderBy("doc_id").collect()
+    assert po == pn
+
+
 # --- multimodal -----------------------------------------------------------
 
 def test_multimodal_feature_shape(spark):
