@@ -64,25 +64,29 @@ def main() -> None:
     spark = get_spark(app_name="cdc-init-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM once so q01 doesn't absorb startup cost, then run the
-    # whole corpus at the smallest SF: whole-stage codegen compilation
-    # (janino) is per-plan-shape and costs seconds for the widest plans
-    # (the 128-column MinHash aggregate); warming at sf0.001 compiles
-    # every shape so the timed run measures steady-state execution —
-    # what a long-lived cluster session actually sees.
+    # Warm the JVM once so q01 doesn't absorb startup cost.
     materialize(spark.read.parquet(os.path.join(sf_dir, "region.parquet")))
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
-        for name, fn in QUERIES.items():
-            try:
-                materialize(fn(spark, warm_dir))
-            except Exception:  # noqa: BLE001 — warmup is best-effort
-                pass
-        spark.catalog.clearCache()
+    if not os.path.isdir(warm_dir) or warm_dir == sf_dir.rstrip("/"):
+        warm_dir = None
 
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
+        # Warm THIS query's plan shapes at the smallest SF right before
+        # timing it: whole-stage codegen compilation (janino) is
+        # per-plan-shape and costs seconds for the widest plans (the
+        # 128-column MinHash aggregate), and Spark's generated-class
+        # cache holds only ~100 entries — a single up-front warmup pass
+        # over the whole corpus evicts the early shapes before they are
+        # timed. Per-query warmup measures steady-state execution, what
+        # a long-lived cluster session actually sees.
+        if warm_dir is not None:
+            try:
+                materialize(fn(spark, warm_dir))
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             materialize(fn(spark, sf_dir))
@@ -95,9 +99,11 @@ def main() -> None:
             total += dt
         # the LSH/dedup pipelines persist intermediates (correct within a
         # query; reclaimed by LRU at cluster scale) — drop them between
-        # queries so accumulation doesn't bleed GC pressure into later
-        # timings. Outside the timed window.
+        # queries, then force a JVM GC so dead broadcasts/shuffle state
+        # from prior queries are collected outside the timed window
+        # instead of as a full GC inside the next query's critical path.
         spark.catalog.clearCache()
+        spark._jvm.System.gc()
 
     for name, dt in pipeline_benches(spark, sf_dir).items():
         timings[name] = dt
