@@ -143,6 +143,35 @@ def shingle_hash_rows(
     return out.distinct() if distinct else out
 
 
+def ngram_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (id, n-gram STRING) rows — the portable twin of
+    ``shingle_hash_rows``: identical explode→lead-window shape, but the
+    gram text itself instead of its xxhash64. Every primitive here
+    (lower/trim/split/concat_ws) has bit-identical ANSI-SQL semantics, so
+    pipelines built on these rows are DuckDB-verifiable end to end
+    (xxhash64 is Spark-specific). Bulk pipelines should prefer the hash
+    rows — an 8-byte long shuffles ~5× lighter than a gram string."""
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        F.size("_toks").alias("_sz"),
+        F.posexplode("_toks").alias("_pos", "_tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    gram = F.concat_ws(
+        " ", F.col("_tok"), *[F.lead("_tok", j).over(w) for j in range(1, n)]
+    )
+    return (
+        base.withColumn("_g", gram)
+        .filter(F.col("_pos") <= F.greatest(F.col("_sz") - n, F.lit(0)))
+        .select(id_col, "_g")
+        .distinct()
+    )
+
+
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -282,6 +311,112 @@ def jaccard_pairs(
         .select("a", "b", "jaccard")
     )
     return out
+
+
+def ngram_jaccard_neighbors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_gap: int = 5,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard over a deterministic neighbor-id block:
+    candidate pairs are (a, b) with 1 ≤ b-a ≤ max_gap and both ids
+    present. Fully oracle-verifiable (no hashing anywhere) — the
+    SQL-expressible member of the L2/L6 family; the LSH pipelines swap
+    this blocking for minhash/simhash buckets but share the relational
+    verify shape.
+
+    The id-window block is generated as an equi-join (explode offsets
+    1..max_gap, then semi-join on b's existence), not a range join — a
+    range condition would force a broadcast-nested-loop at scale.
+    |A∩B| is relational (pair ⋈ grams-of-a ⋈ grams-of-b, then count);
+    |A∪B| = |A|+|B|-|A∩B| from per-doc gram counts — nothing ever
+    materializes a per-doc gram array."""
+    g = ngram_rows(df, text_col, id_col, n).persist()
+    ids = df.select(id_col)
+    cand = (
+        ids.select(
+            F.col(id_col).alias("a"),
+            F.explode(F.array(*[F.lit(i) for i in range(1, max_gap + 1)])).alias(
+                "_d"
+            ),
+        )
+        .withColumn("b", (F.col("a") + F.col("_d")).cast("bigint"))
+        .drop("_d")
+        .join(ids.select(F.col(id_col).alias("b")), "b", "left_semi")
+    )
+    sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    inter = (
+        cand.join(g.select(F.col(id_col).alias("a"), "_g"), "a")
+        .join(g.select(F.col(id_col).alias("b"), "_g"), ["b", "_g"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("a"), F.col("_sz").alias("_sa")), "a"
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("b"), F.col("_sz").alias("_sb")), "b"
+        )
+        .withColumn(
+            "jaccard", F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs in a fully oracle-portable hash family:
+    permutation i is ``min(md5(gram || ':i'))`` over the gram STRINGS —
+    md5, string min, and concat have identical semantics in ANSI
+    SQL/DuckDB, so this variant's output is hash-match verifiable end to
+    end (the production ``minhash_candidate_pairs`` keeps xxhash64 on
+    8-byte shingle hashes: ~5-10× cheaper, but Spark-specific). Same
+    operator shape: per-doc signature via map-side-combined min
+    aggregates, band buckets, bucket self-join, distinct a<b pairs."""
+    r = k // bands
+    g = ngram_rows(df, text_col, id_col, n)
+    sig = g.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("_g"), F.lit(f":{i}")))).alias(f"_m{i}")
+            for i in range(k)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(f"_m{i}") for i in range(b * r, (b + 1) * r)]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    bk = (
+        sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        .select(id_col, "bb.band", "bb.bucket")
+        .persist()
+    )
+    a = bk.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = bk.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 def near_dedup_minhash(

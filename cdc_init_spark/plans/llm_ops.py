@@ -193,6 +193,78 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
     return res.select("o_orderkey", "asof_event_id").orderBy("o_orderkey")
 
 
+_GRAMS_CTE = """
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), gram_sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+      FROM toks
+    )"""
+
+
+@query(
+    "q101_ngram_jaccard",
+    oracle=f"""
+    WITH {_GRAMS_CTE}, pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             len(list_intersect(a.g, b.g)) AS i,
+             len(a.g) AS sa, len(b.g) AS sb
+      FROM gram_sets a JOIN gram_sets b
+        ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
+    )
+    SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa + sb - i), 4) AS jaccard
+    FROM pairs WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.02
+    ORDER BY a, b
+    """,
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    """L2/L6 oracle-paired member: exact word-3-gram Jaccard over the
+    deterministic neighbor-id block (1 ≤ b-a ≤ 50) — no hashing, so the
+    whole pipeline (normalize → shingle → set similarity) hash-matches
+    DuckDB; the LSH variants swap only the blocking relation."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_neighbors(d, max_gap=50, threshold=0.02)
+    return pairs.select(
+        "a", "b", round_compat(F.col("jaccard"), 4).alias("jaccard")
+    ).orderBy("a", "b")
+
+
+@query(
+    "q102_minhash_portable",
+    oracle=f"""
+    WITH {_GRAMS_CTE}, grams AS (
+      SELECT doc_id, unnest(g) AS g FROM gram_sets
+    ), sig AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5(g || ':{i}')) AS m{i}" for i in range(16))}
+      FROM grams GROUP BY doc_id
+    ), bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, "
+          f"{'||'.join(f'm{i}' for i in range(b * 4, b * 4 + 4))} AS bucket "
+          "FROM sig"
+          for b in range(4)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY a, b
+    """,
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 oracle-paired member: MinHash-LSH candidate pairs in the
+    portable md5-over-gram-strings hash family — the one LSH variant
+    whose banding + bucket self-join is hash-match verifiable against
+    DuckDB (xxhash64 variants are rows-only)."""
+    d = load_table(spark, sf, "documents")
+    return dedup.minhash_portable_pairs(d).orderBy("a", "b")
+
+
 @query("q71_approx_distinct")  # rows-only: HLL differs from DuckDB's
 def q71(spark: SparkSession, sf: str) -> DataFrame:
     """G4: approx_count_distinct (HLL++) — algorithmic result, verified

@@ -98,6 +98,48 @@ def test_near_dedup_minhash_drops_duplicates(spark):
     assert kept == [1, 3]
 
 
+def test_ngram_rows_hash_to_shingle_rows(spark, docs):
+    """ngram_rows (gram strings) and shingle_hash_rows (xxhash64) are the
+    same shingling: hashing the gram strings reproduces the hash rows."""
+    d = docs.limit(100)
+    via_strings = {
+        (r["doc_id"], r["h"])
+        for r in dedup.ngram_rows(d)
+        .select("doc_id", F.xxhash64("_g").alias("h"))
+        .collect()
+    }
+    via_hashes = {
+        (r["doc_id"], r["_h"])
+        for r in dedup.shingle_hash_rows(d, distinct=True).collect()
+    }
+    assert via_strings == via_hashes
+
+
+def test_ngram_jaccard_neighbors(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        (3, "totally different words about some other topic"),
+        (9, "alpha beta gamma delta epsilon zeta eta theta"),  # outside gap of 1..2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_neighbors(df, max_gap=5, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 1.0}  # (2,9) gap 7 > 5; 3 matches nothing
+
+
+def test_minhash_portable_finds_dups(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta " * 4)]
+    rows.append((2, rows[0][1]))
+    rows.append((3, "completely different text about other things " * 4))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["a"], r["b"]) for r in dedup.minhash_portable_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
 def test_simhash_near_duplicates_close(spark):
     # SimHash needs a reasonable feature count: 120 distinct words, one
     # changed → ~3/118 shingles differ → few bit flips.
