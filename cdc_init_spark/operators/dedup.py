@@ -498,6 +498,13 @@ def near_dedup_minhash(
         .select("a", "b")
         .distinct()
     )
+    # Verify-join order matters less than it looks: cand is tiny (that is
+    # the point of LSH), so AQE turns cand⋈rows into a broadcast join —
+    # the persisted row relation is probed in place, never re-shuffled.
+    # (An explicit semi-join prune of rows down to candidate ids was
+    # measured SLOWER here: building the id broadcast blocks on the full
+    # LSH self-join before the verify plan can start, serializing two
+    # otherwise-pipelined stages.)
     sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     ra = rows.select(F.col(id_col).alias("a"), "_h")
     rb = rows.select(F.col(id_col).alias("b"), "_h")
