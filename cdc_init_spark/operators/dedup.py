@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 # Mersenne prime 2^31-1 for permutation hashing: a*(h mod P) stays under
@@ -531,6 +532,121 @@ def near_dedup_minhash(
     )
     losers = confirmed.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 50, driver_threshold: int = 5_000_000
+) -> DataFrame:
+    """Connected components over a near-duplicate pair relation (a, b):
+    returns (id, cluster_id) where cluster_id is the minimum doc id in the
+    component — the canonical representative every member dedups to.
+    This is the exact closure of what ``near_dedup_minhash`` approximates
+    one hop deep (chains a~b~c collapse to one cluster here).
+
+    Two physical strategies on one logical result:
+
+    - |pairs| ≤ ``driver_threshold``: Arrow-collect the (deduped,
+      two-long-column) edge list and run union-find on the driver.
+      The verified near-dup edge relation is orders of magnitude smaller
+      than the corpus (that is the point of dedup) — a 5M-edge list is
+      ~80 MB, and union-find is near-linear, vs ~1 s of scheduling per
+      distributed round. This is the common case even at 100 TB corpus
+      scale.
+    - larger: iterative min-label propagation with path halving. Each
+      round every node takes the min of its own label, its neighbors'
+      labels, and its label's label — propagation distance doubles per
+      round, so rounds ≈ log2(diameter). Per round: one shuffle of
+      |edges| rows with a map-side-combined min aggregate plus one label
+      self-join; labels are ``localCheckpoint``-ed so lineage stays O(1)
+      deep instead of O(rounds); the convergence test piggybacks on the
+      checkpointed frame (max label-change flag)."""
+    pe = pairs.select("a", "b").distinct().persist()
+    n_pairs = pe.count()
+    if n_pairs <= driver_threshold:
+        import pandas as pd  # noqa: F401 — toPandas requires it anyway
+
+        pdf = pe.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # larger root under smaller → root = min id
+        id_type = pe.schema["a"].dataType
+        out_schema = StructType(
+            [StructField("id", id_type), StructField("cluster_id", id_type)]
+        )
+        rows = [(x, find(x)) for x in sorted(nodes)]
+        pe.unpersist()
+        return pairs.sparkSession.createDataFrame(rows, out_schema)
+
+    edges = (
+        pe.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(pe.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["y"] == labels["id"])
+            .groupBy("x")
+            .agg(F.min("lbl").alias("_nmin"))
+        )
+        stepped = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["x"], "left"
+        ).select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce(F.col("_nmin"), F.col("lbl"))).alias(
+                "lbl"
+            ),
+            (F.col("_nmin") < F.col("lbl")).alias("_chg"),
+        )
+        # Path halving: follow the label pointer one step (label of my
+        # label — always ≤ my label). Propagation distance doubles per
+        # round, so rounds ≈ log2(diameter) instead of diameter — at
+        # cluster scale the driver-synchronized rounds are the expensive
+        # part, not the per-round shuffle.
+        lookup = stepped.select(
+            F.col("id").alias("lbl"), F.col("lbl").alias("_ll")
+        )
+        updated = (
+            stepped.join(lookup, "lbl", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("_ll"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+                (
+                    F.coalesce(F.col("_chg"), F.lit(False))
+                    | (F.col("_ll") < F.col("lbl"))
+                ).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.agg(F.max(F.coalesce(F.col("_chg"), F.lit(False)))).first()[0]
+        labels = updated.drop("_chg")
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
 
 
 def simhash_votes(col: Column, n: int = 3, bits: int = 64) -> Column:

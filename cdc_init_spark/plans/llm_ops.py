@@ -265,6 +265,36 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_portable_pairs(d).orderBy("a", "b")
 
 
+@query(
+    "q103_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_GRAMS_CTE}, jac AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+             (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+      FROM gram_sets a JOIN gram_sets b
+        ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
+    ), edges AS (
+      SELECT a AS x, b AS y FROM jac WHERE j >= 0.02
+      UNION SELECT b, a FROM jac WHERE j >= 0.02
+    ), reach(id, r) AS (
+      SELECT x, x FROM edges
+      UNION
+      SELECT e.x, reach.r FROM edges e JOIN reach ON reach.id = e.y
+    )
+    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
+    """,
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    """L2/L6 closure: connected-components dedup clustering (iterative
+    min-label propagation) over the deterministic q101 edge set — the
+    transitive closure near_dedup's one-hop rule approximates. Oracle is
+    the same closure as a DuckDB recursive CTE (min reachable id)."""
+    d = load_table(spark, sf, "documents")
+    edges = dedup.ngram_jaccard_neighbors(d, max_gap=50, threshold=0.02)
+    return dedup.dedup_clusters(edges).orderBy("id")
+
+
 @query("q71_approx_distinct")  # rows-only: HLL differs from DuckDB's
 def q71(spark: SparkSession, sf: str) -> DataFrame:
     """G4: approx_count_distinct (HLL++) — algorithmic result, verified

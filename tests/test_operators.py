@@ -140,6 +140,24 @@ def test_minhash_portable_finds_dups(spark):
     assert not any(3 in p for p in pairs)
 
 
+@pytest.mark.parametrize("driver_threshold", [5_000_000, 0])
+def test_dedup_clusters_transitive(spark, driver_threshold):
+    """Chains collapse to one component (the closure near_dedup's one-hop
+    rule approximates); disconnected pairs stay separate. Both physical
+    strategies (driver union-find / distributed label propagation) must
+    produce the identical logical result."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 11)], ["a", "b"]
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(
+            pairs, driver_threshold=driver_threshold
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 10}
+
+
 def test_simhash_near_duplicates_close(spark):
     # SimHash needs a reasonable feature count: 120 distinct words, one
     # changed → ~3/118 shingles differ → few bit flips.
