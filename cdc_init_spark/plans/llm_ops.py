@@ -295,6 +295,75 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_clusters(edges).orderBy("id")
 
 
+_STOPLISTS = {
+    "de": "['der','die','und','das','ist','nicht','ein','mit','von','zu']",
+    "en": "['the','and','of','to','in','is','that','it','for','was']",
+    "es": "['el','la','de','que','los','una','por','con','para','es']",
+    "fr": "['le','la','et','les','des','est','pas','que','une','dans']",
+    "it": "['il','la','di','che','per','una','con','del','non','sono']",
+}
+_GREATEST5 = "greatest(s_de, s_en, s_es, s_fr, s_it)"
+
+
+@query(
+    "q104_lang_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t,
+             greatest(length(text), 1) AS nc, text
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+               / greatest(len(t), 1) AS mean_word_len,
+             {", ".join(
+                 f"CAST(len(list_filter(t, x -> list_contains({lst}, x))) AS DOUBLE)"
+                 f" / greatest(len(t), 1) AS s_{lg}"
+                 for lg, lst in _STOPLISTS.items()
+             )},
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / nc
+               AS alpha_ratio,
+             CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1)
+               AS distinct_token_ratio
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN {_GREATEST5} >= 0.02 THEN
+             CASE {" ".join(
+                 f"WHEN s_{lg} = {_GREATEST5} THEN '{lg}'"
+                 for lg in _STOPLISTS
+             )} ELSE 'und' END
+           ELSE 'und' END AS detected_lang,
+           n_tokens,
+           ROUND(mean_word_len, 4) AS mean_word_len,
+           ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2
+                 + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                        THEN 1.0 ELSE 0.0 END * 0.2
+                 + least(s_en * 5, 1.0) * 0.2
+                 + alpha_ratio * 0.2
+                 + distinct_token_ratio * 0.2, 4) AS quality_score
+    FROM feat ORDER BY doc_id
+    """,
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    """L4 oracle-paired: per-document language ID (stopword-profile
+    argmax, first-language-wins tie-break) and composite quality score —
+    the full heuristic replicated term-for-term in DuckDB SQL, so the
+    scoring model itself is hash-match verified (q67 aggregates the same
+    profile rows-only)."""
+    d = load_table(spark, sf, "documents")
+    prof = text.text_profile(d)
+    return prof.select(
+        "doc_id",
+        "detected_lang",
+        "n_tokens",
+        round_compat(F.col("mean_word_len"), 4).alias("mean_word_len"),
+        round_compat(F.col("quality_score"), 4).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
 @query("q71_approx_distinct")  # rows-only: HLL differs from DuckDB's
 def q71(spark: SparkSession, sf: str) -> DataFrame:
     """G4: approx_count_distinct (HLL++) — algorithmic result, verified
