@@ -542,6 +542,81 @@ def near_dedup_minhash(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def simhash_portable_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash candidate pairs in a fully oracle-portable form: a 32-bit
+    signature built from ``int(md5(gram)[:8], 16)`` per distinct gram —
+    md5, hex-digit arithmetic, bit shifts/ands, and bit_count all have
+    identical semantics in DuckDB, so the complete vote → signature →
+    Hamming-blocking → pair pipeline is hash-match verifiable (the
+    production ``simhash_candidate_pairs`` keeps 64-bit xxhash64:
+    cheaper and twice the signature width, but Spark-specific).
+    Returns distinct (a < b) pairs sharing any of the ``blocks`` bit
+    slices, with their full-signature Hamming distance."""
+    bits = 32
+    width = bits // blocks
+    g = ngram_rows(df, text_col, id_col, n)
+    h32 = F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("long")
+    rows = g.select(F.col(id_col), h32.alias("_h32"))
+    votes = rows.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_h32"), i).bitwiseAND(
+                        F.lit(1).cast("long")
+                    )
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(
+            F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    s = votes.select(F.col(id_col), sig.alias("_sig")).persist()
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.shiftright(F.col("_sig"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                .alias("slice"),
+            )
+            for b in range(blocks)
+        ]
+    )
+    exploded = s.select(
+        id_col, "_sig", F.explode(block_structs).alias("bs")
+    ).select(id_col, "_sig", "bs.block", "bs.slice")
+    a = exploded.select(
+        F.col(id_col).alias("a"), F.col("_sig").alias("_siga"), "block", "slice"
+    )
+    b_side = exploded.select(
+        F.col(id_col).alias("b"), F.col("_sig").alias("_sigb"), "block", "slice"
+    )
+    return (
+        a.join(b_side, on=["block", "slice"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("_siga").bitwiseXOR(F.col("_sigb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame, max_iter: int = 50, driver_threshold: int = 5_000_000
 ) -> DataFrame:

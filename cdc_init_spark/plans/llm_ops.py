@@ -295,6 +295,56 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_clusters(edges).orderBy("id")
 
 
+_HEX_TO_INT = " + ".join(
+    f"(strpos('0123456789abcdef', substring(m, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@query(
+    "q105_simhash_portable",
+    oracle=f"""
+    WITH {_GRAMS_CTE}, grams AS (
+      SELECT doc_id, unnest(g) AS g FROM gram_sets
+    ), h AS (
+      SELECT doc_id, CAST({_HEX_TO_INT} AS BIGINT) AS h32
+      FROM (SELECT doc_id, md5(g) AS m FROM grams)
+    ), votes AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"sum(CASE WHEN (h32 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+                 for i in range(32)
+             )}
+      FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id,
+             CAST({" + ".join(
+                 f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END"
+                 for i in range(32)
+             )} AS BIGINT) AS s
+      FROM votes
+    ), blk AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS block, (s >> {b * 8}) & 255 AS slice, s FROM sig"
+          for b in range(4)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM blk a JOIN blk b
+      ON a.block = b.block AND a.slice = b.slice AND a.doc_id < b.doc_id
+    ORDER BY a, b
+    """,
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 oracle-paired: SimHash (32-bit md5-derived signature) vote →
+    fold → Hamming-blocking → candidate pairs, every stage replicated in
+    DuckDB SQL — the SimHash twin of q102's portable MinHash (q66 keeps
+    the production 64-bit xxhash64 form, rows-only)."""
+    d = load_table(spark, sf, "documents")
+    return dedup.simhash_portable_pairs(d).orderBy("a", "b")
+
+
 _STOPLISTS = {
     "de": "['der','die','und','das','ist','nicht','ein','mit','von','zu']",
     "en": "['the','and','of','to','in','is','that','it','for','was']",

@@ -140,6 +140,16 @@ def test_minhash_portable_finds_dups(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_simhash_portable_finds_dups(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta " * 4)]
+    rows.append((2, rows[0][1]))  # identical → hamming 0, all blocks collide
+    rows.append((3, "completely different text about other things " * 4))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in dedup.simhash_portable_pairs(df).collect()}
+    assert got.get((1, 2)) == 0
+
+
 @pytest.mark.parametrize("driver_threshold", [5_000_000, 0])
 def test_dedup_clusters_transitive(spark, driver_threshold):
     """Chains collapse to one component (the closure near_dedup's one-hop
