@@ -295,6 +295,74 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dedup_clusters(edges).orderBy("id")
 
 
+@query(
+    "q106_cosine_neighbors",
+    oracle="""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])))), 4)
+             AS score
+    FROM embeddings a JOIN embeddings b
+      ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) /
+          (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(a.embedding AS DOUBLE[]))) *
+           sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])))) >= 0.3
+    ORDER BY a, b
+    """,
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    """L6 oracle-paired: exact embedding-cosine near-dup pairs over the
+    deterministic neighbor-id block (1 ≤ b-a ≤ 50) — the value-verified
+    member of the embedding family (q68's hyperplane-LSH blocking is
+    seeded-random, rows-only). The block is an equi-join (offset explode
+    + semi join), not a range join."""
+    from cdc_init_spark.functions.vectors import cosine_similarity
+
+    e = load_table(spark, sf, "embeddings")
+    ids = e.select("vec_id")
+    cand = (
+        ids.select(
+            F.col("vec_id").alias("a"),
+            F.explode(F.array(*[F.lit(i) for i in range(1, 51)])).alias("_d"),
+        )
+        .withColumn("b", (F.col("a") + F.col("_d")).cast("bigint"))
+        .drop("_d")
+        .join(ids.select(F.col("vec_id").alias("b")), "b", "left_semi")
+    )
+    from cdc_init_spark.functions.vectors import dot, norm
+
+    # norms are per-VECTOR, so compute them once on the 1-per-id side of
+    # the join instead of once per candidate PAIR (same value, ~|ids| vs
+    # ~|pairs| interpreted-HOF evaluations)
+    va = e.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("_va"),
+        norm(F.col("embedding")).alias("_na"),
+    )
+    vb = e.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("_vb"),
+        norm(F.col("embedding")).alias("_nb"),
+    )
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn(
+            "score", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        )
+        .filter(F.col("score") >= 0.3)
+        .select("a", "b", round_compat(F.col("score"), 4).alias("score"))
+        .orderBy("a", "b")
+    )
+
+
 _HEX_TO_INT = " + ".join(
     f"(strpos('0123456789abcdef', substring(m, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
     for i in range(8)
