@@ -44,6 +44,24 @@ def read_json(
     return spark.read.schema(schema).options(mode=mode, **options).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S1 twin: ORC columnar scan — same pushdown/pruning properties as
+    parquet via the native vectorized reader."""
+    return spark.read.orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole: bool = False
+) -> DataFrame:
+    """S2 twin: raw text — one row per line (``value STRING``), or one
+    row per file with ``whole=True`` (document-corpus ingestion shape;
+    pair with ``input_file_name()`` for provenance)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("wholetext", str(whole).lower()).text(path)
+    return df.withColumn("source_file", F.input_file_name())
+
+
 def read_jdbc_partitioned(
     spark: SparkSession,
     url: str,

@@ -68,6 +68,22 @@ def test_csv_json_roundtrip(spark, tmp_path, sf_dir):
     assert dict(got_csv.dtypes)["n_nationkey"] == "int"
 
 
+def test_orc_text_roundtrip(spark, tmp_path, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    orc_path = str(tmp_path / "nation_orc")
+    txt_path = str(tmp_path / "names_txt")
+    nation.write.orc(orc_path)
+    nation.select("n_name").write.text(txt_path)
+    got_orc = files.read_orc(spark, orc_path)
+    assert got_orc.count() == 25
+    assert dict(got_orc.dtypes)["n_nationkey"] == dict(nation.dtypes)["n_nationkey"]
+    got_txt = files.read_text(spark, txt_path)
+    assert sorted(r["value"] for r in got_txt.collect()) == sorted(
+        r["n_name"] for r in nation.collect()
+    )
+    assert all(r["source_file"] for r in got_txt.select("source_file").collect())
+
+
 def test_csv_failfast_on_corrupt(spark, tmp_path):
     p = tmp_path / "bad.csv"
     p.write_text("a,b\n1,2\nnot_an_int,3\n")
