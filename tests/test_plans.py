@@ -164,3 +164,47 @@ def test_q100_semi_anti_self_joins(spark, sf_dir):
     assert "LeftSemi" in p
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_q101_neighbor_block_is_equi_join(spark, sf_dir):
+    """The neighbor-id candidate block must be an equi join (offset
+    explode + semi join), never a BroadcastNestedLoopJoin on the range
+    condition — a range join would be quadratic at scale."""
+    p = plan_of(spark, sf_dir, "q101_ngram_jaccard")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
+
+
+def test_q102_minhash_portable_partial_agg(spark, sf_dir):
+    """The 16-way min-signature aggregate must be partial+final (map-side
+    combine collapses each doc before the shuffle) and the bucket
+    self-join must stay an equi SortMerge/Hash join."""
+    p = plan_of(spark, sf_dir, "q102_minhash_portable")
+    assert "partial_min" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q103_clusters_edge_plan(spark, sf_dir):
+    """q103's edge derivation (the part visible before the adaptive
+    union-find/label-prop choice) keeps the equi-join blocking shape."""
+    p = plan_of(spark, sf_dir, "q103_dedup_clusters")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q105_simhash_portable_partial_agg(spark, sf_dir):
+    """The 32-bit vote aggregate must be map-side combined; Hamming
+    blocking must join on (block, slice) keys, no cross product."""
+    p = plan_of(spark, sf_dir, "q105_simhash_portable")
+    assert "partial_sum" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q106_cosine_neighbors_equi_join(spark, sf_dir):
+    """The embedding neighbor block must be equi-join shaped; the
+    per-vector norm projection must appear below the pair join (norms
+    computed |ids| times, not |pairs| times)."""
+    p = plan_of(spark, sf_dir, "q106_cosine_neighbors")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
