@@ -215,3 +215,106 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, content_col).mapInPandas(run, schema)
+
+
+def _fake_decode_audio(content: bytes, sample_rate: int = 16_000) -> np.ndarray:
+    """Deterministic stand-in for a real audio decoder: expands the bytes
+    into ~1 s of pseudo-PCM (int16) seeded by their crc32. Real
+    deployments replace this via DECODERS['audio']."""
+    rng = np.random.default_rng(zlib.crc32(content or b""))
+    n = sample_rate + int(zlib.crc32(b"len" + (content or b"")) % sample_rate)
+    return rng.integers(-(2**15), 2**15, size=n, dtype=np.int16)
+
+
+def _real_decode_audio(content: bytes) -> np.ndarray:  # pragma: no cover
+    raise NotImplementedError(
+        "audio decoding requires an audio codec library (e.g. soundfile/"
+        "ffmpeg), not installed in this environment; the deterministic "
+        "fake in DECODERS['audio'] is used instead"
+    )
+
+
+DECODERS["audio"] = _fake_decode_audio
+
+
+def extract_audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    n_windows: int = 8,
+) -> DataFrame:
+    """BINARY → fixed-width audio feature vector: per-window RMS energy
+    and zero-crossing rate over ``n_windows`` equal slices of the decoded
+    PCM (2·n_windows floats). Same scale shape as the image path: bytes
+    move once per Arrow batch, output is small and shuffle-friendly."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("features", ArrayType(FloatType())),
+            StructField("n_samples", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = DECODERS["audio"]
+        for pdf in batches:
+            feats, lens = [], []
+            for content in pdf[content_col]:
+                pcm = decode(bytes(content) if content is not None else b"")
+                x = pcm.astype(np.float64) / 2**15
+                rms, zcr = [], []
+                for w in np.array_split(x, n_windows):
+                    rms.append(float(np.sqrt(np.mean(w * w))) if len(w) else 0.0)
+                    zcr.append(
+                        float(np.mean(np.abs(np.diff(np.sign(w))) > 0))
+                        if len(w) > 1
+                        else 0.0
+                    )
+                feats.append(
+                    np.array(rms + zcr, dtype=np.float32).tolist()
+                )
+                lens.append(len(pcm))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "features": feats, "n_samples": lens}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)
+
+
+def audio_chunks(
+    df: DataFrame,
+    chunk_ms: int = 250,
+    sample_rate: int = 16_000,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Audio → fixed-duration chunk rows (media_id, chunk_idx, start_ms,
+    chunk BINARY int16-PCM) — the audio twin of ``sample_frames``. Chunk
+    rows are what downstream ASR/embedding stages batch over; emitting
+    them as rows (not arrays) keeps any single task's memory bounded by
+    chunk size, not clip length."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("chunk_idx", IntegerType()),
+            StructField("start_ms", LongType()),
+            StructField("chunk", BinaryType()),
+        ]
+    )
+    samples_per_chunk = sample_rate * chunk_ms // 1000
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = DECODERS["audio"]
+        for pdf in batches:
+            rows = {id_col: [], "chunk_idx": [], "start_ms": [], "chunk": []}
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                pcm = decode(bytes(content) if content is not None else b"")
+                for i in range(0, max(len(pcm), 1), samples_per_chunk):
+                    idx = i // samples_per_chunk
+                    rows[id_col].append(mid)
+                    rows["chunk_idx"].append(idx)
+                    rows["start_ms"].append(idx * chunk_ms)
+                    rows["chunk"].append(pcm[i : i + samples_per_chunk].tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)

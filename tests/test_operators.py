@@ -362,6 +362,38 @@ def test_multimodal_feature_shape(spark):
     assert len({(r["media_id"], r["frame_idx"]) for r in frames}) == len(frames)
 
 
+def test_multimodal_audio_shape(spark):
+    from cdc_init_spark.operators.multimodal import (
+        audio_chunks,
+        extract_audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"fake-audio-bytes-1"), (2, b"fake-audio-bytes-2")],
+        ["media_id", "content"],
+    )
+    feats = extract_audio_features(df, n_windows=8).collect()
+    assert {r["media_id"] for r in feats} == {1, 2}
+    assert all(len(r["features"]) == 16 for r in feats)  # 8 RMS + 8 ZCR
+    assert all(0.0 <= f <= 1.5 for r in feats for f in r["features"])
+    # determinism of the stub decoder
+    feats2 = extract_audio_features(df, n_windows=8).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+    chunks = audio_chunks(df, chunk_ms=250).collect()
+    assert all(r["start_ms"] == r["chunk_idx"] * 250 for r in chunks)
+    # 250 ms @ 16 kHz int16 = 8000 bytes per full chunk; last may be short
+    by_media = {}
+    for r in chunks:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for rows in by_media.values():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        assert all(len(r["chunk"]) == 8000 for r in rows[:-1])
+        n_feat = [f for f in feats if f["media_id"] == rows[0]["media_id"]][0]
+        total = sum(len(r["chunk"]) for r in rows) // 2
+        assert total == n_feat["n_samples"]
+
+
 def test_approx_count_distinct_tolerance(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     exact = o.select("o_custkey").distinct().count()
