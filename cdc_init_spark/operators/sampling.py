@@ -1,0 +1,119 @@
+"""Deterministic sampling / dataset-split operators (EXT, B-XI family).
+
+Origin: EXT — mandated by the BASELINE.json ``north_star`` (training-data
+pipeline surface); the reference has no sampling operators (its one scan
+ships every row, /root/reference/src/cdc_init/components/seed_store.clj:107-110).
+
+Everything here is *hash-deterministic*: membership of a row in a split or
+sample is a pure function of its key, never of partitioning, task order, or
+an RNG stream. That is the property a 100 TB training pipeline needs —
+re-running the job, adding executors, or re-partitioning the input cannot
+move a document between train and test. The hash is the portable
+md5-prefix bucket (not xxhash64) so every assignment is reproducible in
+any engine and DuckDB-oracle-verifiable end to end.
+
+Scale notes (100 TB):
+- ``hash_bucket`` / ``hash_split`` / ``uniform_hash_sample`` are narrow
+  (map-only) — no shuffle, fully codegen'd, compose with any downstream
+  plan without a stage break.
+- ``stratified_sample`` shuffles once on the stratum key for the
+  per-stratum rank. Strata counts are typically few-and-large (languages,
+  sources); the window only materializes per-partition state for rows
+  whose rank can still be ≤ n, and heavily-skewed strata can pre-thin
+  with ``uniform_hash_sample`` before ranking (documented contract:
+  sample-of-sample with a different salt stays deterministic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column, buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic bucket in ``[0, buckets)``: first 8 hex chars of
+    ``md5(cast(key as string) || salt)`` → 32-bit int → mod.
+
+    md5-prefix rather than xxhash64 so the bucket function is portable
+    across engines (the DuckDB oracle re-derives identical buckets);
+    32 bits of entropy is ample for bucket counts ≤ 10^6."""
+    keyed = F.concat(col.cast("string"), F.lit(salt)) if salt else col.cast("string")
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("bigint") % buckets
+    ).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[tuple[str, int]] = (("train", 80), ("val", 10), ("test", 10)),
+    buckets: int = 100,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hash bucket of its key.
+
+    ``splits`` is an ordered ``(name, weight)`` list; weights are bucket
+    counts out of ``buckets`` (the default is the classic 80/10/10).
+    Rows land in the first split whose cumulative weight exceeds their
+    bucket; any bucket past the declared total (weights that don't sum
+    to ``buckets``) falls into the last split. Narrow map — no shuffle."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    b = hash_bucket(F.col(key_col), buckets, salt)
+    expr = None
+    acc = 0
+    for name, weight in splits[:-1]:
+        acc += weight
+        expr = (F.when if expr is None else expr.when)(b < acc, name)
+    last = F.lit(splits[-1][0])
+    assigned = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, assigned)
+
+
+def uniform_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+    buckets: int = 10_000,
+) -> Column | DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by key hash.
+
+    Unlike ``df.sample`` this is reproducible across runs, partitionings
+    and engines, and consistent per key (the same document is always in
+    or always out — required when the same corpus is sampled by several
+    downstream jobs that must agree). Narrow map — no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    cut = int(round(fraction * buckets))
+    return df.filter(hash_bucket(F.col(key_col), buckets, salt) < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by md5 rank.
+
+    The md5 of the key is a deterministic proxy for a uniform draw, so
+    this is a reproducible stratified sample (equal-size per stratum —
+    the shape used for balanced eval sets per language/source). One
+    shuffle on the stratum key; ties impossible because the key column
+    is the tie-break."""
+    keyed = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(salt))
+        if salt
+        else F.col(key_col).cast("string")
+    )
+    w = Window.partitionBy(strata_col).orderBy(keyed, F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

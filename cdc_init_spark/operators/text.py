@@ -123,6 +123,85 @@ def fingerprint(
     )
 
 
+# PII-shaped redaction rules: (java-and-RE2-compatible pattern, token).
+# Order matters — structured forms (email, phone) before the bare digit
+# run that would otherwise eat their digit groups.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}", "<PHONE>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def redact(col: Column, rules: tuple[tuple[str, str], ...] = PII_RULES) -> Column:
+    """Rule-chained PII-style redaction: each (pattern, token) applied as
+    a global regexp_replace in order. Patterns are restricted to the
+    RE2-compatible subset (no backreferences/lookaround) so the exact
+    rule set replays in any engine — the DuckDB oracle (q109) re-applies
+    the same chain. Narrow map stage, codegen'd, no shuffle."""
+    out = col
+    for pattern, token in rules:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def redaction_count(col: Column, rules: tuple[tuple[str, str], ...] = PII_RULES) -> Column:
+    """How many redactions ``redact`` would make (sum of per-rule match
+    counts, counted on the progressively-redacted text so rules don't
+    double-count each other's spans)."""
+    total = F.lit(0)
+    cur = col
+    for pattern, token in rules:
+        total = total + F.regexp_count(cur, F.lit(pattern))
+        cur = F.regexp_replace(cur, pattern, token)
+    return total.cast("bigint")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every word n-gram, slide a ``window``-wide window
+    over the positional hash sequence, keep each window's minimum, emit
+    the distinct minima per document as (id, fp) rows.
+
+    Guarantees every match of length ≥ n + window - 1 tokens shares a
+    fingerprint — the coverage property the '0 mod p' selection
+    (``fingerprint``) lacks. Hash = 32-bit md5 prefix (portable, so the
+    q111 oracle replicates every stage in DuckDB), via the codegen
+    posexplode + lead shape of dedup.shingle_hash_rows; the window min
+    reuses the same (id, pos) sort — ONE shuffle total, and docs
+    shorter than n + window - 1 tokens emit nothing (no full window).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).select(
+        id_col,
+        F.size("_toks").alias("_sz"),
+        F.posexplode("_toks").alias("_pos", "_tok"),
+    )
+    w = W.partitionBy(id_col).orderBy("_pos")
+    gram = F.concat_ws(
+        " ", F.col("_tok"), *[F.lead("_tok", j).over(w) for j in range(1, n)]
+    )
+    h32 = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
+    last_gram_pos = F.greatest(F.col("_sz") - n, F.lit(0))
+    wmin = F.min(F.col("_h")).over(w.rowsBetween(0, window - 1))
+    return (
+        base.withColumn("_h", h32)
+        .withColumn("_last", last_gram_pos)
+        .filter(F.col("_pos") <= F.col("_last"))
+        .withColumn("_fp", wmin)
+        .filter(F.col("_pos") + (window - 1) <= F.col("_last"))
+        .select(id_col, F.col("_fp").alias("fp"))
+        .distinct()
+    )
+
+
 def rolling_hash(col: Column) -> Column:
     """Order-sensitive rolling hash over tokens: left-fold chaining each
     token into the accumulator via xxhash64(acc, tok). (A polynomial

@@ -41,6 +41,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 from cdc_init_spark.plans import functions as _functions  # noqa: E402,F401
 from cdc_init_spark.plans import llm as _llm  # noqa: E402,F401
 from cdc_init_spark.plans import llm_ops as _llm_ops  # noqa: E402,F401
+from cdc_init_spark.plans import pipeline as _pipeline  # noqa: E402,F401
 from cdc_init_spark.plans import relational as _relational  # noqa: E402,F401
 from cdc_init_spark.plans import reshape as _reshape  # noqa: E402,F401
 from cdc_init_spark.plans import stats as _stats  # noqa: E402,F401

@@ -1,0 +1,187 @@
+"""Corpus entries for the dataset-governance pipeline operators (EXT,
+B-XI family): deterministic splits/samples, PII-style redaction, corpus
+vocabulary stats, winnowing fingerprints.
+
+All five are oracle-paired — every stage (md5 bucket hash, regex chain,
+tokenizer, window min) is replicated term-for-term in DuckDB SQL, so the
+operators' *semantics* are hash-match verified, not just their row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_init_spark.operators import sampling, text
+from cdc_init_spark.operators.dedup import tokens
+from cdc_init_spark.plans import query
+from cdc_init_spark.tables import load_table
+
+
+def _hex32(col: str) -> str:
+    """DuckDB SQL: 8-char lowercase-hex column → 32-bit integer (the
+    portable twin of Spark's conv(x, 16, 10))."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@query(
+    "q107_hash_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS m
+      FROM documents
+    ), b AS (
+      SELECT doc_id, CAST(({_hex32("m")}) % 100 AS INTEGER) AS bkt FROM h
+    )
+    SELECT doc_id,
+           CASE WHEN bkt < 80 THEN 'train'
+                WHEN bkt < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+    """,
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT dataset governance: deterministic 80/10/10 train/val/test
+    split by md5 bucket of the document key (operators.sampling.hash_split)
+    — membership is a pure function of the key, so re-runs, repartitions
+    and other engines (the oracle re-derives the same buckets) agree on
+    every assignment. Narrow map, no shuffle."""
+    d = load_table(spark, sf, "documents").select("doc_id")
+    return sampling.hash_split(d, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "q108_stratified_sample",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id FROM r WHERE rk <= 20 ORDER BY lang, doc_id
+    """,
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT dataset governance: deterministic stratified sample — exactly
+    min(20, |stratum|) docs per language, ranked by md5 of the key
+    (operators.sampling.stratified_sample). The balanced-eval-set shape;
+    one shuffle on the stratum key."""
+    d = load_table(spark, sf, "documents")
+    samp = sampling.stratified_sample(d, "lang", "doc_id", 20)
+    return samp.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+_P_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_P_PHONE = "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+_P_NUM = "[0-9]+"
+
+
+@query(
+    "q109_pii_redaction",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT event_id,
+             len(regexp_extract_all(props, '{_P_EMAIL}')) AS c1,
+             regexp_replace(props, '{_P_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM events
+    ), s2 AS (
+      SELECT event_id, c1,
+             len(regexp_extract_all(t1, '{_P_PHONE}')) AS c2,
+             regexp_replace(t1, '{_P_PHONE}', '<PHONE>', 'g') AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT event_id, c1, c2,
+             len(regexp_extract_all(t2, '{_P_NUM}')) AS c3,
+             regexp_replace(t2, '{_P_NUM}', '<NUM>', 'g') AS t3
+      FROM s2
+    )
+    SELECT event_id, t3 AS redacted,
+           CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions
+    FROM s3 ORDER BY event_id
+    """,
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT text hygiene: rule-chained PII-style redaction
+    (operators.text.redact — email/phone/digit-run rules in the
+    RE2-compatible regex subset) over events.props, plus the redaction
+    count. The oracle replays the identical rule chain, so the rules'
+    match semantics are verified across engines. Narrow map."""
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        text.redact(F.col("props")).alias("redacted"),
+        text.redaction_count(F.col("props")).alias("n_redactions"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q110_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), w AS (SELECT unnest(t) AS term FROM toks),
+    c AS (SELECT term, COUNT(*) AS n FROM w GROUP BY term)
+    SELECT term, n FROM c ORDER BY n DESC, term LIMIT 20
+    """,
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT corpus statistics: global top-20 vocabulary terms by frequency
+    (normalize → tokenize → explode → count → top-k). The count is
+    partial-aggregated map-side (vocab ≪ corpus), and the top-k is
+    orderBy+limit → TakeOrderedAndProject: per-partition heaps + a
+    driver-side merge of 20-row heads, no global sort. Deterministic
+    tie-break: term string ascending."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "q111_winnow_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, greatest(len(t) - 2, 1) AS ng,
+             unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+      FROM toks
+    ), g AS (
+      SELECT doc_id, i, ng,
+             substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8) AS m
+      FROM pos
+    ), h AS (
+      SELECT doc_id, i, ng, CAST({_hex32("m")} AS BIGINT) AS h32 FROM g
+    ), w AS (
+      SELECT doc_id, i, ng,
+             min(h32) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM h
+    )
+    SELECT DISTINCT doc_id, fp FROM w WHERE i + 3 <= ng ORDER BY doc_id, fp
+    """,
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT fingerprinting: winnowing (SIGMOD'03) document fingerprints —
+    positional word-3-gram hashes, 4-wide window minima, distinct per doc
+    (operators.text.winnow_fingerprints). Portable 32-bit md5-prefix hash,
+    so gram hashing, the window min, and the full-window boundary rule are
+    all hash-match verified against the DuckDB replica. One shuffle (the
+    per-doc positional window), reused for the gram lead and the min."""
+    d = load_table(spark, sf, "documents")
+    return text.winnow_fingerprints(d).orderBy("doc_id", "fp")

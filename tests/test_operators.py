@@ -405,3 +405,117 @@ def test_xxhash64_self_consistency(spark):
     df = spark.createDataFrame([("abc",), ("abc",), ("xyz",)], ["s"])
     vals = [r["h"] for r in df.select(F.xxhash64("s").alias("h")).collect()]
     assert vals[0] == vals[1] != vals[2]
+
+
+# --- sampling / governance operators (operators/sampling.py) -------------
+
+def test_hash_split_deterministic_and_partitioning_invariant(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    from cdc_init_spark.operators.sampling import hash_split
+
+    a = {r["doc_id"]: r["split"] for r in hash_split(d, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(d.repartition(13), "doc_id").collect()
+    }
+    assert a == b  # membership is a pure function of the key
+    n = len(a)
+    from collections import Counter
+
+    frac = {k: v / n for k, v in Counter(a.values()).items()}
+    assert set(frac) == {"train", "val", "test"}
+    assert abs(frac["train"] - 0.8) < 0.1
+    assert abs(frac["val"] - 0.1) < 0.06
+    assert abs(frac["test"] - 0.1) < 0.06
+
+
+def test_hash_split_is_narrow(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    from cdc_init_spark.operators.sampling import hash_split
+
+    plan = hash_split(d, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: no shuffle at any scale
+
+
+def test_uniform_hash_sample_consistent_per_key(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    from cdc_init_spark.operators.sampling import uniform_hash_sample
+
+    s30 = {r["doc_id"] for r in uniform_hash_sample(d, "doc_id", 0.3).collect()}
+    s60 = {r["doc_id"] for r in uniform_hash_sample(d, "doc_id", 0.6).collect()}
+    assert s30 <= s60  # nested samples: growing the rate keeps prior members
+    n = d.count()
+    assert abs(len(s30) / n - 0.3) < 0.08
+    salted = {
+        r["doc_id"]
+        for r in uniform_hash_sample(d, "doc_id", 0.3, salt="v2").collect()
+    }
+    assert salted != s30  # a different salt draws a different sample
+
+
+def test_stratified_sample_exact_counts(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    from cdc_init_spark.operators.sampling import stratified_sample
+
+    samp = stratified_sample(d, "lang", "doc_id", 5)
+    per = {
+        r["lang"]: r["n"]
+        for r in samp.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    avail = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, n in per.items():
+        assert n == min(5, avail[lang])
+    again = stratified_sample(d, "lang", "doc_id", 5)
+    assert sorted(samp.collect()) == sorted(again.collect())
+
+
+def test_redact_rules(spark):
+    from cdc_init_spark.operators.text import redact, redaction_count
+
+    rows = [
+        ("a@b.com called 555-123-4567 re order 42", "<EMAIL> called <PHONE> re order <NUM>", 3),
+        ("no pii here", "no pii here", 0),
+        ("", "", 0),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(rows)], ["i", "t"]
+    )
+    got = {
+        r["i"]: (r["red"], r["n"])
+        for r in df.select(
+            "i",
+            redact(F.col("t")).alias("red"),
+            redaction_count(F.col("t")).alias("n"),
+        ).collect()
+    }
+    for i, (_, want_red, want_n) in enumerate(rows):
+        assert got[i] == (want_red, want_n), (i, got[i])
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """Winnowing coverage property: two docs sharing a run of
+    >= n + window - 1 tokens (6 here) share at least one fingerprint;
+    docs shorter than 6 tokens emit none."""
+    from cdc_init_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail one"),
+            (2, f"other prefix {shared} different ending"),
+            (3, "completely unrelated content about spark engines"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(df)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
