@@ -1,0 +1,290 @@
+"""Training-corpus assembly operators (EXT, B-XI family).
+
+Origin: EXT — mandated by the BASELINE.json ``north_star`` (the LLM
+training-data pipeline surface); the reference has no corpus operators
+(its one data-plane query ships every row of one table,
+/root/reference/src/cdc_init/components/seed_store.clj:107-110).
+
+Five operators a large-scale pretraining pipeline runs between "raw
+documents" and "token stream":
+
+- ``repetition_signals``   — Gopher-style within-document repetition
+  metrics (duplicate n-gram fraction, top-bigram share) used as quality
+  filters.
+- ``contamination_report`` / ``decontaminate`` — n-gram-overlap
+  decontamination of a training corpus against an eval/benchmark set.
+- ``tfidf_top_terms``      — per-document characteristic terms by
+  smoothed TF-IDF (corpus-level document frequencies).
+- ``pack_sequences``       — greedy fixed-token-budget sequence packing
+  within deterministic document groups (the batch-assembly step).
+- ``shuffle_key`` / ``shuffle_rows`` — deterministic epoch-salted global
+  shuffle order.
+
+Everything is hash-deterministic and engine-portable: gram semantics are
+``dedup.tokens``/``dedup.ngram_rows`` (lower → whitespace-normalize →
+split → concat_ws), shuffle keys are md5 — so each operator's full
+pipeline is DuckDB-oracle verifiable (plans/corpus_ops.py q112-q116).
+
+Scale notes (100 TB):
+- ``repetition_signals``: one shuffle of the token stream hash-keyed by
+  doc id (the gram window); both per-gram counting (grouping on
+  (id, gram) — a superset of the partition key) and the per-doc rollup
+  reuse that partitioning, so the exploded grams cross the network once.
+- decontamination: the eval side is small by construction → its distinct
+  gram set broadcasts; the train side stays narrow after its own gram
+  window — a broadcast semi/inner join, no train-side wide shuffle
+  beyond the per-doc gram dedup.
+- ``tfidf_top_terms``: term document-frequencies are vocabulary-sized
+  (≪ corpus); computed with a partial-aggregated groupBy and joined back
+  AQE-broadcast. The only big shuffle is the (doc, term) count, keyed by
+  doc id first so the final per-doc top-k reuses the partitioning.
+- ``pack_sequences``: packing is sequential *within* a bounded group and
+  embarrassingly parallel *across* groups — state per task is O(group),
+  never O(corpus). Groups come from a deterministic key expression
+  (default: id range blocks), so output is partitioning-invariant.
+- ``shuffle_rows``: a range-partitioned global sort on an md5 key —
+  Spark's sort is the scalable primitive; no single-partition window.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_init_spark.functions.compat import round_compat
+from cdc_init_spark.operators import dedup
+
+
+# --- repetition / quality signals ----------------------------------------
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document repetition metrics (Gopher/MassiveText-style quality
+    signals): ``dup_ngram_frac`` — fraction of word-``n``-gram occurrences
+    that are repeats of a gram already seen in the same document — and
+    ``top_bigram_frac`` — the share of bigram occurrences taken by the
+    single most frequent bigram. High values flag boilerplate, keyword
+    stuffing and templated spam; pretraining pipelines drop or downweight
+    above a threshold.
+
+    Returns (id, n_ngrams, dup_ngram_frac, top_bigram_frac), one row per
+    input document (documents shorter than the gram width count their
+    whole text as one gram, per ``dedup.ngram_rows`` semantics).
+
+    Physical shape: positional gram rows (explode + lead window, hash
+    partitioned by id) → count per (id, gram) → per-doc rollup — the
+    last two reuse the window's partitioning, so one shuffle per gram
+    width. Pure built-ins, whole-stage codegen around the windows."""
+
+    def _per_doc(width: int, prefix: str) -> DataFrame:
+        grams = dedup.ngram_rows(df, text_col, id_col, n=width, distinct=False)
+        return (
+            grams.groupBy(id_col, "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy(id_col)
+            .agg(
+                F.sum("_c").alias(f"{prefix}_total"),
+                F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+                F.max("_c").alias(f"{prefix}_top"),
+            )
+        )
+
+    tri = _per_doc(n, "_t")
+    bi = _per_doc(2, "_b")
+    return (
+        tri.join(bi, id_col)
+        .select(
+            id_col,
+            F.col("_t_total").alias("n_ngrams"),
+            (
+                (F.col("_t_total") - F.col("_t_distinct"))
+                / F.col("_t_total").cast("double")
+            ).alias("dup_ngram_frac"),
+            (F.col("_b_top") / F.col("_b_total").cast("double")).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+# --- eval-set decontamination --------------------------------------------
+
+def contamination_report(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """(id, n_shared_grams) for every corpus document sharing at least one
+    word-``n``-gram with any eval document — the overlap evidence behind
+    benchmark decontamination (the GPT-3/PaLM n-gram-collision rule, with
+    ``n`` sized to the corpus; 13 is the published choice for web-scale
+    text).
+
+    ``n_shared_grams`` counts the corpus document's *distinct* grams that
+    occur anywhere in the eval set. The eval side is reduced to a distinct
+    gram relation and broadcast — eval sets are small by construction, so
+    the train side never wide-shuffles against it."""
+    corpus_grams = dedup.ngram_rows(corpus, text_col, id_col, n=n)
+    eval_grams = dedup.ngram_rows(evalset, text_col, id_col, n=n).select(
+        "_g"
+    ).distinct()
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Corpus rows with every contaminated document removed — the
+    drop-side twin of ``contamination_report`` (left-anti join on the
+    report's ids; broadcastable, the report is contaminated-docs-sized)."""
+    hits = contamination_report(corpus, evalset, text_col, id_col, n).select(
+        id_col
+    )
+    return corpus.join(F.broadcast(hits), id_col, "left_anti")
+
+
+# --- TF-IDF characteristic terms -----------------------------------------
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF:
+    ``tf * (ln((N + 1) / (df + 1)) + 1)`` (the scikit-learn smoothing —
+    never divides by zero, idf ≥ 1). Ranking is by score rounded to 4
+    decimals, term ascending — the rounding collapses float noise so the
+    order is engine-portable (plans/corpus_ops.q114 hash-matches DuckDB).
+
+    Returns (id, term, tf, tfidf) — ``tfidf`` rounded to 4 decimals.
+
+    Physical shape: token explode → map-side partial count collapses the
+    token stream to (doc, term) pairs before the one wide exchange → term
+    document frequencies (vocabulary-sized partial agg) joined back
+    broadcast → corpus size N as a broadcast single-row cross join (no
+    driver-side count action in the plan) → per-doc top-k window on the
+    tf-sized relation, executed as WindowGroupLimit (per-partition rank
+    pruning before the exchange, Spark ≥3.5)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(dedup.tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            round_compat(
+                F.col("tf")
+                * (
+                    F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0))
+                    + F.lit(1.0)
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(id_col, "term", "tf", "tfidf")
+    )
+
+
+# --- sequence packing -----------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    group_col: Column | None = None,
+    group_size: int = 100,
+) -> DataFrame:
+    """Greedy fixed-budget sequence packing: within each deterministic
+    group, walk documents in ``id_col`` order, accumulating ``weight_col``
+    (token counts); a document that would overflow ``budget`` starts the
+    next bin (so oversize documents land alone in their own bin). Returns
+    (grp, bin, id, weight) — ``bin`` is dense per group from 0.
+
+    Packing is inherently sequential, so the scale contract is:
+    sequential *within* a bounded group, parallel *across* groups. The
+    default group is the id range block ``floor(id / group_size)`` —
+    deterministic, so output is invariant to partitioning and re-runs,
+    and per-task state is O(group), never O(corpus). One shuffle (hash
+    by group) into an Arrow-batched ``applyInPandas``; the per-group
+    loop is a numpy-free O(rows) scan."""
+    grp = (
+        group_col
+        if group_col is not None
+        else F.floor(F.col(id_col) / group_size)
+    ).cast("bigint")
+    src = df.select(
+        grp.alias("grp"), F.col(id_col), F.col(weight_col).cast("bigint")
+    )
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    )
+    out_schema = f"{fields}, bin bigint"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins: list[int] = []
+        b, fill = 0, 0
+        for i, w in enumerate(pdf[weight_col]):
+            if i == 0:
+                fill = w
+            elif fill + w > budget:
+                b += 1
+                fill = w
+            else:
+                fill += w
+            bins.append(b)
+        pdf["bin"] = bins
+        return pdf
+
+    return src.groupBy("grp").applyInPandas(pack, schema=out_schema)
+
+
+# --- deterministic epoch shuffle -----------------------------------------
+
+def shuffle_key(col: Column, salt: str = "") -> Column:
+    """Deterministic shuffle key: md5 of the id (salted per epoch).
+    Engine-portable — any system hashing the same ids with the same salt
+    derives the same order."""
+    keyed = F.concat(col.cast("string"), F.lit(salt)) if salt else col.cast(
+        "string"
+    )
+    return F.md5(keyed)
+
+
+def shuffle_rows(df: DataFrame, id_col: str, salt: str = "") -> DataFrame:
+    """Rows in deterministic shuffled order (md5 of the salted id, id as
+    tie-break — ties only possible for duplicate ids). Changing ``salt``
+    ("epoch1", "epoch2", …) reshuffles; re-running does not. Executes as
+    a range-partitioned global sort — the scalable Spark primitive; no
+    single-partition window, no RNG state."""
+    return df.orderBy(shuffle_key(F.col(id_col), salt), F.col(id_col))

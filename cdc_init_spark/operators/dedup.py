@@ -145,15 +145,24 @@ def shingle_hash_rows(
 
 
 def ngram_rows(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (id, n-gram STRING) rows — the portable twin of
+    """(id, n-gram STRING) rows — the portable twin of
     ``shingle_hash_rows``: identical explode→lead-window shape, but the
     gram text itself instead of its xxhash64. Every primitive here
     (lower/trim/split/concat_ws) has bit-identical ANSI-SQL semantics, so
     pipelines built on these rows are DuckDB-verifiable end to end
     (xxhash64 is Spark-specific). Bulk pipelines should prefer the hash
-    rows — an 8-byte long shuffles ~5× lighter than a gram string."""
+    rows — an 8-byte long shuffles ~5× lighter than a gram string.
+
+    ``distinct=True`` (default) dedupes (id, gram) — the set form used by
+    Jaccard/containment pipelines; ``distinct=False`` keeps every
+    positional occurrence (required by occurrence-counting consumers such
+    as ``operators.corpus.repetition_signals``)."""
     base = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).select(
@@ -165,12 +174,12 @@ def ngram_rows(
     gram = F.concat_ws(
         " ", F.col("_tok"), *[F.lead("_tok", j).over(w) for j in range(1, n)]
     )
-    return (
+    out = (
         base.withColumn("_g", gram)
         .filter(F.col("_pos") <= F.greatest(F.col("_sz") - n, F.lit(0)))
         .select(id_col, "_g")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def shingle_sets(

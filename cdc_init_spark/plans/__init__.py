@@ -38,6 +38,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Importing the corpus modules populates the registry.
+from cdc_init_spark.plans import corpus_ops as _corpus_ops  # noqa: E402,F401
 from cdc_init_spark.plans import functions as _functions  # noqa: E402,F401
 from cdc_init_spark.plans import llm as _llm  # noqa: E402,F401
 from cdc_init_spark.plans import llm_ops as _llm_ops  # noqa: E402,F401

@@ -1,0 +1,260 @@
+"""Corpus entries for the training-corpus assembly operators (EXT,
+B-XI family — operators/corpus.py): repetition quality signals,
+eval-set decontamination, TF-IDF characteristic terms, greedy sequence
+packing, deterministic epoch shuffle.
+
+All five are oracle-paired: gram/tokenizer semantics, the md5 split and
+shuffle hashes, the smoothed-idf formula, and the greedy packing
+recurrence are each replicated term-for-term in DuckDB SQL (the packing
+oracle is a recursive CTE walking the same per-group recurrence), so the
+operators' semantics — not just their row counts — are hash-match
+verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_init_spark.functions.compat import round_compat
+from cdc_init_spark.operators import corpus, sampling
+from cdc_init_spark.plans import query
+from cdc_init_spark.tables import load_table
+
+
+def _toks_cte(n: int) -> str:
+    """DuckDB CTEs: normalized token array + positional (non-distinct)
+    word-n-gram rows, mirroring dedup.tokens / dedup.ngram_rows
+    (distinct=False). DuckDB list indexing past the end yields NULL and
+    concat_ws skips NULLs — same clamp as the Spark lead-window form."""
+    gram = ", ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), pos{n} AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS i
+      FROM toks
+    ), grams{n} AS (
+      SELECT doc_id, concat_ws(' ', {gram}) AS g FROM pos{n}
+    )"""
+
+
+@query(
+    "q112_repetition_signals",
+    oracle=f"""
+    WITH {_toks_cte(3)}, pos2 AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t) - 1, 1) + 1)) AS i
+      FROM toks
+    ), grams2 AS (
+      SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS g FROM pos2
+    ), c3 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams3 GROUP BY doc_id, g
+    ), a3 AS (
+      SELECT doc_id, SUM(c) AS total, COUNT(*) AS dis
+      FROM c3 GROUP BY doc_id
+    ), c2 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams2 GROUP BY doc_id, g
+    ), a2 AS (
+      SELECT doc_id, SUM(c) AS total, MAX(c) AS top
+      FROM c2 GROUP BY doc_id
+    )
+    SELECT a3.doc_id,
+           CAST(a3.total AS BIGINT) AS n_ngrams,
+           ROUND(CAST(a3.total - a3.dis AS DOUBLE) / a3.total, 4)
+             AS dup_ngram_frac,
+           ROUND(CAST(a2.top AS DOUBLE) / a2.total, 4) AS top_bigram_frac
+    FROM a3 JOIN a2 USING (doc_id) ORDER BY doc_id
+    """,
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT corpus quality: Gopher-style within-document repetition
+    signals — duplicate word-3-gram occurrence fraction and the share of
+    the most frequent bigram (operators.corpus.repetition_signals). The
+    gram windows' doc-id hash partitioning is reused by the per-gram
+    count and the per-doc rollup, so the exploded token stream shuffles
+    once per gram width."""
+    d = load_table(spark, sf, "documents")
+    sig = corpus.repetition_signals(d)
+    return sig.select(
+        "doc_id",
+        "n_ngrams",
+        round_compat(F.col("dup_ngram_frac"), 4).alias("dup_ngram_frac"),
+        round_compat(F.col("top_bigram_frac"), 4).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+def _hex32(col: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@query(
+    "q113_decontamination",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(({_hex32("substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)")})
+                  % 100 AS INTEGER) AS bkt
+      FROM documents
+    ), train AS (SELECT doc_id, text FROM b WHERE bkt < 90),
+    eval AS (SELECT doc_id, text FROM b WHERE bkt >= 90),
+    ttok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM train
+    ), tpos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1) + 1)) AS i
+      FROM ttok
+    ), tg AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6]) AS g
+      FROM tpos
+    ), etok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM eval
+    ), epos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1) + 1)) AS i
+      FROM etok
+    ), eg AS (
+      SELECT DISTINCT
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6]) AS g
+      FROM epos
+    )
+    SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM tg JOIN eg USING (g)
+    GROUP BY tg.doc_id ORDER BY doc_id
+    """,
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT decontamination: train/eval split by the deterministic md5
+    bucket (operators.sampling.hash_split, 90/10), then every train
+    document sharing a word-7-gram with any eval document, with its
+    distinct shared-gram count (operators.corpus.contamination_report —
+    the GPT-3-style n-gram-collision rule). Eval grams broadcast; the
+    train side never wide-shuffles against the eval set. The companion
+    decontaminate() anti-join is law-tested in pytest (clean = corpus
+    minus exactly these ids)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    split = sampling.hash_split(
+        d, "doc_id", splits=(("train", 90), ("test", 10))
+    )
+    train = split.filter(F.col("split") == "train").drop("split")
+    evalset = split.filter(F.col("split") == "test").drop("split")
+    return corpus.contamination_report(train, evalset, n=7).orderBy("doc_id")
+
+
+@query(
+    "q114_tfidf_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS dfc FROM tf GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term AS term, tf,
+             ROUND(tf * (ln((n.n + 1.0) / (dfc + 1.0)) + 1.0), 4) AS tfidf
+      FROM tf, dfreq, n WHERE tf.term = dfreq.term
+    ), ranked AS (
+      SELECT doc_id, term, tf, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
+    FROM ranked WHERE rk <= 3 ORDER BY doc_id, term
+    """,
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT corpus statistics: top-3 characteristic terms per document by
+    smoothed TF-IDF — tf * (ln((N+1)/(df+1)) + 1), the scikit-learn
+    smoothing — ranked by 4-decimal-rounded score then term
+    (operators.corpus.tfidf_top_terms; the rounding makes the rank
+    engine-portable). Document frequencies are vocabulary-sized and
+    broadcast back; N enters as a broadcast single-row cross join, so
+    the plan has no driver-side count action; the top-k executes as
+    WindowGroupLimit over the tf-sized relation (token occurrences are
+    collapsed map-side before any exchange)."""
+    d = load_table(spark, sf, "documents")
+    return corpus.tfidf_top_terms(d, k=3).orderBy("doc_id", "term")
+
+
+@query(
+    "q115_sequence_packing",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), rows_ AS (
+      SELECT CAST(doc_id // 100 AS BIGINT) AS grp, doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id // 100
+                                ORDER BY doc_id) AS rn
+      FROM toks
+    ), rec AS (
+      SELECT grp, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM rows_ WHERE rn = 1
+      UNION ALL
+      SELECT r.grp, r.rn, r.doc_id, r.n_tokens,
+             CASE WHEN rec.fill + r.n_tokens > 128
+                  THEN rec.bin + 1 ELSE rec.bin END,
+             CASE WHEN rec.fill + r.n_tokens > 128
+                  THEN r.n_tokens ELSE rec.fill + r.n_tokens END
+      FROM rows_ r JOIN rec ON r.grp = rec.grp AND r.rn = rec.rn + 1
+    )
+    SELECT grp, bin, doc_id, n_tokens FROM rec ORDER BY grp, bin, doc_id
+    """,
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT batch assembly: greedy 128-token sequence packing within
+    deterministic id-range groups (operators.corpus.pack_sequences over
+    whitespace token counts) — documents walk in id order, a doc that
+    would overflow the budget opens the next bin, oversize docs sit
+    alone. Sequential within a bounded group, parallel across groups
+    (one hash shuffle into applyInPandas). The oracle replays the exact
+    recurrence as a DuckDB recursive CTE, so the packing rule itself is
+    hash-match verified."""
+    from cdc_init_spark.operators.text import token_count_whitespace
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", token_count_whitespace(F.col("text")).alias("n_tokens")
+    )
+    packed = corpus.pack_sequences(d, "n_tokens", budget=128)
+    return packed.select("grp", "bin", "doc_id", "n_tokens").orderBy(
+        "grp", "bin", "doc_id"
+    )
+
+
+@query(
+    "q116_epoch_shuffle",
+    oracle="""
+    SELECT md5(CAST(doc_id AS VARCHAR) || 'epoch1') AS shuffle_key, doc_id
+    FROM documents ORDER BY shuffle_key, doc_id
+    """,
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT training order: deterministic epoch-salted global shuffle —
+    rows ordered by md5(id || salt) (operators.corpus.shuffle_rows).
+    Reproducible across runs/partitionings/engines; a new salt per epoch
+    reshuffles. Executes as a range-partitioned global sort (Spark's
+    scalable sort), not a single-partition window."""
+    d = load_table(spark, sf, "documents").select("doc_id")
+    out = corpus.shuffle_rows(d, "doc_id", salt="epoch1")
+    return out.select(
+        corpus.shuffle_key(F.col("doc_id"), "epoch1").alias("shuffle_key"),
+        "doc_id",
+    )
