@@ -49,7 +49,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_init_spark.functions.compat import round_compat
@@ -288,3 +288,32 @@ def shuffle_rows(df: DataFrame, id_col: str, salt: str = "") -> DataFrame:
     a range-partitioned global sort — the scalable Spark primitive; no
     single-partition window, no RNG state."""
     return df.orderBy(shuffle_key(F.col(id_col), salt), F.col(id_col))
+
+
+# --- training-order interleaving ------------------------------------------
+
+def interleave_sources(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    salt: str = "",
+    round_col: str = "round",
+) -> DataFrame:
+    """Deterministic balanced interleave across groups: within each group
+    rows take a salted-md5 shuffle order (rank = ``round``), and the
+    global training order is (round, group, key) — round-robin one row
+    per group per round, so a consumer reading the output front-to-back
+    sees every source at its steady mix rate instead of source-sized
+    runs. (The within-epoch ordering used when a shuffled corpus must
+    still guarantee inter-source locality for curriculum/mixing.)
+
+    Deterministic for a given salt; re-salting re-deals both the
+    within-group order and therefore the whole schedule. One window
+    (hash shuffle on the group key) + the final range-partitioned sort —
+    no single-partition stage; group skew only widens a round, it never
+    concentrates a partition."""
+    order = shuffle_key(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    return df.withColumn(round_col, F.row_number().over(w)).orderBy(
+        round_col, group_col, key_col
+    )

@@ -879,3 +879,101 @@ def simhash_candidate_pairs(
         )
         .distinct()
     )
+
+
+# --- cross-document repeated-chunk removal (L6 family) --------------------
+
+def chunk_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = 8,
+) -> DataFrame:
+    """(id, chunk_idx, chunk) rows: consecutive NON-overlapping ``m``-token
+    windows of the normalized token stream — the unit of C4/CCNet-style
+    repeated-span removal (vs the overlapping grams of ``ngram_rows``).
+
+    Same codegen shape as ``shingle_hash_rows``: posexplode → ``lead``
+    window hash-partitioned by the id → stride filter ``pos % m == 0``.
+    The final chunk is shorter when the document length isn't a multiple
+    of ``m`` (``concat_ws`` skips the NULL leads past the end); every
+    document yields at least one chunk (position 0 always survives the
+    stride filter)."""
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(id_col, F.posexplode("_toks").alias("_pos", "_tok"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    gram = F.concat_ws(
+        " ", F.col("_tok"), *[F.lead("_tok", j).over(w) for j in range(1, m)]
+    )
+    return (
+        base.withColumn("_chunk", gram)
+        .filter(F.col("_pos") % m == 0)
+        .select(
+            id_col,
+            (F.col("_pos") / m).cast("bigint").alias("chunk_idx"),
+            F.col("_chunk").alias("chunk"),
+        )
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = 8,
+) -> DataFrame:
+    """C4-style cross-document span dedup with keep-one semantics: any
+    ``m``-token chunk occurring in more than one document survives only
+    in the document with the smallest id; every other document loses all
+    its occurrences. (C4 "discarded all but one of any three-sentence
+    span occurring more than once" — same rule over fixed-width token
+    chunks, the whitespace-only-fixture analog of line/sentence spans.
+    Within-document repeats are NOT removed: the rule is cross-document.)
+
+    Returns one row per input document:
+    ``(id, n_chunks, n_removed, clean_text)`` where ``clean_text`` is the
+    surviving chunks re-joined in position order ('' when everything was
+    removed).
+
+    Physical shape: chunk rows (one token-stream shuffle, §``chunk_rows``)
+    → per-chunk owner table (groupBy chunk: distinct-doc count + min id)
+    filtered to the cross-document repeats — at 100 TB that relation is
+    duplicate-spans-sized, orders of magnitude smaller than the corpus,
+    so the back-join is AQE-broadcastable; otherwise it's a hash join
+    keyed by the chunk. The final reassembly groupBy is the only
+    collect_list in the pipeline and holds one document per group, not a
+    corpus partition. At extreme scale swap the join key for
+    ``xxhash64(chunk)`` (8-byte shuffle instead of the span text; same
+    plan, engine-local hash) — kept portable here so the full pipeline
+    is DuckDB-oracle-verifiable (plans/corpus_ops.py q117)."""
+    chunks = chunk_rows(df, text_col, id_col, m)
+    dup = (
+        chunks.groupBy("chunk")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("_nd"),
+            F.min(id_col).alias("_keeper"),
+        )
+        .filter(F.col("_nd") > 1)
+        .select("chunk", "_keeper")
+    )
+    removed = F.col("_keeper").isNotNull() & (F.col(id_col) != F.col("_keeper"))
+    return (
+        chunks.join(dup, on="chunk", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(removed.cast("bigint")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~removed, F.struct("chunk_idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

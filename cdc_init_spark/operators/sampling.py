@@ -117,3 +117,62 @@ def stratified_sample(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def dataset_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Apply a sampling manifest: keep a deterministic per-group hash
+    fraction of rows — the "mix to target weights" step of corpus
+    assembly (downsample over-represented sources, keep the rest whole).
+    Groups absent from ``fractions`` are dropped (an explicit manifest is
+    the whole point — silence is exclusion).
+
+    Same md5-bucket membership rule as ``uniform_hash_sample``, so the
+    decision for a key is stable across runs, partitionings, engines and
+    *other groups' settings*. Narrow map — no shuffle; the group
+    dispatch compiles to one OR-chain predicate pushed into the scan."""
+    bad = {g: f for g, f in fractions.items() if not 0.0 <= f <= 1.0}
+    if bad:
+        raise ValueError(f"fractions must be in [0,1], got {bad}")
+    b = hash_bucket(F.col(key_col), buckets, salt)
+    expr = F.lit(False)
+    for g, frac in sorted(fractions.items()):
+        cut = int(round(frac * buckets))
+        expr = expr | ((F.col(group_col) == g) & (b < cut))
+    return df.filter(expr)
+
+
+def mix_manifest(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+) -> dict[str, float]:
+    """Compute the keep-fraction manifest that realizes target mix
+    ``weights`` (relative proportions) given what each group actually
+    has. The binding group is the one with the least data per unit
+    weight; it is kept whole and every other group downsamples to match:
+    ``frac_g = λ·w_g / c_g`` with ``λ = min_g c_g / w_g``.
+
+    The group-count aggregate is sources-sized (a partial-aggregated
+    groupBy, ~bytes per executor); collecting it to the driver is O(#groups),
+    never O(rows). Feed the result to ``dataset_mix``. Groups present in
+    the data but absent from ``weights`` get fraction 0.0 (excluded);
+    weights for groups with no data raise (the mix is unrealizable)."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    missing = [g for g in weights if g not in counts]
+    if missing:
+        raise ValueError(f"weights refer to empty groups: {missing}")
+    lam = min(counts[g] / w for g, w in weights.items() if w > 0)
+    manifest = {g: 0.0 for g in counts}
+    for g, w in weights.items():
+        manifest[g] = min(1.0, lam * w / counts[g])
+    return manifest

@@ -258,3 +258,110 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
         corpus.shuffle_key(F.col("doc_id"), "epoch1").alias("shuffle_key"),
         "doc_id",
     )
+
+
+_CHUNK = ", ".join(f"t[i+{j}]" for j in range(8))
+
+
+@query(
+    "q117_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1, 8)) AS i FROM toks
+    ), chunks AS (
+      SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS chunk_idx,
+             concat_ws(' ', {_CHUNK}) AS chunk
+      FROM pos
+    ), dup AS (
+      SELECT chunk, MIN(doc_id) AS keeper
+      FROM chunks GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 1
+    ), j AS (
+      SELECT c.doc_id, c.chunk_idx, c.chunk, d.keeper
+      FROM chunks c LEFT JOIN dup d USING (chunk)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN keeper IS NOT NULL AND doc_id != keeper
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN keeper IS NULL OR doc_id = keeper
+                                    THEN chunk END, ' ' ORDER BY chunk_idx),
+                    '') AS clean_text
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT span dedup: C4-style cross-document repeated-chunk removal
+    with keep-one semantics — any 8-token chunk seen in >1 document
+    survives only in the min-id document; output is each document's
+    surviving text plus removal counts (operators.dedup.chunk_dedup).
+    One token-stream shuffle for chunking; the dup-owner relation is
+    repeated-spans-sized, so the back-join AQE-broadcasts at scale."""
+    from cdc_init_spark.operators import dedup
+
+    d = load_table(spark, sf, "documents")
+    return dedup.chunk_dedup(d, m=8).orderBy("doc_id")
+
+
+# Static sampling manifest for the mix entry: frac(src_i) = (i%4 + 1)/4.
+_MIX_FRACS = {f"src{i}": (i % 4 + 1) / 4 for i in range(20)}
+_MIX_BUCKETS = 10_000
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{g}' THEN {int(round(f * _MIX_BUCKETS))}"
+    for g, f in sorted(_MIX_FRACS.items())
+) + " ELSE 0 END"
+
+
+@query(
+    "q118_dataset_mix",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST(({_hex32("substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8)")})
+                  % {_MIX_BUCKETS} AS INTEGER) AS bkt
+      FROM documents
+    )
+    SELECT doc_id, source FROM b
+    WHERE bkt < {_MIX_CASE}
+    ORDER BY doc_id
+    """,
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT dataset mixing: apply a per-source sampling manifest — keep a
+    deterministic md5-hash fraction of each source (0.25/0.5/0.75/1.0 by
+    source index here), the downsample-to-target-weights step of corpus
+    assembly (operators.sampling.dataset_mix). Narrow map, no shuffle;
+    membership is stable across runs, partitionings and engines. The
+    manifest-computation companion (mix_manifest: λ = min_g c_g/w_g over
+    a sources-sized aggregate) is law-tested in pytest."""
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    return sampling.dataset_mix(
+        d, "source", "doc_id", _MIX_FRACS, salt="mix1"
+    ).orderBy("doc_id")
+
+
+@query(
+    "q119_interleave_sources",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || 'epoch1'), doc_id
+           ) AS BIGINT) AS round,
+           source, doc_id
+    FROM documents ORDER BY round, source, doc_id
+    """,
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT training order: balanced round-robin interleave across sources
+    — salted-md5 rank within each source, global order (round, source,
+    id), so a front-to-back reader sees every source at its steady rate
+    (operators.corpus.interleave_sources). One hash-shuffle window + a
+    range-partitioned sort; no single-partition stage."""
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    out = corpus.interleave_sources(d, "source", "doc_id", salt="epoch1")
+    return out.select(
+        F.col("round").cast("bigint").alias("round"), "source", "doc_id"
+    ).orderBy("round", "source", "doc_id")

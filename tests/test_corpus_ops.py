@@ -115,3 +115,113 @@ def test_shuffle_rows_deterministic(spark, docs):
     # a different salt produces a different (here: checked non-equal) order
     c = [r["doc_id"] for r in corpus.shuffle_rows(docs, "doc_id", "e2").collect()]
     assert set(c) == set(a)
+
+
+def test_chunk_dedup_crafted(spark):
+    # m=3 chunks; docs 1 and 2 share the chunk "a b c"; doc 1 has min id
+    # so it keeps the chunk, doc 2 loses it. doc 3 untouched.
+    rows = [
+        (1, "a b c x y z"),
+        (2, "a b c q r s"),
+        (3, "unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from cdc_init_spark.operators.dedup import chunk_dedup
+
+    out = {r["doc_id"]: r for r in chunk_dedup(df, m=3).collect()}
+    assert out[1]["clean_text"] == "a b c x y z"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "q r s"
+    assert out[2]["n_removed"] == 1
+    assert out[2]["n_chunks"] == 2
+    # trailing short chunk preserved ("here" alone past the m boundary)
+    assert out[3]["clean_text"] == "unique words only here"
+    # idempotence on already-clean text: re-running removes nothing
+    clean = spark.createDataFrame(
+        [(k, v["clean_text"]) for k, v in out.items() if v["clean_text"]],
+        ["doc_id", "text"],
+    )
+    again = chunk_dedup(clean, m=3).collect()
+    assert all(r["n_removed"] == 0 for r in again)
+
+
+def test_chunk_dedup_all_removed(spark):
+    # doc 2 is an exact duplicate of doc 1: every chunk vanishes.
+    rows = [(1, "p q r s t u"), (2, "p q r s t u")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from cdc_init_spark.operators.dedup import chunk_dedup
+
+    out = {r["doc_id"]: r for r in chunk_dedup(df, m=3).collect()}
+    assert out[1]["clean_text"] == "p q r s t u"
+    assert out[2]["clean_text"] == ""
+    assert out[2]["n_removed"] == out[2]["n_chunks"] == 2
+
+
+def test_dataset_mix_laws(spark):
+    from cdc_init_spark.operators.sampling import dataset_mix, mix_manifest
+
+    rows = [(i, f"g{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    fracs = {"g0": 1.0, "g1": 0.5, "g2": 0.0}
+    out = dataset_mix(df, "source", "doc_id", fracs, salt="s1")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts.get("g0") == 1000          # kept whole
+    assert counts.get("g2", 0) == 0          # excluded
+    assert 400 <= counts.get("g1", 0) <= 600  # ~half, hash-binomial
+    # determinism + subset: same call -> same rows; output ⊆ input
+    ids_a = {r["doc_id"] for r in out.collect()}
+    ids_b = {r["doc_id"] for r in dataset_mix(
+        df.repartition(7), "source", "doc_id", fracs, salt="s1").collect()}
+    assert ids_a == ids_b
+    # per-key stability: g1 members don't depend on other groups' fracs
+    solo = dataset_mix(df, "source", "doc_id", {"g1": 0.5}, salt="s1")
+    assert {r["doc_id"] for r in solo.collect()} == {
+        i for i in ids_a if i % 3 == 1
+    }
+    with pytest.raises(ValueError):
+        dataset_mix(df, "source", "doc_id", {"g0": 1.5})
+
+
+def test_mix_manifest_realizes_weights(spark):
+    from cdc_init_spark.operators.sampling import dataset_mix, mix_manifest
+
+    # g0 has 2000 docs, g1 500, g2 1500; target weights 1:1:1 -> g1 binds.
+    rows = (
+        [(i, "g0") for i in range(2000)]
+        + [(10_000 + i, "g1") for i in range(500)]
+        + [(20_000 + i, "g2") for i in range(1500)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    manifest = mix_manifest(df, "source", {"g0": 1.0, "g1": 1.0, "g2": 1.0})
+    assert manifest["g1"] == 1.0              # binding group kept whole
+    assert manifest["g0"] == pytest.approx(0.25)
+    assert manifest["g2"] == pytest.approx(1 / 3)
+    out = dataset_mix(df, "source", "doc_id", manifest, salt="m")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # realized mix approximates 1:1:1 (hash-binomial tolerance)
+    assert counts["g1"] == 500
+    assert abs(counts["g0"] - 500) < 100
+    assert abs(counts["g2"] - 500) < 100
+    with pytest.raises(ValueError):
+        mix_manifest(df, "source", {"missing": 1.0})
+
+
+def test_interleave_sources_round_robin(spark):
+    rows = [(i, f"g{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = corpus.interleave_sources(df, "source", "doc_id", salt="e1").collect()
+    # global order is (round, source, key): first 4 rows = round 1, one
+    # per source; every consecutive window of 4 covers all sources.
+    for i in range(0, 40, 4):
+        window = out[i : i + 4]
+        assert {r["round"] for r in window} == {i // 4 + 1}
+        assert {r["source"] for r in window} == {"g0", "g1", "g2", "g3"}
+    # deterministic; re-salting re-deals within-source order
+    again = corpus.interleave_sources(df, "source", "doc_id", salt="e1").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
