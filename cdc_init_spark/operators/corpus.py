@@ -76,39 +76,68 @@ def repetition_signals(
     input document (documents shorter than the gram width count their
     whole text as one gram, per ``dedup.ngram_rows`` semantics).
 
-    Physical shape: positional gram rows (explode + lead window, hash
-    partitioned by id) → count per (id, gram) → per-doc rollup — the
-    last two reuse the window's partitioning, so one shuffle per gram
-    width. Pure built-ins, whole-stage codegen around the windows."""
+    Physical shape: ONE token explode + ONE lead window (hash partitioned
+    by id) computes every gram width from the same sorted run — each
+    position emits its valid (width, gram) pairs, and both the per-gram
+    count and the per-doc conditional rollup reuse the window's id
+    partitioning (grouping on a superset of the partition key), so the
+    exploded token stream crosses the network exactly once for all
+    widths. Pure built-ins, whole-stage codegen around the window."""
+    widths = sorted({2, n})
+    m = max(widths)
+    base = df.select(
+        F.col(id_col), dedup.tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        F.size("_toks").alias("_sz"),
+        F.posexplode("_toks").alias("_pos", "_tok"),
+    )
+    w_win = Window.partitionBy(id_col).orderBy("_pos")
+    led = base.select(
+        id_col,
+        "_sz",
+        "_pos",
+        "_tok",
+        *[
+            F.lead("_tok", j).over(w_win).alias(f"_ld{j}")
+            for j in range(1, m)
+        ],
+    )
 
-    def _per_doc(width: int, prefix: str) -> DataFrame:
-        grams = dedup.ngram_rows(df, text_col, id_col, n=width, distinct=False)
-        return (
-            grams.groupBy(id_col, "_g")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .groupBy(id_col)
-            .agg(
-                F.sum("_c").alias(f"{prefix}_total"),
-                F.count(F.lit(1)).alias(f"{prefix}_distinct"),
-                F.max("_c").alias(f"{prefix}_top"),
-            )
+    def _entry(width: int) -> Column:
+        gram = F.concat_ws(
+            " ", F.col("_tok"), *[F.col(f"_ld{j}") for j in range(1, width)]
+        )
+        valid = F.col("_pos") <= F.greatest(F.col("_sz") - width, F.lit(0))
+        return F.when(
+            valid, F.struct(F.lit(width).alias("_w"), gram.alias("_g"))
         )
 
-    tri = _per_doc(n, "_t")
-    bi = _per_doc(2, "_b")
-    return (
-        tri.join(bi, id_col)
-        .select(
-            id_col,
-            F.col("_t_total").alias("n_ngrams"),
-            (
-                (F.col("_t_total") - F.col("_t_distinct"))
-                / F.col("_t_total").cast("double")
-            ).alias("dup_ngram_frac"),
-            (F.col("_b_top") / F.col("_b_total").cast("double")).alias(
-                "top_bigram_frac"
-            ),
-        )
+    arr = F.array(*[_entry(w) for w in widths])
+    grams = led.select(
+        id_col,
+        F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("_s"),
+    ).select(id_col, F.col("_s._w").alias("_w"), F.col("_s._g").alias("_g"))
+    counts = grams.groupBy(id_col, "_w", "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    is_n = F.col("_w") == n
+    is_2 = F.col("_w") == (2 if n != 2 else n)
+    return counts.groupBy(id_col).agg(
+        F.sum(F.when(is_n, F.col("_c"))).alias("_t_total"),
+        F.count(F.when(is_n, F.lit(1))).alias("_t_distinct"),
+        F.sum(F.when(is_2, F.col("_c"))).alias("_b_total"),
+        F.max(F.when(is_2, F.col("_c"))).alias("_b_top"),
+    ).select(
+        id_col,
+        F.col("_t_total").alias("n_ngrams"),
+        (
+            (F.col("_t_total") - F.col("_t_distinct"))
+            / F.col("_t_total").cast("double")
+        ).alias("dup_ngram_frac"),
+        (F.col("_b_top") / F.col("_b_total").cast("double")).alias(
+            "top_bigram_frac"
+        ),
     )
 
 
