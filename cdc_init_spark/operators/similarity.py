@@ -319,3 +319,47 @@ def cosine_self_join(
         bucket_pairs, out_schema
     )
     return pairs.groupBy("a", "b").agg(F.max("score").alias("score"))
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-query brute-force top-k over int8-quantized codes — the
+    reduced-precision scale path of ``cosine_topk``. Each vector is
+    quantized symmetrically (functions.vectors.quantize_int8); the
+    per-vector scale cancels in the cosine ratio, so scoring needs no
+    dequantization, and the integer dot products make the score exactly
+    reproducible across engines/partitionings (no float-sum order).
+
+    At 100 TB the corpus is quantized ONCE at ingest (¼ the bytes of
+    FLOAT to scan/cache/shuffle) and every query runs over the codes;
+    here the quantize happens inline for self-containedness. Same
+    physical shape as ``cosine_topk``: broadcast query codes, narrow
+    scoring map, TakeOrderedAndProject."""
+    from cdc_init_spark.functions.vectors import (
+        cosine_similarity_int8,
+        quantize_int8,
+    )
+
+    codes = df.select(
+        F.col(id_col), quantize_int8(F.col(vec_col)).alias("_q")
+    )
+    qcodes = F.broadcast(
+        codes.filter(F.col(id_col) == query_vec_id).select(
+            F.col("_q").alias("_qq")
+        )
+    )
+    return (
+        codes.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(qcodes)
+        .select(
+            id_col,
+            cosine_similarity_int8(F.col("_q"), F.col("_qq")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )

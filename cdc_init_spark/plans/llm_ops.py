@@ -488,3 +488,46 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
     within tolerance of the exact count in pytest."""
     o = load_table(spark, sf, "orders")
     return o.agg(F.approx_count_distinct("o_custkey").alias("n"))
+
+
+@query(
+    "q120_quantized_cosine_topk",
+    oracle="""
+    WITH mx AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS e,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS m
+      FROM embeddings
+    ), codes AS (
+      SELECT vec_id,
+             list_transform(
+               e, x -> CAST(round(x * CASE WHEN m > 0 THEN 127.0 / m
+                                           ELSE 0.0 END) AS BIGINT)) AS q
+      FROM mx
+    ), qv AS (SELECT q AS qq FROM codes WHERE vec_id = 1),
+    scored AS (
+      SELECT c.vec_id,
+             list_dot_product(c.q, qv.qq) /
+               (sqrt(list_dot_product(c.q, c.q)) *
+                sqrt(list_dot_product(qv.qq, qv.qq))) AS raw
+      FROM codes c, qv WHERE c.vec_id <> 1
+    )
+    SELECT vec_id, ROUND(raw, 4) AS score
+    FROM scored ORDER BY raw DESC, vec_id LIMIT 5
+    """,
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    """L3 scale path: brute-force cosine top-k over int8-quantized codes
+    (operators.similarity.quantized_cosine_topk). The per-vector scale
+    cancels in the cosine ratio, and the int8 dot products are exact
+    integer sums — so unlike the float path, the score is identical
+    under ANY summation order; the oracle needs no sum-order discipline.
+    At scale the corpus is quantized once at ingest and scanned at ¼ the
+    FLOAT bytes; recall vs the exact float top-k is law-tested in
+    pytest."""
+    e = load_table(spark, sf, "embeddings")
+    out = similarity.quantized_cosine_topk(e, query_vec_id=1, k=5)
+    return out.select(
+        "vec_id", round_compat(F.col("score"), 4).alias("score")
+    )

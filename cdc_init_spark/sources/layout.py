@@ -51,3 +51,71 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Partition columns come back from directory names; filters on them
     prune at planning time (check PartitionFilters in the scan node)."""
     return spark.read.parquet(path)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) interleave key over ``cols`` as a Column.
+
+    Each column is rank-normalized to ``bits`` bits via percent_rank —
+    rank-based rather than min/max-linear so skewed distributions still
+    fill the key space evenly — then the bit planes are interleaved with
+    shifts/ORs (pure integer expressions, whole-stage codegen; no UDF).
+
+    percent_rank uses one global-sort window per column. At 100 TB
+    replace it with an approx_percentile histogram lookup (sample-based
+    rank) — the interleave math is unchanged; this exact form keeps the
+    operator deterministic for tests."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    mx = (1 << bits) - 1
+    ranked = df
+    rank_cols = []
+    for c in cols:
+        rc = f"_zr_{c}"
+        ranked = ranked.withColumn(
+            rc,
+            F.least(
+                F.lit(mx),
+                (
+                    F.percent_rank().over(Window.orderBy(F.col(c)))
+                    * F.lit(float(mx))
+                ).cast("bigint"),
+            ),
+        )
+        rank_cols.append(rc)
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits):
+        for i, rc in enumerate(rank_cols):
+            plane = F.shiftright(F.col(rc), bit).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(plane.cast("bigint"), bit * n + i)
+            )
+    return ranked, z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet clustered on the Z-order curve of ``zorder_by``: range-
+    partition + sort by the interleaved key, so each output file covers a
+    small hyper-rectangle of the key space and parquet min/max statistics
+    skip files/row-groups for range filters on ANY prefix-free subset of
+    the columns — the multi-dimensional analog of a single-column sort
+    (a plain sort skips only on the leading column). The key is dropped
+    before writing; it exists to drive the clustering."""
+    ranked, z = zorder_key(df, zorder_by, bits)
+    (
+        ranked.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *[f"_zr_{c}" for c in zorder_by])
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -61,3 +61,48 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_cust")
         spark.sql("DROP TABLE IF EXISTS b_ord")
+
+
+def test_zorder_clustering_shrinks_file_footprints(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cdc_init_spark.sources.layout import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zpath = str(tmp_path / "events_z")
+    spath = str(tmp_path / "events_sorted")
+    write_zordered(ev, zpath, ["user_id", "value"], n_files=8)
+    # strawman: single-column sort clusters user_id only
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def footprints(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return spans
+
+    # correctness: same rows back
+    assert spark.read.parquet(zpath).count() == ev.count()
+
+    full_user = ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    full_value = ev.agg(F.max("value") - F.min("value")).first()[0]
+    z_user = footprints(zpath, "user_id")
+    z_value = footprints(zpath, "value")
+    s_value = footprints(spath, "value")
+    # each z-file covers a fraction of BOTH dimensions' ranges...
+    assert sum(z_user) / len(z_user) < 0.8 * full_user
+    assert sum(z_value) / len(z_value) < 0.8 * full_value
+    # ...whereas the single-column sort leaves the second dimension
+    # unclustered (every file spans ~the full value range)
+    assert sum(z_value) / len(z_value) < 0.8 * (sum(s_value) / len(s_value))

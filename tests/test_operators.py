@@ -519,3 +519,50 @@ def test_winnow_fingerprint_guarantee(spark):
     assert by_doc[1] & by_doc[2]
     assert not (by_doc[1] & by_doc[3])
     assert 4 not in by_doc
+
+
+def test_quantized_cosine_topk_recall(spark, emb):
+    # int8 quantization perturbs scores by ~1e-3; top-5 should still
+    # overlap the exact float top-5 heavily on random embeddings.
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = mat[ids.tolist().index(1)]
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    sims[ids.tolist().index(1)] = -2.0  # exclude the query itself
+    exact = set(ids[np.lexsort((ids, -sims))[:5]])
+    got = similarity.quantized_cosine_topk(emb, query_vec_id=1, k=5).collect()
+    assert len(got) == 5
+    assert len({r["vec_id"] for r in got} & exact) >= 4
+    # quantized scores approximate float scores to ~1e-2
+    float_by_id = {int(i): float(s) for i, s in zip(ids, sims)}
+    for r in got:
+        assert abs(r["score"] - float_by_id[r["vec_id"]]) < 1e-2
+    # exactly reproducible under repartitioning (integer sums carry no
+    # float summation order)
+    again = similarity.quantized_cosine_topk(
+        emb.repartition(7), query_vec_id=1, k=5
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in again
+    ]
+
+
+def test_quantize_int8_roundtrip(spark):
+    from cdc_init_spark.functions import vectors
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    out = df.select(
+        "vec_id",
+        vectors.quantize_int8(F.col("embedding")).alias("q"),
+        vectors.quantize_scale(F.col("embedding")).alias("s"),
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    # max|x| = 2 -> scale 63.5: [64, -127, 32]
+    assert by_id[1]["q"] == [64, -127, 32]
+    assert by_id[1]["s"] == pytest.approx(63.5)
+    # zero vector: all-zero codes, scale 0 sentinel
+    assert by_id[2]["q"] == [0, 0, 0]
+    assert by_id[2]["s"] == 0.0
