@@ -53,18 +53,29 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    approx: bool = False,
+    relative_error: float = 0.001,
+):
     """Z-order (Morton) interleave key over ``cols`` as a Column.
 
-    Each column is rank-normalized to ``bits`` bits via percent_rank —
-    rank-based rather than min/max-linear so skewed distributions still
-    fill the key space evenly — then the bit planes are interleaved with
-    shifts/ORs (pure integer expressions, whole-stage codegen; no UDF).
+    Each column is rank-normalized to ``bits`` bits — rank-based rather
+    than min/max-linear so skewed distributions still fill the key space
+    evenly — then the bit planes are interleaved with shifts/ORs (pure
+    integer expressions, whole-stage codegen; no UDF).
 
-    percent_rank uses one global-sort window per column. At 100 TB
-    replace it with an approx_percentile histogram lookup (sample-based
-    rank) — the interleave math is unchanged; this exact form keeps the
-    operator deterministic for tests."""
+    Two rank forms:
+    - exact (default): percent_rank — one global-sort window per column.
+      Deterministic; right for tests and moderate inputs.
+    - ``approx=True``: the 100 TB path — per-column quantile boundaries
+      from a Greenwald-Khanna sketch (``approxQuantile``: one scan, no
+      global sort, driver gets 2^bits-1 floats), each value ranked by
+      its histogram cell. Use small ``bits`` here (8-10: 256-1024 cells
+      per dimension — ample when cells ≫ output files); the interleave
+      math is identical."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -73,16 +84,25 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     rank_cols = []
     for c in cols:
         rc = f"_zr_{c}"
-        ranked = ranked.withColumn(
-            rc,
-            F.least(
-                F.lit(mx),
-                (
-                    F.percent_rank().over(Window.orderBy(F.col(c)))
-                    * F.lit(float(mx))
-                ).cast("bigint"),
-            ),
-        )
+        if approx:
+            probs = [i / (mx + 1) for i in range(1, mx + 1)]
+            bounds = df.stat.approxQuantile(c, probs, relative_error)
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            cell = F.size(
+                F.filter(barr, lambda b: b <= F.col(c).cast("double"))
+            ).cast("bigint")
+            ranked = ranked.withColumn(rc, F.least(F.lit(mx), cell))
+        else:
+            ranked = ranked.withColumn(
+                rc,
+                F.least(
+                    F.lit(mx),
+                    (
+                        F.percent_rank().over(Window.orderBy(F.col(c)))
+                        * F.lit(float(mx))
+                    ).cast("bigint"),
+                ),
+            )
         rank_cols.append(rc)
     n = len(cols)
     z = F.lit(0).cast("bigint")
@@ -102,6 +122,7 @@ def write_zordered(
     n_files: int = 32,
     bits: int = 16,
     mode: str = "overwrite",
+    approx: bool = False,
 ) -> None:
     """Parquet clustered on the Z-order curve of ``zorder_by``: range-
     partition + sort by the interleaved key, so each output file covers a
@@ -110,7 +131,7 @@ def write_zordered(
     the columns — the multi-dimensional analog of a single-column sort
     (a plain sort skips only on the leading column). The key is dropped
     before writing; it exists to drive the clustering."""
-    ranked, z = zorder_key(df, zorder_by, bits)
+    ranked, z = zorder_key(df, zorder_by, bits, approx=approx)
     (
         ranked.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")

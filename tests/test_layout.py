@@ -106,3 +106,32 @@ def test_zorder_clustering_shrinks_file_footprints(spark, sf_dir, tmp_path):
     # ...whereas the single-column sort leaves the second dimension
     # unclustered (every file spans ~the full value range)
     assert sum(z_value) / len(z_value) < 0.8 * (sum(s_value) / len(s_value))
+
+
+def test_zorder_approx_matches_clustering_property(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cdc_init_spark.sources.layout import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "events_za")
+    # sketch-ranked path: no global-sort window, bits sized so cells ≫ files
+    write_zordered(ev, path, ["user_id", "value"], n_files=8, bits=8, approx=True)
+    assert spark.read.parquet(path).count() == ev.count()
+
+    def avg_span(col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    full_user = ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    full_value = ev.agg(F.max("value") - F.min("value")).first()[0]
+    assert avg_span("user_id") < 0.8 * full_user
+    assert avg_span("value") < 0.8 * full_value
