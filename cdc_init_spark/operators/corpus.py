@@ -113,11 +113,16 @@ def repetition_signals(
             valid, F.struct(F.lit(width).alias("_w"), gram.alias("_g"))
         )
 
+    # explode the raw array and drop the NULL (invalid-position) entries
+    # afterwards: a WHERE on the exploded column stays in whole-stage
+    # codegen, whereas a filter() higher-order lambda evaluates
+    # interpreted per element.
     arr = F.array(*[_entry(w) for w in widths])
-    grams = led.select(
-        id_col,
-        F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("_s"),
-    ).select(id_col, F.col("_s._w").alias("_w"), F.col("_s._g").alias("_g"))
+    grams = (
+        led.select(id_col, F.explode(arr).alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select(id_col, F.col("_s._w").alias("_w"), F.col("_s._g").alias("_g"))
+    )
     counts = grams.groupBy(id_col, "_w", "_g").agg(
         F.count(F.lit(1)).alias("_c")
     )
