@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_init_spark.functions.compat import round_compat
-from cdc_init_spark.operators import corpus, sampling
+from cdc_init_spark.operators import corpus, dedup, sampling
 from cdc_init_spark.plans import query
 from cdc_init_spark.tables import load_table
 
@@ -365,3 +365,59 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         F.col("round").cast("bigint").alias("round"), "source", "doc_id"
     ).orderBy("round", "source", "doc_id")
+
+
+_CMS_W = 1024
+_CMS_D = 4
+_CMS_BUCKET = _hex32("substring(md5(term || 'cms' || CAST(d AS VARCHAR)), 1, 8)")
+
+
+@query(
+    "q121_heavy_hitters_cms",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), exact AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n FROM occ GROUP BY term
+    ), topk AS (
+      SELECT term, exact_n FROM exact ORDER BY exact_n DESC, term LIMIT 10
+    ), depths AS (SELECT unnest(range(0, {_CMS_D})) AS d),
+    cells AS (
+      SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT term, d, CAST(({_CMS_BUCKET}) % {_CMS_W} AS INTEGER) AS bucket
+        FROM occ, depths
+      ) GROUP BY d, bucket
+    ), fan AS (
+      SELECT t.term, t.exact_n, depths.d,
+             CAST(({_CMS_BUCKET.replace("term ||", "t.term ||")}) % {_CMS_W}
+                  AS INTEGER) AS bucket
+      FROM topk t, depths
+    )
+    SELECT f.term, f.exact_n, MIN(c.c) AS est_n
+    FROM fan f JOIN cells c ON f.d = c.d AND f.bucket = c.bucket
+    GROUP BY f.term, f.exact_n ORDER BY term
+    """,
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT sketch statistics: count-min heavy-hitter estimates — the
+    exact top-10 vocabulary terms with their CMS point estimates
+    (operators.sketch.count_min_sketch/cms_estimate, depth 4 × width
+    1024, portable md5 hash family). The sketch relation is depth·width
+    cells however large the corpus (map-side partial aggregation does
+    the shrinking); estimates are a broadcast join against it. The
+    over-estimate guarantee (est ≥ exact, error ≤ e/width·N) is
+    law-tested in pytest; the oracle hash-matches both sides exactly."""
+    from cdc_init_spark.operators import sketch as sk
+
+    d = load_table(spark, sf, "documents")
+    occ = d.select(F.explode(dedup.tokens(F.col("text"))).alias("term"))
+    exact = occ.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    topk = exact.orderBy(F.col("exact_n").desc(), "term").limit(10)
+    cms = sk.count_min_sketch(occ, depth=4, width=1024)
+    est = sk.cms_estimate(topk.select("term"), cms, depth=4, width=1024)
+    return (
+        topk.join(est, on="term")
+        .select("term", "exact_n", F.col("est").alias("est_n"))
+        .orderBy("term")
+    )

@@ -225,3 +225,29 @@ def test_interleave_sources_round_robin(spark):
     # deterministic; re-salting re-deals within-source order
     again = corpus.interleave_sources(df, "source", "doc_id", salt="e1").collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_count_min_overestimates_and_bounds(spark):
+    from cdc_init_spark.operators import sketch as sk
+
+    # skewed term distribution: term t_i occurs i times, i in 1..60
+    rows = [(f"t{i:02d}",) for i in range(1, 61) for _ in range(i)]
+    occ = spark.createDataFrame(rows, ["term"])
+    n_total = occ.count()
+    width, depth = 256, 4
+    cms = sk.count_min_sketch(occ, depth=depth, width=width)
+    # sketch size is bounded by depth*width whatever the input
+    assert cms.count() <= depth * width
+    exact = {r["term"]: r["n"] for r in occ.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    est = {r["term"]: r["est"] for r in sk.cms_estimate(
+        occ.select("term").distinct(), cms, depth=depth, width=width).collect()}
+    import math
+    eps = math.e / width
+    for t, n in exact.items():
+        assert est[t] >= n                        # never under-estimates
+        assert est[t] - n <= max(2, eps * n_total * 4)  # loose CM bound
+    # unseen term estimates are collision noise, bounded the same way
+    ghost = spark.createDataFrame([("never-seen",)], ["term"])
+    g = sk.cms_estimate(ghost, cms, depth=depth, width=width).collect()[0]["est"]
+    assert 0 <= g <= eps * n_total * 4
