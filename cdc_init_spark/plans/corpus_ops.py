@@ -421,3 +421,75 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
         .select("term", "exact_n", F.col("est").alias("est_n"))
         .orderBy("term")
     )
+
+
+@query(
+    "q122_corpus_pipeline",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, source, lang,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY t
+    ), dd AS (
+      SELECT n.* FROM norm n JOIN keep k USING (doc_id)
+    ), q AS (
+      SELECT doc_id, source, lang,
+             len(string_split(t, ' ')) AS n_tokens,
+             CAST(len(t) - (len(string_split(t, ' ')) - 1) AS DOUBLE)
+               / len(string_split(t, ' ')) AS avg_len
+      FROM dd
+    ), g AS (
+      SELECT * FROM q WHERE n_tokens >= 20 AND avg_len <= 12.0
+    ), b AS (
+      SELECT *,
+             CAST(({_hex32("substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)")})
+                  % 100 AS INTEGER) AS bkt
+      FROM g
+    ), train AS (SELECT * FROM b WHERE bkt < 90),
+    r AS (
+      SELECT doc_id, source, lang, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id) AS rk
+      FROM train
+    )
+    SELECT doc_id, source, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM r WHERE rk <= 15 ORDER BY doc_id
+    """,
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT capstone: the end-to-end corpus-assembly pipeline as ONE
+    composed DAG — exact dedup (content-hash min-id survivor) → quality
+    gate (token count ≥ 20, mean token length ≤ 12; portable length
+    algebra) → deterministic 90/10 train split (md5 bucket) → per-source
+    cap (salted md5 rank ≤ 15). Four operator families
+    (operators.dedup/text/sampling) fused by Catalyst into one plan: the
+    dedup digest agg + semi-join are the only wide stages before the cap
+    window; the quality and split predicates are narrow maps that push
+    toward the scan. The oracle replays every stage term-for-term, so
+    the full pipeline composition — not just each stage — is
+    hash-match verified."""
+    from cdc_init_spark.operators import dedup as dd_ops
+
+    d = load_table(spark, sf, "documents")
+    dd = dd_ops.exact_dedup(d)
+    norm_len = F.length(dd_ops.normalize_text(F.col("text")))
+    n_tokens = F.size(dd_ops.tokens(F.col("text")))
+    q = dd.select(
+        "doc_id",
+        "source",
+        "lang",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        (
+            (norm_len - (n_tokens - F.lit(1))).cast("double") / n_tokens
+        ).alias("avg_len"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("avg_len") <= 12.0))
+    train = sampling.hash_split(
+        q, "doc_id", splits=(("train", 90), ("test", 10))
+    ).filter(F.col("split") == "train")
+    capped = sampling.stratified_sample(train, "source", "doc_id", 15, salt="cap")
+    return capped.select("doc_id", "source", "lang", "n_tokens").orderBy(
+        "doc_id"
+    )
