@@ -14,10 +14,21 @@ corpus size — and a point estimate for a term is the MIN of its
 ``depth`` bucket counts (always an over-estimate; error ≤ ε·N with
 ε = e/width at the usual depth = ln(1/δ)).
 
+``bloom_bits`` / ``bloom_might_contain`` / ``bloom_prune`` implement a
+Bloom filter the same way: membership state is ``m`` bits built from a
+key relation with ONE word-level aggregate (≤ m/64 rows ever reach the
+driver), and the membership test is a pure column expression — k bucket
+probes into a broadcast literal bitmask, fully inside whole-stage
+codegen. That is Spark's missing runtime-filter as an explicit
+operator: prune a 100 TB fact scan against a dim/eval key set that is
+too large to broadcast as raw strings but collapses to a fixed
+m/8-byte bitmask. Guarantee: no false negatives (a pruned row is
+NEVER in the key set), so ``bloom_prune`` → exact join ≡ exact join.
+
 The hash family is the portable md5-prefix bucket
 (operators.sampling.hash_bucket) salted per row, so sketch contents —
 not just estimates — are bit-identical in any engine, and the whole
-pipeline is DuckDB-oracle verifiable (plans/corpus_ops.py q121).
+pipeline is DuckDB-oracle verifiable (plans/corpus_ops.py q121, q123).
 
 Scale notes (100 TB): the token stream never shuffles at full width —
 the groupBy (d, bucket) partial-aggregates map-side down to depth·width
@@ -30,7 +41,9 @@ for ANY term after one pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cdc_init_spark.operators.sampling import hash_bucket
@@ -97,3 +110,97 @@ def cms_estimate(
         .groupBy(term_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
+
+
+# --- Bloom filter ---------------------------------------------------------
+
+def _bloom_positions(col: Column, m: int, k: int, salt: str) -> list[Column]:
+    """The k portable bucket probes of one key: hash_bucket with a
+    per-probe salt suffix (md5(key || salt || i) — same family as CMS)."""
+    return [hash_bucket(col, m, f"{salt}{i}") for i in range(k)]
+
+
+def _bit(pos: Column) -> Column:
+    """1 << (pos % 64) as a BIGINT (column-valued shift — the pyspark
+    ``shiftleft`` wrapper only takes a literal shift amount)."""
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
+    )
+
+
+def bloom_bits(
+    keys: DataFrame,
+    key_col: str,
+    m: int = 1 << 17,
+    k: int = 2,
+    salt: str = "blm",
+) -> list[int]:
+    """Build the filter: a list of m/64 signed-64-bit words (the sketch
+    itself — driver-sized BY CONSTRUCTION, like any sketch).
+
+    The key relation never collects: positions fold word-level on the
+    executors (groupBy pos>>6, bit_or of the position bit), so at most
+    m/64 rows cross to the driver no matter how many keys went in.
+
+    Sizing: for n expected keys, m ≈ 1.44·k·n/ln2 bits gives FPR ≈
+    2^-k; the defaults (m=128Ki bits = 16 KiB, k=2) hold FPR < 5% up to
+    ~30k keys and broadcast at fixed cost forever."""
+    if m % 64:
+        raise ValueError("m must be a multiple of 64")
+    pos = keys.select(
+        F.explode(F.array(*_bloom_positions(F.col(key_col), m, k, salt))).alias(
+            "_p"
+        )
+    )
+    words = (
+        pos.groupBy((F.col("_p") / 64).cast("int").alias("_w"))
+        .agg(F.bit_or(_bit(F.col("_p"))).alias("_bits"))
+        .collect()
+    )
+    out = [0] * (m // 64)
+    for r in words:
+        out[r["_w"]] = r["_bits"]
+    return out
+
+
+def bloom_might_contain(
+    col: Column,
+    bits: list[int],
+    m: int | None = None,
+    k: int = 2,
+    salt: str = "blm",
+) -> Column:
+    """Pure-expression membership test: true iff all k probe bits are
+    set. Narrow map over a broadcast literal array — no join, no
+    shuffle, whole-stage codegen; false ⇒ the key is DEFINITELY not in
+    the set that built ``bits``."""
+    m = m if m is not None else len(bits) * 64
+    lit_bits = F.lit(bits)
+    checks = [
+        (
+            F.element_at(lit_bits, (p / 64).cast("int") + 1).bitwiseAND(_bit(p))
+            != 0
+        )
+        for p in _bloom_positions(col, m, k, salt)
+    ]
+    return reduce(lambda a, b: a & b, checks)
+
+
+def bloom_prune(
+    fact: DataFrame,
+    fact_col: str,
+    keys: DataFrame,
+    key_col: str,
+    m: int = 1 << 17,
+    k: int = 2,
+    salt: str = "blm",
+) -> DataFrame:
+    """Runtime-filter-style semi-join prune: the fact rows whose key
+    MIGHT be in ``keys`` — a superset of the exact semi join, reached
+    without shuffling the fact and without broadcasting raw keys. At
+    100 TB this turns `fact ⨝ dim` into `prune(fact) ⨝ dim` where the
+    exact join's shuffle carries only surviving (≈ matching + FPR·|fact|)
+    rows; correctness is unchanged because pruning has no false
+    negatives."""
+    bits = bloom_bits(keys, key_col, m, k, salt)
+    return fact.filter(bloom_might_contain(F.col(fact_col), bits, m, k, salt))

@@ -493,3 +493,101 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
     return capped.select("doc_id", "source", "lang", "n_tokens").orderBy(
         "doc_id"
     )
+
+
+_BLOOM_M = 1 << 17
+
+
+def _bloom_pos(gram_expr: str, probe: int) -> str:
+    h = _hex32(f"substring(md5({gram_expr} || 'blm{probe}'), 1, 8)")
+    return f"CAST(({h}) % {_BLOOM_M} AS BIGINT)"
+
+
+@query(
+    "q123_bloom_decontaminate",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(({_hex32("substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)")})
+                  % 100 AS INTEGER) AS bkt
+      FROM documents
+    ), train AS (SELECT doc_id, text FROM b WHERE bkt < 90),
+    eval AS (SELECT doc_id, text FROM b WHERE bkt >= 90),
+    ttok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM train
+    ), tpos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1) + 1)) AS i
+      FROM ttok
+    ), tg AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6]) AS g
+      FROM tpos
+    ), etok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM eval
+    ), epos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1) + 1)) AS i
+      FROM etok
+    ), eg AS (
+      SELECT DISTINCT
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6]) AS g
+      FROM epos
+    ), bloom AS (
+      SELECT DISTINCT {_bloom_pos("g", 0)} AS p FROM eg
+      UNION
+      SELECT DISTINCT {_bloom_pos("g", 1)} AS p FROM eg
+    ), cand AS (
+      SELECT tg.doc_id, tg.g FROM tg
+      WHERE {_bloom_pos("tg.g", 0)} IN (SELECT p FROM bloom)
+        AND {_bloom_pos("tg.g", 1)} IN (SELECT p FROM bloom)
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_grams,
+           CAST(COUNT(e.g) AS BIGINT) AS n_true_grams
+    FROM cand c LEFT JOIN eg e ON c.g = e.g
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT sketch scale path: Bloom-filter decontamination
+    (operators.sketch.bloom_bits/bloom_might_contain). The eval gram set
+    folds to a fixed 16 KiB bitmask (ONE word-level aggregate; ≤ m/64
+    rows reach the driver however large the eval set), and the train-side
+    candidate pass is a pure codegen'd filter over the gram stream — no
+    join, no shuffle, no broadcast of raw gram strings. The exact verify
+    join then runs only over surviving candidates. Output per train doc:
+    candidate grams vs verified grams — the gap IS the false-positive
+    rate, so the oracle (which replays the md5 probe positions, the bit
+    set, AND the verify join in SQL) hash-verifies the bloom machinery
+    itself, not just the final clean set. At 100 TB this is how a dim/
+    eval set too big to broadcast raw still prunes a fact scan
+    (runtime-filter pattern; no false negatives by construction)."""
+    from cdc_init_spark.operators import sketch
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    split = sampling.hash_split(
+        d, "doc_id", splits=(("train", 90), ("test", 10))
+    )
+    train = split.filter(F.col("split") == "train").drop("split")
+    evalset = split.filter(F.col("split") == "test").drop("split")
+    # persist: eg feeds the eager bitmask fold AND the verify join —
+    # without it the eval gram window runs twice
+    eg = dedup.ngram_rows(evalset, n=7).select("_g").distinct().persist()
+    bits = sketch.bloom_bits(eg, "_g", m=_BLOOM_M, k=2, salt="blm")
+    tg = dedup.ngram_rows(train, n=7)
+    cand = tg.filter(
+        sketch.bloom_might_contain(F.col("_g"), bits, _BLOOM_M, 2, "blm")
+    )
+    hit = eg.withColumn("_hit", F.lit(1))
+    return (
+        cand.join(F.broadcast(hit), "_g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_grams"),
+            F.count("_hit").alias("n_true_grams"),
+        )
+        .orderBy("doc_id")
+    )

@@ -251,3 +251,65 @@ def test_count_min_overestimates_and_bounds(spark):
     ghost = spark.createDataFrame([("never-seen",)], ["term"])
     g = sk.cms_estimate(ghost, cms, depth=depth, width=width).collect()[0]["est"]
     assert 0 <= g <= eps * n_total * 4
+
+
+def test_bloom_no_false_negatives_and_golden_bits(spark):
+    import hashlib
+
+    from cdc_init_spark.operators import sketch as sk
+
+    m, k, salt = 1 << 12, 3, "tb"
+    keys = spark.range(0, 400).select(
+        F.concat(F.lit("key"), F.col("id")).alias("key")
+    )
+    bits = sk.bloom_bits(keys, "key", m=m, k=k, salt=salt)
+    assert len(bits) == m // 64
+
+    # golden portable check: the bitmask is exactly what pure-Python md5
+    # produces — the property the DuckDB oracle (q123) relies on
+    py = [0] * (m // 64)
+    for i in range(400):
+        for j in range(k):
+            p = int(
+                hashlib.md5(f"key{i}{salt}{j}".encode()).hexdigest()[:8], 16
+            ) % m
+            py[p >> 6] |= 1 << (p & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in py]
+    assert bits == signed
+
+    # membership: every inserted key hits (NO false negatives, ever)
+    hits = keys.filter(
+        sk.bloom_might_contain(F.col("key"), bits, m, k, salt)
+    ).count()
+    assert hits == 400
+
+
+def test_bloom_prune_superset_and_join_equivalence(spark):
+    from cdc_init_spark.operators import sketch as sk
+
+    dim = spark.range(0, 300).select(
+        F.concat(F.lit("d"), (F.col("id") * 7).cast("string")).alias("k")
+    )
+    fact = spark.range(0, 5000).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    pruned = sk.bloom_prune(fact, "k", dim, "k", m=1 << 12, k=3, salt="tp")
+    exact_semi = fact.join(dim, "k", "left_semi")
+    # superset: pruning never drops a matching row
+    assert exact_semi.exceptAll(pruned).count() == 0
+    # prune → exact join ≡ exact join (the runtime-filter contract)
+    a = pruned.join(dim, "k").orderBy("k", "v").collect()
+    b = fact.join(dim, "k").orderBy("k", "v").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # it actually prunes: non-matching keys mostly gone (FPR ≪ 1)
+    assert pruned.count() < 5000 * 0.25
+
+
+def test_bloom_partition_invariance(spark):
+    from cdc_init_spark.operators import sketch as sk
+
+    keys = spark.range(0, 200).select(F.col("id").cast("string").alias("k"))
+    b1 = sk.bloom_bits(keys, "k", m=1 << 10, k=2, salt="pi")
+    b2 = sk.bloom_bits(keys.repartition(17), "k", m=1 << 10, k=2, salt="pi")
+    assert b1 == b2
