@@ -342,12 +342,45 @@ def interleave_sources(
     still guarantee inter-source locality for curriculum/mixing.)
 
     Deterministic for a given salt; re-salting re-deals both the
-    within-group order and therefore the whole schedule. One window
-    (hash shuffle on the group key) + the final range-partitioned sort —
-    no single-partition stage; group skew only widens a round, it never
-    concentrates a partition."""
+    within-group order and therefore the whole schedule.
+
+    Scale shape (two-level rank — a window partitioned on the bare group
+    key would funnel each source's whole row set through ONE task, since
+    group cardinality is ~5-50): the md5 order value is bucketed by its
+    first two hex chars, so each bucket is a *contiguous slice* of the
+    within-group sort order; ``row_number`` runs per (group, bucket) —
+    groups x 256 concurrent window tasks — and the global rank is
+    recovered by adding per-bucket row counts (a tiny groups x 256
+    aggregate, cumulative-summed and broadcast back). Identical output
+    to the single-window form for any salt; no per-source serial stage."""
     order = shuffle_key(F.col(key_col), salt)
-    w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
-    return df.withColumn(round_col, F.row_number().over(w)).orderBy(
-        round_col, group_col, key_col
+    # md5 is lowercase hex, so lexicographic order of the 2-char prefix
+    # agrees with lexicographic order of the full digest: each bucket is
+    # a contiguous range of the per-group order, and global rank =
+    # (rows in earlier buckets) + (rank within bucket).
+    keyed = df.withColumn("__iv_ord", order).withColumn(
+        "__iv_bkt", F.substring(F.col("__iv_ord"), 1, 2)
+    )
+    w_local = Window.partitionBy(group_col, "__iv_bkt").orderBy(
+        "__iv_ord", key_col
+    )
+    local = keyed.withColumn("__iv_r", F.row_number().over(w_local))
+    counts = keyed.groupBy(group_col, "__iv_bkt").agg(
+        F.count(F.lit(1)).alias("__iv_n")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__iv_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__iv_off", F.coalesce(F.sum("__iv_n").over(w_off), F.lit(0))
+    ).drop("__iv_n")
+    return (
+        local.join(F.broadcast(offsets), [group_col, "__iv_bkt"])
+        .withColumn(
+            round_col, (F.col("__iv_off") + F.col("__iv_r")).cast("int")
+        )
+        .select(*df.columns, round_col)
+        .orderBy(round_col, group_col, key_col)
     )

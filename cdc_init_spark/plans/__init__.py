@@ -37,15 +37,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Importing the corpus modules populates the registry.
-from cdc_init_spark.plans import corpus_ops as _corpus_ops  # noqa: E402,F401
+# Importing the corpus modules populates the registry. ORDER MATTERS:
+# the driver's correctness pass walks the registry in insertion order under
+# a budget, so the cheap/core relational surface loads first (round-1
+# coverage stopped 4 entries into relational because the LLM surface was
+# imported first — VERDICT.md round 1, "Next round" item 1) and the
+# expensive LSH/dedup pipelines load last.
+from cdc_init_spark.plans import relational as _relational  # noqa: E402,F401
+from cdc_init_spark.plans import tpch as _tpch  # noqa: E402,F401
+from cdc_init_spark.plans import windows as _windows  # noqa: E402,F401
+from cdc_init_spark.plans import temporal as _temporal  # noqa: E402,F401
+from cdc_init_spark.plans import stats as _stats  # noqa: E402,F401
+from cdc_init_spark.plans import reshape as _reshape  # noqa: E402,F401
 from cdc_init_spark.plans import functions as _functions  # noqa: E402,F401
 from cdc_init_spark.plans import llm as _llm  # noqa: E402,F401
 from cdc_init_spark.plans import llm_ops as _llm_ops  # noqa: E402,F401
+from cdc_init_spark.plans import corpus_ops as _corpus_ops  # noqa: E402,F401
 from cdc_init_spark.plans import pipeline as _pipeline  # noqa: E402,F401
-from cdc_init_spark.plans import relational as _relational  # noqa: E402,F401
-from cdc_init_spark.plans import reshape as _reshape  # noqa: E402,F401
-from cdc_init_spark.plans import stats as _stats  # noqa: E402,F401
-from cdc_init_spark.plans import tpch as _tpch  # noqa: E402,F401
-from cdc_init_spark.plans import temporal as _temporal  # noqa: E402,F401
-from cdc_init_spark.plans import windows as _windows  # noqa: E402,F401

@@ -70,6 +70,30 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("q74_approx_percentiles")  # rows-only: t-digest sketch differs per engine
+def q74b(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB path for q74: ``approx_percentile`` — a partial-
+    aggregable quantile sketch (map-side combine, bounded memory per
+    group), vs the exact form's full per-group sort. No DuckDB oracle
+    by design (the sketch is engine-specific); the accuracy contract
+    (within 1% relative error of exact at the driver fixtures' scale)
+    is pinned in tests/test_stats_scale.py, mirroring q71's HLL
+    treatment (VERDICT r1, "Next round" item 5)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            round_compat(
+                F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)), 4
+            ).alias("p50"),
+            round_compat(
+                F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)), 4
+            ).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @query(
     "q79_cdc_apply",
     oracle="""

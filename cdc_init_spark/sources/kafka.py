@@ -100,7 +100,8 @@ class KafkaTopicStore(TopicStore):
 
     def send(self, topic: str, value: Any, key: Any | None = None) -> None:
         df = self.spark.createDataFrame(
-            [(None if key is None else str(key), str(value))], ["key", "value"]
+            [(None if key is None else str(key), str(value))],
+            "key string, value string",  # explicit: null keys are legal
         )
         self.send_frame(topic, df)
 

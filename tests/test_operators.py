@@ -566,3 +566,26 @@ def test_quantize_int8_roundtrip(spark):
     # zero vector: all-zero codes, scale 0 sentinel
     assert by_id[2]["q"] == [0, 0, 0]
     assert by_id[2]["s"] == 0.0
+
+
+def test_dedup_clusters_distributed_matches_unionfind_on_q103_fixture(
+    spark, sf_dir
+):
+    """VERDICT r1 'Next round' item 4: run the q103 edge fixture through
+    BOTH physical strategies — driver union-find (default threshold) and
+    forced distributed label propagation (driver_threshold=0) — and
+    assert the logical results are identical."""
+    from cdc_init_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_neighbors(d, max_gap=50, threshold=0.02)
+    via_driver = sorted(
+        (r["id"], r["cluster_id"])
+        for r in dedup.dedup_clusters(edges).collect()
+    )
+    via_distributed = sorted(
+        (r["id"], r["cluster_id"])
+        for r in dedup.dedup_clusters(edges, driver_threshold=0).collect()
+    )
+    assert via_driver == via_distributed
+    assert via_driver  # fixture produces a non-empty edge set
