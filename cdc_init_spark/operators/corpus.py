@@ -303,6 +303,54 @@ def pack_sequences(
     return src.groupBy("grp").applyInPandas(pack, schema=out_schema)
 
 
+# --- unigram LM quality scoring -------------------------------------------
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the CCNet-style
+    "perplexity" quality proxy with the LM trained on the corpus itself
+    (a document whose tokens are globally rare/implausible scores low;
+    boilerplate scores high). Returns (id, avg_logprob, n_tokens).
+
+    Pipeline: tokenize (``dedup.tokens`` semantics — lower, whitespace-
+    normalize, split) → vocabulary counts (map-side partial agg; vocab is
+    zipfian and ≪ corpus) → P(tok) = c/total via a 1-row broadcast of the
+    total → per-doc mean of ln P over a token→vocab join.
+
+    Scale notes: the vocabulary frame is vocabulary-sized, not
+    corpus-sized — with ``broadcast_vocab`` (default) it ships to every
+    executor and the scoring join is map-side, so the only wide shuffle
+    is the per-doc aggregate, keyed by id with partial aggregation. For
+    open-vocabulary corpora where the vocab outgrows broadcast, set
+    ``broadcast_vocab=False``: the join shuffles on the token key, and
+    Zipf-head skew is handled by AQE skew-join splitting."""
+    toks = df.select(
+        F.col(id_col), F.explode(dedup.tokens(F.col(text_col))).alias("__tok")
+    )
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__n"))
+    vocab_p = vocab.join(F.broadcast(total)).select(
+        "__tok",
+        F.log(F.col("__c").cast("double") / F.col("__n").cast("double")).alias(
+            "__lp"
+        ),
+    )
+    if broadcast_vocab:
+        vocab_p = F.broadcast(vocab_p)
+    return (
+        toks.join(vocab_p, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.avg("__lp").alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
 # --- deterministic epoch shuffle -----------------------------------------
 
 def shuffle_key(col: Column, salt: str = "") -> Column:

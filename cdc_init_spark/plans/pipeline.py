@@ -185,3 +185,45 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
     per-doc positional window), reused for the gram lead and the min."""
     d = load_table(spark, sf, "documents")
     return text.winnow_fingerprints(d).orderBy("doc_id", "fp")
+
+
+@query(
+    "q124_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab
+    )
+    SELECT t.doc_id,
+           ROUND(AVG(ln(CAST(v.c AS DOUBLE) / (SELECT n FROM tot))), 4)
+             AS avg_logprob,
+           COUNT(*) AS n_tokens
+    FROM toks t JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT quality scoring: per-document mean unigram log-probability
+    with the LM trained on the corpus itself (operators.corpus.
+    unigram_logprob) — the CCNet-style perplexity proxy used to rank or
+    gate pretraining documents. Vocabulary counts partial-aggregate
+    map-side, P(tok) comes from a 1-row total broadcast, the scoring
+    join broadcasts the vocabulary (≪ corpus by Zipf), and the per-doc
+    mean is the only wide shuffle. Every stage (tokenizer, counts, ln,
+    mean) is replicated term-for-term in the DuckDB oracle."""
+    from cdc_init_spark.functions.compat import round_compat
+    from cdc_init_spark.operators import corpus
+
+    d = load_table(spark, sf, "documents")
+    out = corpus.unigram_logprob(d)
+    return out.select(
+        "doc_id",
+        round_compat(F.col("avg_logprob"), 4).alias("avg_logprob"),
+        "n_tokens",
+    ).orderBy("doc_id")

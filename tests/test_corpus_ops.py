@@ -338,3 +338,18 @@ def test_interleave_sources_two_level_matches_single_window(spark):
 
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("source" in p and "__iv_bkt" in p for p in parts)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Crafted corpus: tokens a,a,a,b → P(a)=3/4, P(b)=1/4; doc 1 = "a a"
+    scores ln(3/4); doc 2 = "a b" scores (ln(3/4)+ln(1/4))/2. Both
+    physical forms (broadcast vocab / shuffled vocab join) agree."""
+    df = spark.createDataFrame([(1, "a a"), (2, "a b")], ["doc_id", "text"])
+    for bc in (True, False):
+        got = {
+            r["doc_id"]: (r["avg_logprob"], r["n_tokens"])
+            for r in corpus.unigram_logprob(df, broadcast_vocab=bc).collect()
+        }
+        assert got[1][1] == 2 and got[2][1] == 2
+        assert abs(got[1][0] - math.log(0.75)) < 1e-12
+        assert abs(got[2][0] - (math.log(0.75) + math.log(0.25)) / 2) < 1e-12

@@ -1,0 +1,54 @@
+"""Corpus-wide physical-plan audit: every registered query's plan is
+built (not executed) and screened for the anti-patterns that kill 100 TB
+runs — cartesian products / nested-loop joins where an equi-join was
+intended, and row-at-a-time Python evaluation (BatchEvalPython; all
+Python in this engine must be Arrow-batched: ArrowEvalPython /
+MapInPandas / FlatMapGroupsInPandas). Complements the targeted shape
+tests in test_plans.py by sweeping the WHOLE registry, so a new query
+can't silently regress into a driver-side or quadratic plan.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from cdc_init_spark.plans import QUERIES
+
+# Deliberate exceptions, each justified at the query's own docstring:
+#   q15_cross_join — the operator under test IS a cross join, on the
+#     5-row region dim (tiny-dims-only by contract).
+#   The rest are scalar-subquery joins: a SINGLE-ROW aggregate
+#     (global avg / total count / the one query vector) broadcast-crossed
+#     into the fact side — `BroadcastNestedLoopJoin Cross BuildRight` over
+#     a 1-row build is the correct constant-size plan at any scale, not a
+#     quadratic join (verified BuildRight side is the 1-row frame).
+ALLOWED_CARTESIAN = {
+    "q15_cross_join",
+    "q61_cosine_topk",  # one query vector × embeddings
+    "q93_dormant_customers",  # TPC-H Q22: global avg(acctbal) scalar
+    "q96_important_stock",  # TPC-H Q11: fraction-of-total scalar
+    "q114_tfidf_terms",  # corpus doc-count scalar for idf
+    "q120_quantized_cosine_topk",  # one query vector × embeddings
+    "q124_unigram_logprob",  # 1-row token-total broadcast for P(tok)
+}
+
+CARTESIAN_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
+ROW_PYTHON_MARKER = "BatchEvalPython"
+
+
+def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):
+    violations: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, sf_dir).explain("formatted")
+        plan = buf.getvalue()
+        bad = []
+        if name not in ALLOWED_CARTESIAN:
+            bad += [m for m in CARTESIAN_MARKERS if m in plan]
+        if ROW_PYTHON_MARKER in plan:
+            bad.append(ROW_PYTHON_MARKER)
+        if bad:
+            violations[name] = bad
+    assert not violations, f"plan anti-patterns: {violations}"
