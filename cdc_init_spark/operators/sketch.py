@@ -46,7 +46,29 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cdc_init_spark.operators.sampling import hash_bucket
+from cdc_init_spark.operators.sampling import hash_bucket  # noqa: F401 — public re-export
+
+
+def _km_positions(
+    col: Column, n_hashes: int, width: int, salt: str
+) -> list[Column]:
+    """Double-hashing probe family (Kirsch-Mitzenmacher, ESA'06): ONE
+    portable md5 per key yields two 32-bit halves h1 (hex 1-8) and h2
+    (hex 9-16); probe i is ``(h1 + i·(2·h2+1)) % width``. One digest
+    feeds all n_hashes rows/probes — at 100 TB the per-occurrence hash
+    is the dominant sketch-build cost, so this cuts it ×n_hashes with
+    the same error guarantees. ``2·h2+1`` forces an odd stride so probes
+    never collapse for power-of-two widths. Spark's subexpression
+    elimination computes the shared md5 once; DuckDB oracles (q121,
+    q123) re-derive identical positions from the same digest windows."""
+    keyed = (
+        F.concat(col.cast("string"), F.lit(salt)) if salt else col.cast("string")
+    )
+    digest = F.md5(keyed)
+    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("bigint")
+    stride = h2 * F.lit(2) + F.lit(1)
+    return [((h1 + F.lit(i) * stride) % width).cast("int") for i in range(n_hashes)]
 
 
 def count_min_sketch(
@@ -58,16 +80,13 @@ def count_min_sketch(
 ) -> DataFrame:
     """Build the sketch from a relation of term OCCURRENCES (one row per
     occurrence). Returns (d, bucket, c): depth·width cells at most."""
+    buckets = _km_positions(F.col(term_col), depth, width, salt)
     rows = terms.select(
-        F.col(term_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(d).alias("d"),
-                        hash_bucket(
-                            F.col(term_col), width, f"{salt}{d}"
-                        ).alias("bucket"),
+                        F.lit(d).alias("d"), buckets[d].alias("bucket")
                     )
                     for d in range(depth)
                 ]
@@ -89,16 +108,14 @@ def cms_estimate(
     terms): est = min over d of the term's bucket count. The query side
     fans out ×depth then broadcast-joins the cell relation — both sides
     are tiny next to the corpus."""
+    buckets = _km_positions(F.col(term_col), depth, width, salt)
     fan = query_terms.select(
         F.col(term_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(d).alias("d"),
-                        hash_bucket(
-                            F.col(term_col), width, f"{salt}{d}"
-                        ).alias("bucket"),
+                        F.lit(d).alias("d"), buckets[d].alias("bucket")
                     )
                     for d in range(depth)
                 ]
@@ -115,9 +132,9 @@ def cms_estimate(
 # --- Bloom filter ---------------------------------------------------------
 
 def _bloom_positions(col: Column, m: int, k: int, salt: str) -> list[Column]:
-    """The k portable bucket probes of one key: hash_bucket with a
-    per-probe salt suffix (md5(key || salt || i) — same family as CMS)."""
-    return [hash_bucket(col, m, f"{salt}{i}") for i in range(k)]
+    """The k probe positions of one key: the shared double-hashing
+    family (``_km_positions``) over m bit positions."""
+    return _km_positions(col, k, m, salt)
 
 
 def _bit(pos: Column) -> Column:

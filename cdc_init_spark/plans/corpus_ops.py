@@ -369,7 +369,11 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
 
 _CMS_W = 1024
 _CMS_D = 4
-_CMS_BUCKET = _hex32("substring(md5(term || 'cms' || CAST(d AS VARCHAR)), 1, 8)")
+# DuckDB replica of sketch._km_positions' double hashing: one md5 per
+# term, h1 = hex[1:8], h2 = hex[9:16], bucket_d = (h1 + d·(2·h2+1)) % W.
+_CMS_H1 = _hex32("substring(md5(term || 'cms'), 1, 8)")
+_CMS_H2 = _hex32("substring(md5(term || 'cms'), 9, 8)")
+_CMS_BUCKET = f"(({_CMS_H1}) + d * (2 * ({_CMS_H2}) + 1))"
 
 
 @query(
@@ -499,8 +503,13 @@ _BLOOM_M = 1 << 17
 
 
 def _bloom_pos(gram_expr: str, probe: int) -> str:
-    h = _hex32(f"substring(md5({gram_expr} || 'blm{probe}'), 1, 8)")
-    return f"CAST(({h}) % {_BLOOM_M} AS BIGINT)"
+    """DuckDB replica of sketch._bloom_positions' double hashing: one
+    md5, h1 = hex[1:8], h2 = hex[9:16], pos_i = (h1 + i·(2·h2+1)) % m."""
+    h1 = _hex32(f"substring(md5({gram_expr} || 'blm'), 1, 8)")
+    h2 = _hex32(f"substring(md5({gram_expr} || 'blm'), 9, 8)")
+    return (
+        f"CAST((({h1}) + {probe} * (2 * ({h2}) + 1)) % {_BLOOM_M} AS BIGINT)"
+    )
 
 
 @query(

@@ -266,13 +266,15 @@ def test_bloom_no_false_negatives_and_golden_bits(spark):
     assert len(bits) == m // 64
 
     # golden portable check: the bitmask is exactly what pure-Python md5
-    # produces — the property the DuckDB oracle (q123) relies on
+    # double hashing produces (one digest, h1=hex[:8], h2=hex[8:16],
+    # pos_j = (h1 + j*(2*h2+1)) % m) — the property the DuckDB oracle
+    # (q123) relies on
     py = [0] * (m // 64)
     for i in range(400):
+        hx = hashlib.md5(f"key{i}{salt}".encode()).hexdigest()
+        h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
         for j in range(k):
-            p = int(
-                hashlib.md5(f"key{i}{salt}{j}".encode()).hexdigest()[:8], 16
-            ) % m
+            p = (h1 + j * (2 * h2 + 1)) % m
             py[p >> 6] |= 1 << (p & 63)
     signed = [w - (1 << 64) if w >= (1 << 63) else w for w in py]
     assert bits == signed
