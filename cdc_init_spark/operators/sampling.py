@@ -176,3 +176,44 @@ def mix_manifest(
     for g, w in weights.items():
         manifest[g] = min(1.0, lam * w / counts[g])
     return manifest
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``n`` rows:
+    Efraimidis–Spirakis A-Res priorities (IPL 97(5), 2006) with the md5
+    hash standing in for the uniform draw.
+
+    Each row gets priority ``ln(u) / w`` where ``u ∈ (0,1]`` derives from
+    ``md5(key || salt)`` and ``w`` is its (positive) weight; the top-n
+    priorities are exactly an E-S weighted sample — inclusion probability
+    rises with weight, and the draw for a key never depends on
+    partitioning, run order, or other rows' weights. Rows with
+    non-positive or NULL weight are excluded (sampling weight 0).
+
+    Scale: narrow map to compute priorities + ``orderBy().limit(n)``
+    (TakeOrderedAndProject: per-partition top-n then a driver merge of
+    n·partitions rows) — no full sort, no global shuffle. Re-sampling
+    with a different ``salt`` re-keys every draw (epoch re-sampling)."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    keyed = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    # 32-bit md5 prefix → u in (0, 1]: (h + 1) / 2^32 never hits 0, so
+    # ln(u) is finite; ties impossible (distinct keys → distinct md5
+    # prefixes at these cardinalities, and key_col tie-breaks anyway).
+    u = (F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("double") + 1.0) / F.lit(
+        float(1 << 32)
+    )
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_es_priority", pri)
+        .orderBy(F.col("_es_priority").desc(), F.col(key_col))
+        .limit(n)
+        .drop("_es_priority")
+    )

@@ -363,3 +363,55 @@ def quantized_cosine_topk(
         .orderBy(F.col("score").desc(), id_col)
         .limit(k)
     )
+
+
+def semdedup_keep(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): within each pre-computed cluster, drop every vector
+    whose cosine similarity to a LOWER-id cluster member is ≥ threshold;
+    the survivors are the min-id "leaders" — no kept pair within a cluster
+    is above the threshold.
+
+    The cluster assignment is an input column (in production the output of
+    ``train_centroids``/``assign_lists`` k-means; the point of SemDeDup is
+    exactly that clustering first makes the pairwise stage tractable).
+    Pairwise work is bounded per cluster, never corpus-quadratic.
+
+    Scale shape (100 TB): one shuffle on ``cluster_col``; within-cluster
+    pairs via self-join with the ``b > a`` triangle predicate; per-vector
+    norms computed |rows| (not |pairs|) times before the join. Dominated
+    ids come back as a broadcast-size anti-join relation when the
+    duplicate rate is modest (AQE picks broadcast automatically); the
+    JVM-expression dot/norm path (functions.vectors) keeps scores
+    bit-reproducible across engines and partitionings."""
+    from cdc_init_spark.functions.vectors import dot, norm
+
+    a = df.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).alias("_a"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).alias("_b"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
+    dominated = (
+        a.join(b, on=["_c"])
+        .filter(F.col("_b") > F.col("_a"))
+        .filter(
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dominated, on=id_col, how="left_anti")

@@ -1,0 +1,173 @@
+"""Temporal analytics operators: SCD2 history build, time-series
+resample/gap-fill, ordered funnel analysis (EXT, B-IX adjacent).
+
+Origin: EXT — the reference's data plane emits a change LOG (one keyed DML
+message per row change, /root/reference/src/cdc_init/components/seed_store.clj:38-55)
+but never materializes history or time-bucketed views of it; these
+operators are the standard consumers of exactly that log shape:
+
+- ``scd2_history`` turns a change log into a Type-2 slowly-changing
+  dimension (validity-interval) table — the warehouse-side complement of
+  ``streaming/apply.apply_changes`` (which keeps only the latest state,
+  the compacted-topic semantics of topic_store.clj:15).
+- ``resample`` / gap-fill regularizes an event stream onto a fixed
+  time grid with forward-fill — the batch twin of the streaming window
+  aggregates (streaming/windows.py).
+- ``funnel`` computes ordered-stage conversion over an event stream.
+
+Scale notes (100 TB): every operator here shuffles at most once on the
+entity key and then works inside per-key windows (Spark's window exec
+sorts within partitions — no global sort). ``resample`` explodes the
+per-key time grid from per-key min/max aggregates, so grid size is
+O(keys × buckets), never a cross join against a global calendar.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+) -> DataFrame:
+    """Build a Type-2 slowly-changing-dimension history from a change log:
+    consecutive duplicate states per key are compressed away, and each
+    surviving state change opens a validity interval ``[valid_from,
+    valid_to)`` — ``valid_to`` is NULL for the current (open) state.
+
+    One shuffle on ``key_col``; both windows share the same partitioning
+    and sort, so Catalyst plans a single exchange + sort. Within-key
+    order is ``ts_col`` (caller guarantees uniqueness per key, as the
+    fixtures do — SURVEY §2.3 Q23 note)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    changed = (
+        df.select(key_col, ts_col, state_col)
+        .withColumn("_prev", F.lag(state_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col)))
+        .drop("_prev")
+    )
+    return (
+        changed.withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumnRenamed(ts_col, "valid_from")
+        .select(key_col, state_col, "valid_from", "valid_to")
+    )
+
+
+def resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "6 hours",
+    fill: str = "ffill",
+) -> DataFrame:
+    """Regularize an event stream onto a fixed epoch-aligned time grid
+    per key: every bucket between each key's first and last event exists
+    in the output (gap-fill), with ``n`` = event count (0 for gaps),
+    ``value_sum`` = per-bucket sum (NULL for gaps) and ``filled`` = the
+    forward-filled ``value_sum`` (last non-null earlier bucket).
+
+    Buckets come from ``F.window(ts, bucket).start`` — the exact
+    expression Structured Streaming's tumbling windows use, so batch
+    resample and streaming aggregation share one bucket semantic.
+
+    Scale: per-key grids are generated from a per-key min/max aggregate
+    (grid rows = O(keys × span/bucket)); one shuffle on the key for the
+    aggregate, the join back is key-equi (AQE broadcasts the aggregate
+    side when small), and the forward-fill window reuses the same key
+    partitioning."""
+    if fill != "ffill":
+        raise ValueError(f"unsupported fill mode {fill!r}")
+    b = F.window(ts_col, bucket)["start"]
+    per_bucket = (
+        df.select(F.col(key_col), b.alias("bucket"), F.col(value_col))
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("value_sum"),
+        )
+    )
+    interval = F.expr(f"INTERVAL {bucket}")
+    grid = (
+        df.select(F.col(key_col), b.alias("_b"))
+        .groupBy(key_col)
+        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        .select(
+            key_col,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), interval)).alias(
+                "bucket"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(per_bucket, on=[key_col, "bucket"], how="left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .withColumn("filled", F.last("value_sum", ignorenulls=True).over(w))
+    )
+
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel: for each key, the deepest prefix of ``stages``
+    completed in strict temporal order (stage i+1 must happen strictly
+    AFTER the earliest completion of stage i). Returns one row per key
+    with ``stage`` = number of stages reached (0..len(stages)) and the
+    per-stage completion timestamps ``t1..tn`` (NULL once the funnel
+    breaks).
+
+    The classic implementation is an iterated self-join (one per stage);
+    this one is a single aggregation: per key, collect the sorted event
+    times of each stage type once, then fold the "first element after
+    the previous stage's time" lookup with ``F.filter`` +
+    ``array_min`` on the (small, per-key) collected arrays. One shuffle
+    on the key, no joins, no window."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    ev = df.filter(F.col(type_col).isin(*stages)).select(
+        F.col(key_col), F.col(ts_col).alias("_ts"), F.col(type_col).alias("_ty")
+    )
+    agg = ev.groupBy(key_col).agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("_ty") == s, F.col("_ts")))
+            ).alias(f"_ts_{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    # t1 = earliest stage-0 event; t_{i+1} = earliest stage-i+1 event
+    # strictly after t_i. array_min(filter(...)) is NULL-propagating:
+    # once a stage is missing, all later stages are NULL.
+    def _after(prev: F.Column):
+        return lambda x: x > prev
+
+    out = agg.withColumn("t1", F.array_min(F.col("_ts_0")))
+    for i in range(1, len(stages)):
+        out = out.withColumn(
+            f"t{i + 1}",
+            F.array_min(F.filter(F.col(f"_ts_{i}"), _after(F.col(f"t{i}")))),
+        )
+    stage_expr = sum(
+        (F.col(f"t{i + 1}").isNotNull().cast("int") for i in range(len(stages))),
+        F.lit(0),
+    )
+    return out.select(
+        key_col,
+        stage_expr.alias("stage"),
+        *[F.col(f"t{i + 1}") for i in range(len(stages))],
+    )

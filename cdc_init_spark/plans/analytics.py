@@ -1,0 +1,225 @@
+"""Temporal/governance analytics corpus — SCD2 history, SemDeDup,
+time-series gap-fill, ordered funnel, weighted sampling (EXT).
+
+Origin: EXT. The reference emits a keyed change log (one DML message per
+row, /root/reference/src/cdc_init/components/seed_store.clj:38-55) and
+keeps only latest-state-per-key via topic compaction
+(/root/reference/src/cdc_init/components/topic_store.clj:15); q125 is the
+history-table consumer of that exact log shape, and the rest are the
+standard training-data / product-analytics operators over the same event
+stream. All five are oracle-paired — every stage (window compression,
+cosine domination, epoch-aligned buckets, funnel fold, E-S priorities)
+is replicated term-for-term in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_init_spark.functions.compat import round_compat
+from cdc_init_spark.plans import query
+from cdc_init_spark.tables import load_table
+
+_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"  # Spark side, == DuckDB '%Y-%m-%d %H:%M:%S.%f'
+
+
+def _hex32(col: str) -> str:
+    """DuckDB SQL: 8-char lowercase-hex column → 32-bit integer (portable
+    twin of Spark's conv(x, 16, 10); same helper as plans/pipeline.py)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring({col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@query(
+    "q125_scd2_history",
+    oracle="""
+    WITH changed AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+      ) WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+    FROM changed
+    ORDER BY user_id, valid_from
+    """,
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 dimension history from the change log
+    (operators.timeseries.scd2_history): consecutive duplicate states
+    compressed, each change opening [valid_from, valid_to) with NULL
+    valid_to on the open row — the warehouse-history complement of the
+    reference's compacted latest-state topic (topic_store.clj:15) and of
+    q79's apply_changes merge. One shuffle on user_id; lag-compress and
+    lead-close share a single exchange+sort."""
+    from cdc_init_spark.operators.timeseries import scd2_history
+
+    e = load_table(spark, sf, "events")
+    h = scd2_history(e, "user_id", "ts", "event_type")
+    return h.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("valid_from", _US).alias("valid_from"),
+        F.date_format("valid_to", _US).alias("valid_to"),
+    ).orderBy("user_id", "valid_from")
+
+
+@query(
+    "q126_semdedup_keep",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dom AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b ON a.label = b.label AND b.vec_id > a.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+    ORDER BY vec_id
+    """,
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (operators.similarity.semdedup_keep): within each cluster
+    (the embeddings fixture's k-means `label`), drop vectors with cosine
+    ≥ 0.3 to a lower-id member; survivors are the min-id leaders. The
+    dot/norm path is the same JVM fold as q106, so scores are
+    bit-reproducible against the DuckDB oracle."""
+    from cdc_init_spark.operators.similarity import semdedup_keep
+
+    e = load_table(spark, sf, "embeddings")
+    kept = semdedup_keep(e, "label", id_col="vec_id", vec_col="embedding")
+    return kept.select("vec_id", "label").orderBy("vec_id")
+
+
+@query(
+    "q127_gap_fill",
+    oracle="""
+    WITH pb AS (
+      SELECT user_id, time_bucket(INTERVAL 6 HOUR, ts) AS bucket,
+             COUNT(*) AS n, SUM(value) AS value_sum
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM pb GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket
+      FROM span
+    )
+    SELECT g.user_id,
+           strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           COALESCE(pb.n, 0) AS n,
+           ROUND(last_value(pb.value_sum IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+    FROM grid g LEFT JOIN pb
+      ON pb.user_id = g.user_id AND pb.bucket = g.bucket
+    ORDER BY g.user_id, bucket
+    """,
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resample + gap-fill (operators.timeseries.resample):
+    epoch-aligned 6-hour grid per user spanning first→last event, gaps
+    materialized with n=0 and forward-filled value sums. Buckets are
+    F.window().start — the exact tumbling-window expression Structured
+    Streaming uses (same alignment DuckDB's time_bucket re-derives)."""
+    from cdc_init_spark.operators.timeseries import resample
+
+    e = load_table(spark, sf, "events")
+    r = resample(e, "user_id", "ts", "value", bucket="6 hours")
+    return r.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n",
+        round_compat(F.col("filled"), 4).alias("filled"),
+    ).orderBy("user_id", "bucket")
+
+
+@query(
+    "q128_funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ), u AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+    )
+    SELECT u.user_id,
+           (CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS stage,
+           strftime(s1.t1, '%Y-%m-%d %H:%M:%S.%f') AS t1,
+           strftime(s2.t2, '%Y-%m-%d %H:%M:%S.%f') AS t2,
+           strftime(s3.t3, '%Y-%m-%d %H:%M:%S.%f') AS t3
+    FROM u
+    LEFT JOIN s1 ON s1.user_id = u.user_id
+    LEFT JOIN s2 ON s2.user_id = u.user_id
+    LEFT JOIN s3 ON s3.user_id = u.user_id
+    ORDER BY u.user_id
+    """,
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel signup→click→purchase (operators.timeseries.funnel):
+    stage i+1 counts only strictly after the EARLIEST completion of stage
+    i. The operator folds the whole funnel in ONE aggregation (sorted
+    per-stage time arrays + array_min(filter(...)) lookups) — no
+    per-stage self-joins; the oracle is the classic iterated-join form,
+    proving the fold equivalent."""
+    from cdc_init_spark.operators.timeseries import funnel
+
+    e = load_table(spark, sf, "events")
+    f = funnel(e, "user_id", "ts", "event_type", ["signup", "click", "purchase"])
+    return f.select(
+        "user_id",
+        "stage",
+        F.date_format("t1", _US).alias("t1"),
+        F.date_format("t2", _US).alias("t2"),
+        F.date_format("t3", _US).alias("t3"),
+    ).orderBy("user_id")
+
+
+@query(
+    "q129_weighted_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             ln((({_hex32("substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)")})
+                 + 1.0) / 4294967296.0) / n_chars AS p
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars FROM pri ORDER BY p DESC, doc_id LIMIT 200
+    ) ORDER BY doc_id
+    """,
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sample without replacement
+    (operators.sampling.weighted_sample): Efraimidis–Spirakis A-Res
+    priorities ln(u)/w with u from the md5 prefix of the key and w =
+    n_chars; top-200. Both engines compute ln on well-separated doubles,
+    so the rank-200 boundary is never within float error. Narrow map +
+    TakeOrderedAndProject — no global sort."""
+    from cdc_init_spark.operators.sampling import weighted_sample
+
+    d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    samp = weighted_sample(d, "doc_id", "n_chars", 200)
+    return samp.select("doc_id", "n_chars").orderBy("doc_id")

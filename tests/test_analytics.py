@@ -1,0 +1,139 @@
+"""Law tests for the temporal/governance analytics operators
+(operators/timeseries.py, sampling.weighted_sample, similarity.semdedup_keep).
+
+The DuckDB hash-match for q125-q129 lives in test_corpus.py; these pin the
+operator-level invariants that the oracle can't see (determinism across
+partitionings, structural laws, salt behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_init_spark.operators.sampling import weighted_sample
+from cdc_init_spark.operators.similarity import semdedup_keep
+from cdc_init_spark.operators.timeseries import funnel, resample, scd2_history
+from cdc_init_spark.tables import load_table
+
+
+def test_scd2_no_consecutive_duplicate_states(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    h = scd2_history(e, "user_id", "ts", "event_type").collect()
+    by_user: dict[int, list] = {}
+    for r in sorted(h, key=lambda r: (r.user_id, r.valid_from)):
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        states = [r.event_type for r in rows]
+        assert all(a != b for a, b in zip(states, states[1:]))
+        # intervals chain: valid_to of row i == valid_from of row i+1,
+        # and only the last interval is open
+        for cur, nxt in zip(rows, rows[1:]):
+            assert cur.valid_to == nxt.valid_from
+        assert rows[-1].valid_to is None
+
+
+def test_scd2_open_state_equals_latest_event(spark, sf_dir):
+    """The open (valid_to IS NULL) SCD2 row per key is exactly the
+    compacted latest-state view (A2 semantics, q23's max_by)."""
+    e = load_table(spark, sf_dir, "events")
+    h = scd2_history(e, "user_id", "ts", "event_type")
+    open_state = {
+        r.user_id: r.event_type
+        for r in h.filter(F.col("valid_to").isNull()).collect()
+    }
+    latest = {
+        r.user_id: r.last_type
+        for r in e.groupBy("user_id")
+        .agg(F.max_by("event_type", "ts").alias("last_type"))
+        .collect()
+    }
+    assert open_state == latest
+
+
+def test_resample_grid_is_complete_and_counts_conserved(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    r = resample(e, "user_id", "ts", "value", bucket="6 hours")
+    rows = r.collect()
+    # event count conserved
+    assert sum(x.n for x in rows) == e.count()
+    # grid complete: per user, buckets step uniformly by 6h from min to max
+    by_user: dict[int, list] = {}
+    for x in rows:
+        by_user.setdefault(x.user_id, []).append(x)
+    step = 6 * 3600
+    for xs in by_user.values():
+        ts = sorted(b.bucket.timestamp() for b in xs)
+        assert len(ts) == int((ts[-1] - ts[0]) / step) + 1
+        assert all(abs((b - a) - step) < 1e-6 for a, b in zip(ts, ts[1:]))
+    # forward fill: filled is never NULL (first bucket always has events)
+    assert all(x.filled is not None for x in rows)
+
+
+def test_funnel_stage_counts_monotone_and_ordered(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    f = funnel(e, "user_id", "ts", "event_type", ["signup", "click", "purchase"])
+    rows = f.collect()
+    for r in rows:
+        ts = [r.t1, r.t2, r.t3]
+        # stage = count of non-null prefix; nulls only after first null
+        non_null = [t for t in ts if t is not None]
+        assert r.stage == len(non_null)
+        assert ts[: len(non_null)] == non_null
+        # strict temporal order within the funnel
+        assert all(a < b for a, b in zip(non_null, non_null[1:]))
+
+
+def test_weighted_sample_deterministic_and_salted(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s1 = {r.doc_id for r in weighted_sample(d, "doc_id", "n_chars", 50).collect()}
+    s2 = {
+        r.doc_id
+        for r in weighted_sample(
+            d.repartition(7), "doc_id", "n_chars", 50
+        ).collect()
+    }
+    assert s1 == s2 and len(s1) == 50
+    s3 = {
+        r.doc_id
+        for r in weighted_sample(d, "doc_id", "n_chars", 50, salt="e2").collect()
+    }
+    assert s3 != s1  # a new salt re-keys the draw
+
+
+def test_weighted_sample_prefers_heavy_rows(spark, sf_dir):
+    """E-S law: inclusion probability increases with weight — the sampled
+    mean weight must exceed the population mean."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pop_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    samp = weighted_sample(d, "doc_id", "n_chars", 100)
+    samp_mean = samp.agg(F.avg("n_chars")).collect()[0][0]
+    assert samp_mean > pop_mean
+
+
+def test_semdedup_leaders_have_no_close_smaller_neighbor(spark, sf_dir):
+    from cdc_init_spark.functions.vectors import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    kept = semdedup_keep(e, "label", threshold=0.3)
+    # kept ∪ dominated partitions the input
+    n_all = e.count()
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_all
+    # no kept pair within a cluster is >= threshold (leader property)
+    a = kept.select(
+        F.col("label").alias("l"),
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+    )
+    b = kept.select(
+        F.col("label").alias("l"),
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+    )
+    close = (
+        a.join(b, "l")
+        .filter(F.col("b") > F.col("a"))
+        .filter(cosine_similarity(F.col("va"), F.col("vb")) >= 0.3)
+        .count()
+    )
+    assert close == 0
