@@ -82,20 +82,38 @@ def _fake_decode_image(content: bytes) -> np.ndarray:
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
-def _real_decode_image(content: bytes) -> np.ndarray:  # pragma: no cover
+def _real_decode_image(content: bytes) -> np.ndarray:
+    """Real image decode. PNG is handled by the stdlib-only decoder in
+    operators/codecs.py (zlib + struct — no Pillow needed); other
+    formats use Pillow when available."""
+    from cdc_init_spark.operators import codecs
+
+    if codecs.is_png(content):
+        return codecs.decode_png(content)
     try:
         import io
 
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "image decoding requires Pillow, which is not installed in this "
-            "environment; using the deterministic fake instead"
+            "non-PNG image decoding requires Pillow, which is not installed "
+            "in this environment"
         ) from e
     return np.asarray(Image.open(io.BytesIO(content)))
 
 
-DECODERS = {"image": _fake_decode_image}
+def _decode_image(content: bytes) -> np.ndarray:
+    """Default image decoder: REAL decode for recognized formats (PNG via
+    the dependency-free codec), deterministic fake for everything else —
+    so synthetic fixtures keep working while real blobs decode for real."""
+    from cdc_init_spark.operators import codecs
+
+    if codecs.is_png(content or b""):
+        return codecs.decode_png(content)
+    return _fake_decode_image(content)
+
+
+DECODERS = {"image": _decode_image}
 
 
 def extract_image_features(
@@ -139,9 +157,9 @@ def resize_images(
     content_col: str = "content",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Decode → nearest-neighbor resize → re-encode (fake codec: raw bytes
-    of the resized array). Plumbing (schema/batching) is production-shaped;
-    the codec is the swappable stub."""
+    """Decode → nearest-neighbor resize → re-encode as a real PNG
+    (operators/codecs.encode_png — stdlib zlib, no Pillow). Output blobs
+    round-trip through decode_png bit-exactly."""
     schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -152,6 +170,8 @@ def resize_images(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cdc_init_spark.operators.codecs import encode_png
+
         decode = DECODERS["image"]
         for pdf in batches:
             out_bytes, ws, hs = [], [], []
@@ -164,7 +184,7 @@ def resize_images(
                     0, arr.shape[1] - 1
                 )
                 resized = arr[ys][:, xs]
-                out_bytes.append(resized.tobytes())
+                out_bytes.append(encode_png(resized))
                 ws.append(width)
                 hs.append(height)
             yield pd.DataFrame(
@@ -226,15 +246,31 @@ def _fake_decode_audio(content: bytes, sample_rate: int = 16_000) -> np.ndarray:
     return rng.integers(-(2**15), 2**15, size=n, dtype=np.int16)
 
 
-def _real_decode_audio(content: bytes) -> np.ndarray:  # pragma: no cover
+def _real_decode_audio(content: bytes) -> np.ndarray:
+    """Real audio decode: WAV/PCM via the stdlib ``wave`` codec
+    (operators/codecs.py). Compressed formats (mp3/ogg/flac) would need
+    ffmpeg/soundfile, not present in this container."""
+    from cdc_init_spark.operators import codecs
+
+    if codecs.is_wav(content):
+        return codecs.decode_wav(content)
     raise NotImplementedError(
-        "audio decoding requires an audio codec library (e.g. soundfile/"
-        "ffmpeg), not installed in this environment; the deterministic "
-        "fake in DECODERS['audio'] is used instead"
+        "compressed-audio decoding requires ffmpeg/soundfile, not installed "
+        "in this environment (WAV decodes for real via operators/codecs.py)"
     )
 
 
-DECODERS["audio"] = _fake_decode_audio
+def _decode_audio(content: bytes) -> np.ndarray:
+    """Default audio decoder: REAL decode for WAV blobs, deterministic
+    fake for everything else (same policy as the image path)."""
+    from cdc_init_spark.operators import codecs
+
+    if codecs.is_wav(content or b""):
+        return codecs.decode_wav(content)
+    return _fake_decode_audio(content)
+
+
+DECODERS["audio"] = _decode_audio
 
 
 def extract_audio_features(

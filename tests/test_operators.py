@@ -355,7 +355,12 @@ def test_multimodal_feature_shape(spark):
     assert sorted(map(str, feats)) == sorted(map(str, feats2))
 
     resized = resize_images(df, 4, 4).collect()
-    assert all(r["width"] == 4 and len(r["content"]) == 4 * 4 * 3 for r in resized)
+    from cdc_init_spark.operators.codecs import decode_png
+
+    assert all(
+        r["width"] == 4 and decode_png(bytes(r["content"])).shape == (4, 4, 3)
+        for r in resized
+    )
 
     frames = sample_frames(df).collect()
     assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in frames)
