@@ -977,3 +977,82 @@ def chunk_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact repeated-substring removal, token-level (the ExactSubstr
+    policy of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499, applied to overlapping
+    ``k``-token windows instead of a corpus suffix array): every k-token
+    span occurring MORE THAN ONCE in the corpus — across documents or
+    within one — is removed at every occurrence except the
+    lexicographically-first (min ``(doc_id, pos)``). Removal drops all
+    covered token positions; survivors reassemble in position order.
+
+    Differs from ``chunk_dedup`` (C4 policy) in two ways: windows
+    OVERLAP (any repeated run ≥ k tokens is caught regardless of
+    alignment), and within-document repeats count.
+
+    Returns ``(id, n_tokens, n_kept, clean_text)`` — one row per input
+    document ('' when everything was removed).
+
+    Physical shape: one token-stream shuffle for the lead-window grams
+    (same codegen form as ``shingle_hash_rows``); the first-occurrence
+    table is one partial-aggregated groupBy on the gram (min(struct) is
+    partial-aggregable — no window over the corpus); the dup-cover
+    relation is duplicate-spans-sized, so both the back-join and the
+    covered-position anti-join AQE-broadcast at scale. Reassembly
+    collect_list holds one document per group."""
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(id_col, F.posexplode("_toks").alias("_pos", "_tok"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.lead("_tok", j).over(w) for j in range(1, k)]
+    occ = (
+        base.withColumn("_full", leads[-1].isNotNull())
+        .withColumn("_gram", F.concat_ws(" ", F.col("_tok"), *leads))
+        .filter(F.col("_full"))
+        .select(id_col, "_pos", "_gram")
+    )
+    firsts = (
+        occ.groupBy("_gram")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_first"),
+        )
+        .filter(F.col("_n") >= 2)
+    )
+    covered = (
+        occ.join(firsts, "_gram")
+        .filter(F.struct(F.col(id_col), F.col("_pos")) != F.col("_first"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(k - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    kept = base.join(covered, on=[id_col, "_pos"], how="left_anti")
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

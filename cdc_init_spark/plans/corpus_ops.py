@@ -600,3 +600,61 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q130_substring_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), tokrows AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks
+    ), tr AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM tokrows
+    ), occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS g
+      FROM tokrows WHERE i + 4 <= len(t)
+    ), rk AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM occ
+    ), cov AS (
+      SELECT DISTINCT doc_id, pos + s.u AS p
+      FROM rk CROSS JOIN (SELECT unnest(range(0, 5)) AS u) s
+      WHERE n >= 2 AND rn > 1
+    ), kept AS (
+      SELECT tr.doc_id, tr.pos, tr.tok
+      FROM tr LEFT JOIN cov ON cov.doc_id = tr.doc_id AND cov.p = tr.pos
+      WHERE cov.doc_id IS NULL
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_tokens FROM tr GROUP BY 1
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT span dedup, ExactSubstr policy (operators.dedup.substring_dedup;
+    Lee et al. 2021 token-window form): any 5-token span occurring ≥2
+    times in the corpus — across OR within documents, at any alignment —
+    keeps only its lexicographically-first occurrence; all other covered
+    token positions are dropped and the survivors reassemble in order.
+    The overlapping-window complement of q117's aligned-chunk C4 policy.
+    Oracle replays the whole pipeline (windows, first-occurrence rank,
+    cover explosion, anti-join, ordered reassembly) in DuckDB SQL."""
+    from cdc_init_spark.operators import dedup
+
+    d = load_table(spark, sf, "documents")
+    return dedup.substring_dedup(d, k=5).orderBy("doc_id")

@@ -355,3 +355,43 @@ def test_unigram_logprob_hand_computed(spark):
         assert got[1][1] == 2 and got[2][1] == 2
         assert abs(got[1][0] - math.log(0.75)) < 1e-12
         assert abs(got[2][0] - (math.log(0.75) + math.log(0.25)) / 2) < 1e-12
+
+
+def test_substring_dedup_cross_doc_keep_first(spark):
+    """Two docs share a 5-token run at different alignments: the min-id
+    doc keeps it untouched, the other loses exactly the covered tokens.
+    Within-doc repetition also collapses to the first occurrence."""
+    from cdc_init_spark.operators.dedup import substring_dedup
+
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} tail1 tail2"),
+            (2, f"lead1 lead2 lead3 {shared} x y"),
+            (3, "p q r s t u p q r s t u"),  # 6-token run repeated in-doc
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in substring_dedup(df, k=5).collect()}
+    assert got[1].clean_text == f"{shared} tail1 tail2"  # first occurrence kept
+    assert got[1].n_kept == got[1].n_tokens == 7
+    # doc 2: the 5 shared tokens removed, the rest survives in order
+    assert got[2].clean_text == "lead1 lead2 lead3 x y"
+    assert got[2].n_tokens == 10 and got[2].n_kept == 5
+    # doc 3: second in-doc occurrence of the run removed (all alignments
+    # of the repeated 5-gram cover positions 6..11)
+    assert got[3].clean_text == "p q r s t u"
+    assert got[3].n_tokens == 12 and got[3].n_kept == 6
+
+
+def test_substring_dedup_short_docs_untouched(spark):
+    """Docs shorter than k tokens produce no windows and pass through."""
+    from cdc_init_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c d e")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in substring_dedup(df, k=5).collect()}
+    assert got[1].clean_text == "a b c" and got[2].clean_text == "a b c"
+    assert got[3].clean_text == "a b c d e"  # unique 5-gram, kept
