@@ -371,6 +371,7 @@ def semdedup_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.3,
+    method: str = "expr",
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): within each pre-computed cluster, drop every vector
@@ -389,7 +390,20 @@ def semdedup_keep(
     ids come back as a broadcast-size anti-join relation when the
     duplicate rate is modest (AQE picks broadcast automatically); the
     JVM-expression dot/norm path (functions.vectors) keeps scores
-    bit-reproducible across engines and partitionings."""
+    bit-reproducible across engines and partitionings.
+
+    ``method``: ``"expr"`` (default) scores pairs with the JVM
+    left-fold expressions — exact, engine-portable, DuckDB-verifiable
+    (q126). ``"matmul"`` runs one numpy Gram matrix per cluster inside
+    ``applyInPandas`` — the 100 TB path (BLAS instead of ~|pairs|
+    interpreted HOF folds; one shuffle on the cluster key, same as
+    expr). BLAS reassociates float sums, so scores can differ from the
+    fold by ~1 ulp; identical keep-sets unless a pair sits exactly on
+    the threshold (tests pin equality on the fixtures)."""
+    if method == "matmul":
+        return _semdedup_keep_matmul(df, cluster_col, id_col, vec_col, threshold)
+    if method != "expr":
+        raise ValueError(f"unknown method {method!r} (expr|matmul)")
     from cdc_init_spark.functions.vectors import dot, norm
 
     a = df.select(
@@ -415,3 +429,36 @@ def semdedup_keep(
         .distinct()
     )
     return df.join(dominated, on=id_col, how="left_anti")
+
+
+def _semdedup_keep_matmul(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup scale path: one normalized Gram matrix per cluster.
+
+    Each cluster's vectors sort by id, L2-normalize, and multiply once
+    (BLAS); a vector is dominated iff any STRICTLY-UPPER-triangle entry
+    in its column is ≥ threshold. Memory per task is O(cluster²) floats
+    — the SemDeDup contract is exactly that clusters are sized to make
+    this tractable (the paper uses ~50k-vector clusters); skewed giant
+    clusters should be split upstream (finer k-means)."""
+    import pandas as pd
+
+    out_fields = [f for f in df.schema.fields if f.name != vec_col]
+    keep_schema = StructType(out_fields)
+    names = [f.name for f in out_fields]
+
+    def keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0.0] = 1.0
+        g = (v / norms[:, None]) @ (v / norms[:, None]).T
+        dominated = (np.triu(g, k=1) >= threshold).any(axis=0)
+        return pdf.loc[~dominated, names]
+
+    return df.groupBy(cluster_col).applyInPandas(keep, keep_schema)

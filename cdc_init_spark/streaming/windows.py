@@ -189,3 +189,72 @@ def last_state_per_key(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_per_key(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Continuous per-key running aggregate (count + sum) on the Spark 4
+    ``transformWithStateInPandas`` API — the successor to
+    ``applyInPandasWithState`` (T6 uses the older API; both are covered).
+    Emits one updated ``(key, n, total)`` row per key per micro-batch —
+    the streaming form of the reference's running seed counter
+    (/root/reference/src/cdc_init/core.clj:167-175), generalized to a sum.
+
+    State per key is one (count, sum) pair in a ValueState — bytes per
+    key, bounded by key cardinality; the state store scales out with the
+    shuffle partitioning of the key column.
+
+    Environment gate: the transformWithState protocol speaks protobuf
+    between the JVM and the Python driver worker; ``google.protobuf``
+    is not installed in this container, so the operator raises
+    NotImplementedError there (the applyInPandasWithState twin
+    ``last_state_per_key`` covers custom state in-container; the
+    corresponding pytest skips itself when protobuf is absent)."""
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf, not "
+            "installed in this environment"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, total double"
+            )
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                vals = pdf[value_col].dropna()
+                n += int(len(vals))
+                total += float(vals.sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n": [n], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = f"{key_col} bigint, n bigint, total double"
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -137,3 +137,15 @@ def test_semdedup_leaders_have_no_close_smaller_neighbor(spark, sf_dir):
         .count()
     )
     assert close == 0
+
+
+def test_semdedup_matmul_path_matches_expr(spark, sf_dir):
+    """The BLAS Gram-matrix scale path returns the identical keep-set to
+    the exact JVM-fold path (no fixture pair sits on the threshold)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    expr_ids = {r.vec_id for r in semdedup_keep(e, "label", threshold=0.3).collect()}
+    mm_ids = {
+        r.vec_id
+        for r in semdedup_keep(e, "label", threshold=0.3, method="matmul").collect()
+    }
+    assert mm_ids == expr_ids

@@ -360,3 +360,58 @@ def test_retry_with_backoff():
         lambda: False, attempts=3, sleep=sleeps.append
     )
     assert len(sleeps) == 2
+
+
+def test_running_totals_transform_with_state(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas: per-key running (n, total)
+    accumulates ACROSS micro-batches (ValueState survives batches).
+    Skips where google.protobuf (the TWS wire protocol) is unavailable."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import json
+    import os
+
+    src = str(tmp_path / "tws_src")
+    chk = str(tmp_path / "tws_chk")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        with open(f"{src}/{name}", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch(
+        "b0.json",
+        [
+            {"user_id": 1, "value": 2.0},
+            {"user_id": 1, "value": 3.0},
+            {"user_id": 2, "value": 10.0},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    totals = W.running_totals_per_key(stream, "user_id", "value")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    write_batch("b1.json", [{"user_id": 1, "value": 5.0}])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT * FROM tws_totals ORDER BY user_id, n"
+    ).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append((r.n, r.total))
+    # batch 0: user 1 -> (2, 5.0), user 2 -> (1, 10.0)
+    # batch 1: user 1 -> (3, 10.0)  [state carried across batches]
+    assert by_key[1][-1] == (3, 10.0)
+    assert (2, 5.0) in by_key[1]
+    assert by_key[2][-1] == (1, 10.0)
