@@ -153,3 +153,82 @@ def test_fuzz_window_ranks(spark, sf_dir, duck, plan):
     ).df()
     res = compare_frames("fuzz_window", spark_pd, duck_pd)
     assert res.ok, f"{plan}: {res}"
+
+
+@st.composite
+def string_plan(draw):
+    fn = draw(st.sampled_from(["lower", "upper", "reverse", "trim"]))
+    start = draw(st.integers(min_value=1, max_value=10))
+    length = draw(st.integers(min_value=1, max_value=12))
+    min_len = draw(st.integers(min_value=0, max_value=30))
+    return fn, start, length, min_len
+
+
+@SETTLE
+@given(plan=string_plan())
+def test_fuzz_string_exprs(spark, sf_dir, duck, plan):
+    """Composed string pipeline over part names: fn(substr(...)) plus
+    length/concat, filtered on length — ASCII fixture strings keep the
+    engines' collation/UTF differences out of scope by construction."""
+    fn, start, length, min_len = plan
+    p = load_table(spark, sf_dir, "part")
+    spark_fn = {
+        "lower": F.lower,
+        "upper": F.upper,
+        "reverse": F.reverse,
+        "trim": F.trim,
+    }[fn]
+    spark_pd = (
+        p.filter(F.length("p_name") >= min_len)
+        .select(
+            "p_partkey",
+            spark_fn(F.substring("p_name", start, length)).alias("s"),
+            F.length("p_name").alias("n"),
+        )
+        .toPandas()
+    )
+    duck_pd = duck.execute(
+        f"""
+        SELECT p_partkey, {fn}(substring(p_name, {start}, {length})) AS s,
+               length(p_name) AS n
+        FROM part WHERE length(p_name) >= {min_len}
+        """
+    ).df()
+    res = compare_frames("fuzz_string", spark_pd, duck_pd)
+    assert res.ok, f"{plan}: {res}"
+
+
+@st.composite
+def setop_plan(draw):
+    op = draw(st.sampled_from(["union_all", "union", "intersect", "except"]))
+    lo = draw(st.integers(min_value=0, max_value=12))
+    hi = draw(st.integers(min_value=13, max_value=26))
+    return op, lo, hi
+
+
+@SETTLE
+@given(plan=setop_plan())
+def test_fuzz_set_ops(spark, sf_dir, duck, plan):
+    """Set operations between two filtered key sets, both engines."""
+    op, lo, hi = plan
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") >= lo
+    ).select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < hi
+    ).select(F.col("s_nationkey").alias("k"))
+    if op == "union_all":
+        spark_df, sql_op = c.union(s), "UNION ALL"
+    elif op == "union":
+        spark_df, sql_op = c.union(s).distinct(), "UNION"
+    elif op == "intersect":
+        spark_df, sql_op = c.intersect(s), "INTERSECT"
+    else:
+        spark_df, sql_op = c.subtract(s), "EXCEPT"  # EXCEPT = distinct semantics
+    sql = f"""
+      SELECT c_nationkey AS k FROM customer WHERE c_nationkey >= {lo}
+      {sql_op}
+      SELECT s_nationkey AS k FROM supplier WHERE s_nationkey < {hi}
+    """
+    res = compare_frames("fuzz_setop", spark_df.toPandas(), duck.execute(sql).df())
+    assert res.ok, f"{plan}: {res}"
