@@ -50,6 +50,7 @@ from cdc_init_spark.plans import temporal as _temporal  # noqa: E402,F401
 from cdc_init_spark.plans import stats as _stats  # noqa: E402,F401
 from cdc_init_spark.plans import reshape as _reshape  # noqa: E402,F401
 from cdc_init_spark.plans import analytics as _analytics  # noqa: E402,F401
+from cdc_init_spark.plans import sketches as _sketches  # noqa: E402,F401
 from cdc_init_spark.plans import functions as _functions  # noqa: E402,F401
 from cdc_init_spark.plans import llm as _llm  # noqa: E402,F401
 from cdc_init_spark.plans import llm_ops as _llm_ops  # noqa: E402,F401

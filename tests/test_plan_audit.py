@@ -31,6 +31,7 @@ ALLOWED_CARTESIAN = {
     "q114_tfidf_terms",  # corpus doc-count scalar for idf
     "q120_quantized_cosine_topk",  # one query vector × embeddings
     "q124_unigram_logprob",  # 1-row token-total broadcast for P(tok)
+    "q133_theta_user_overlap",  # two 1-row sketch frames crossed (scalar pattern)
 }
 
 CARTESIAN_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
