@@ -85,3 +85,64 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("cohort").isNotNull())
     sk = ds.theta_group_sketches(cohorts, "cohort", "user_id")
     return ds.theta_overlap_estimate(sk, "cohort", "a", "b")
+
+
+@query(
+    "q134_bitmap_exact_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact mergeable distinct via bitmap aggregation
+    (datasketches.bitmap_distinct_by_group): per-(group, 32k-bucket)
+    bitmaps OR-merge associatively and count exactly — unlike
+    COUNT(DISTINCT) the exchange carries ≤4 KiB bitmaps instead of the
+    id stream, and per-day/per-source bitmaps roll up later without a
+    re-scan. Oracle is the literal COUNT(DISTINCT): the bitmap path must
+    be EXACT, not an estimate."""
+    e = load_table(spark, sf, "events")
+    from cdc_init_spark.operators.datasketches import bitmap_distinct_by_group
+
+    return (
+        bitmap_distinct_by_group(e, "event_type", "user_id")
+        .select("event_type", F.col("n_distinct").cast("bigint").alias("n_distinct"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q135_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT props FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT DISTINCT props FROM events WHERE event_type = 'view'
+    )
+    SELECT a.props AS props_a, b.props AS props_b
+    FROM a JOIN b ON a.props IS NOT DISTINCT FROM b.props
+    ORDER BY props_a NULLS FIRST
+    """,
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi-join (P5/J1 closure): Spark's <=> operator against
+    DuckDB's IS NOT DISTINCT FROM — NULL keys MATCH each other instead
+    of vanishing (the semantics CDC merge keys need when a nullable
+    column is part of the identity). The null-safe predicate still
+    plans as a hash join (eqNullSafe is an equi-key), not a nested
+    loop."""
+    e = load_table(spark, sf, "events")
+    a = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.col("props").alias("props_a"))
+        .distinct()
+    )
+    b = (
+        e.filter(F.col("event_type") == "view")
+        .select(F.col("props").alias("props_b"))
+        .distinct()
+    )
+    return a.join(b, a.props_a.eqNullSafe(b.props_b)).orderBy(
+        F.col("props_a").asc_nulls_first()
+    )

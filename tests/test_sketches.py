@@ -115,3 +115,25 @@ def test_theta_exact_mode_matches_set_algebra(spark, sf_dir):
     assert row.n_union == len(a | b)
     assert row.n_intersect == len(a & b)
     assert row.n_a_only == len(a - b)
+
+
+def test_bitmap_distinct_exact_and_partition_invariant(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    got = {
+        r.event_type: r.n_distinct
+        for r in ds.bitmap_distinct_by_group(e, "event_type", "user_id").collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
+    got2 = {
+        r.event_type: r.n_distinct
+        for r in ds.bitmap_distinct_by_group(
+            e.repartition(11), "event_type", "user_id"
+        ).collect()
+    }
+    assert got2 == exact
