@@ -246,3 +246,33 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
         F.least(F.col("value"), F.lit(0.5)).alias("l"),
         F.col("props").eqNullSafe(F.lit(None).cast("string")).alias("props_null_safe"),
     )
+
+
+@query(
+    "q136_variant_extract",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events WHERE props IS NOT NULL AND props <> ''
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT path (the successor to get_json_object for
+    semi-structured columns): parse_json → a binary-encoded VARIANT that
+    is parsed ONCE at scan time, then variant_get extracts typed fields
+    without re-parsing per expression — at 100 TB the difference between
+    one parse and one-per-extraction. Aggregated per event type; the
+    oracle replays the same extraction with DuckDB's JSON path."""
+    e = load_table(spark, sf, "events")
+    v = e.filter(F.col("props").isNotNull() & (F.col("props") != "")).select(
+        "event_type", F.parse_json("props").alias("_v")
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.variant_get("_v", "$.k", "int")).cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
