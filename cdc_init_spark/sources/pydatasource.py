@@ -23,7 +23,12 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _SCHEMA = (
     "op string, tbl string, pk bigint, ts timestamp, payload string"
@@ -52,6 +57,9 @@ class CdcLogDataSource(DataSource):
 
     def reader(self, schema) -> "CdcLogReader":
         return CdcLogReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "CdcLogStreamReader":
+        return CdcLogStreamReader(self.options)
 
 
 class CdcLogReader(DataSourceReader):
@@ -94,3 +102,51 @@ class CdcLogReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration: `spark.read.format("cdclog")` afterwards."""
     spark.dataSource.register(CdcLogDataSource)
+
+
+class CdcLogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: each micro-batch emits the next ``batch_rows``
+    change rows of the same deterministic sequence (partition 0 of the
+    batch generator, offset = row index). Offsets are replayable —
+    ``readBetweenOffsets(start, end)`` regenerates exactly the rows of
+    any committed range, so checkpoint recovery re-reads identical data
+    (the at-least-once contract the reference's control loop assumes,
+    initializer.clj:27-39)."""
+
+    def __init__(self, options: dict) -> None:
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.seed = int(options.get("seed", 42))
+        self.tables = tuple(
+            t for t in str(options.get("tables", "t0,t1")).split(",") if t
+        )
+        self.keyspace = int(options.get("keyspace", 100))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _rows(self, start: int, end: int):
+        for i in range(start, end):
+            op = _OPS[_h(self.seed, 0, i, "op") % len(_OPS)]
+            tbl = self.tables[_h(self.seed, 0, i, "tbl") % len(self.tables)]
+            pk = _h(self.seed, 0, i, "pk") % self.keyspace
+            ts = _BASE_TS + timedelta(
+                seconds=i, microseconds=_h(self.seed, 0, i, "ts") % 1_000_000
+            )
+            val = _h(self.seed, 0, i, "val") % 10_000
+            payload = (
+                "null" if op == "delete" else f'{{"balance": {val / 100.0:.2f}}}'
+            )
+            yield (op, tbl, pk, ts, payload)
+
+    def read(self, start: dict):
+        lo = start["row"]
+        hi = lo + self.batch_rows
+        # materialized list iterator, not a generator: Spark's prefetch
+        # cache copy.copy()s the iterator (generators aren't copyable)
+        return iter(list(self._rows(lo, hi))), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["row"], end["row"])
+
+    def commit(self, end: dict) -> None:
+        pass

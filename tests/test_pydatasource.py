@@ -91,3 +91,39 @@ def test_generated_log_feeds_apply_changes(cdclog):
 
             state[r.pk] = json.loads(r.payload)["balance"]
     assert merged == state
+
+
+def test_streaming_reader_accumulates_deterministically(cdclog, tmp_path):
+    """readStream on the custom source: micro-batches advance the row
+    offset; the accumulated rows equal the batch source's first N rows
+    (same generator, partition 0)."""
+    stream = (
+        cdclog.readStream.format("cdclog")
+        .option("batch_rows", 50)
+        .option("tables", "t0")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdclog_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        n = cdclog.sql("SELECT COUNT(*) FROM cdclog_stream").collect()[0][0]
+        if n >= 150:
+            break
+        time.sleep(1)
+    q.stop()
+    got = cdclog.sql("SELECT * FROM cdclog_stream").collect()
+    assert len(got) >= 150
+    # deterministic: first 100 streamed rows == batch rows 0..99 of the
+    # single-partition generator with the same options
+    batch = _read(cdclog, rows=100, partitions=1, tables="t0").collect()
+    streamed = sorted(got, key=lambda r: r.ts)[:100]
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
