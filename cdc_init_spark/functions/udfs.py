@@ -81,3 +81,35 @@ def ngrams_table(
     return df.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "ngram")
     )
+
+
+def span_chunks_udtf():
+    """X4 on the real Spark 4 Python UDTF API (not the explode form of
+    ``ngrams_table``): a table function exploding a document into
+    fixed-width token chunks with character offsets — the
+    lateral-joinable building block of span-level processing. Returns
+    the UDTF handle; register with ``spark.udtf.register("span_chunks",
+    span_chunks_udtf())`` and use as
+    ``SELECT d.doc_id, c.* FROM documents d,
+       LATERAL span_chunks(d.text, 8) c``.
+
+    Python UDTFs evaluate row-at-a-time in the Python worker — fine for
+    lateral table expansion (output dominates input), but bulk
+    hot-path chunking should keep using the codegen explode form
+    (operators/dedup.chunk_rows); both are provided and tested to
+    agree."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, start_char int, chunk string")
+    class SpanChunks:
+        def eval(self, text: str, m: int):
+            if not text:
+                return
+            toks = text.split(" ")
+            offset = 0
+            for i in range(0, len(toks), m):
+                window = toks[i : i + m]
+                yield i // m, offset, " ".join(window)
+                offset += sum(len(t) + 1 for t in window)
+
+    return SpanChunks

@@ -90,3 +90,39 @@ def test_csv_failfast_on_corrupt(spark, tmp_path):
     df = files.read_csv(spark, str(p), "a int, b int")
     with pytest.raises(Exception, match="(?i)malformed|failfast"):
         df.collect()
+
+
+def test_span_chunks_udtf_lateral_and_agrees_with_codegen_form(spark, sf_dir):
+    """X4 real Python UDTF: LATERAL table expansion works from SQL, and
+    its chunk column agrees with the codegen explode form
+    (operators/dedup.chunk_rows) on normalized text."""
+    from cdc_init_spark.functions.udfs import span_chunks_udtf
+    from cdc_init_spark.operators.dedup import chunk_rows, normalize_text
+    from pyspark.sql import functions as F
+
+    spark.udtf.register("span_chunks", span_chunks_udtf())
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", normalize_text(F.col("text")).alias("text"))
+        .limit(50)
+    )
+    d.createOrReplaceTempView("_udtf_docs")
+    got = {
+        (r.doc_id, r.chunk_idx): r.chunk
+        for r in spark.sql(
+            "SELECT d.doc_id, c.chunk_idx, c.chunk "
+            "FROM _udtf_docs d, LATERAL span_chunks(d.text, 8) c"
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_idx): r.chunk
+        for r in chunk_rows(d, m=8).collect()
+    }
+    assert got == want
+    # offsets index into the original string
+    offs = spark.sql(
+        "SELECT d.text, c.start_char, c.chunk "
+        "FROM _udtf_docs d, LATERAL span_chunks(d.text, 8) c"
+    ).collect()
+    for r in offs:
+        assert r.text[r.start_char : r.start_char + len(r.chunk)] == r.chunk
