@@ -1056,3 +1056,45 @@ def substring_dedup(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def fuzzy_pairs_lev1(
+    df: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Typo-tolerant pair discovery: all distinct-value pairs at
+    Levenshtein distance exactly 1, found by SymSpell-style
+    DELETION-NEIGHBORHOOD blocking (Garbe's symmetric delete algorithm):
+    each string s emits |s|+1 keys — itself plus every single-character
+    deletion. Two strings within edit distance 1 ALWAYS share a key
+    (substitution at i ⇒ equal deletes at i; insert/delete ⇒ one equals
+    a delete of the other), so the blocking has no false negatives and
+    the exact ``levenshtein`` verify runs only on candidates.
+
+    Scale shape: keys ≈ (avg_len+1)·|values| rows shuffle once on the
+    key; candidate volume is bucket-bounded (shared-key groups), never
+    the |values|² brute force — the classic trade of O(n·len) space for
+    O(n²) time. Returns (a, b) with a < b, lowercased, exact-verified."""
+    vals = df.select(F.lower(F.col(col)).alias("_s")).distinct()
+    keyed = vals.select(
+        "_s",
+        F.explode(
+            F.array_union(
+                F.array(F.col("_s")),
+                F.expr(
+                    "transform(sequence(1, length(_s)), i -> "
+                    "concat(substring(_s, 1, i-1), "
+                    "substring(_s, i+1, length(_s))))"
+                ),
+            )
+        ).alias("_k"),
+    )
+    a = keyed.select(F.col("_s").alias("a"), "_k")
+    b = keyed.select(F.col("_s").alias("b"), "_k")
+    return (
+        a.join(b, "_k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .filter(F.levenshtein("a", "b") == 1)
+    )

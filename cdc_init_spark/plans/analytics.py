@@ -223,3 +223,24 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
     samp = weighted_sample(d, "doc_id", "n_chars", 200)
     return samp.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@query(
+    "q137_fuzzy_join_lev1",
+    oracle="""
+    WITH n AS (SELECT DISTINCT lower(s_name) AS s FROM supplier)
+    SELECT a.s AS a, b.s AS b FROM n a JOIN n b ON a.s < b.s
+    WHERE levenshtein(a.s, b.s) = 1
+    ORDER BY a, b
+    """,
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    """Typo-tolerant fuzzy self-join (operators.dedup.fuzzy_pairs_lev1):
+    SymSpell deletion-neighborhood blocking + exact Levenshtein verify,
+    hash-matched against DuckDB's brute-force n² edit-distance join —
+    the blocked plan must find EXACTLY the brute-force pair set (the
+    no-false-negatives property of symmetric deletes)."""
+    from cdc_init_spark.operators.dedup import fuzzy_pairs_lev1
+
+    s = load_table(spark, sf, "supplier")
+    return fuzzy_pairs_lev1(s, "s_name").orderBy("a", "b")

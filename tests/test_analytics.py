@@ -149,3 +149,39 @@ def test_semdedup_matmul_path_matches_expr(spark, sf_dir):
         for r in semdedup_keep(e, "label", threshold=0.3, method="matmul").collect()
     }
     assert mm_ids == expr_ids
+
+
+def test_fuzzy_pairs_lev1_blocking_complete(spark):
+    """Deletion-neighborhood blocking finds EXACTLY the brute-force
+    lev-1 pair set across all three edit types (substitute, insert,
+    delete), and nothing at distance 0 or ≥2."""
+    from cdc_init_spark.operators.dedup import fuzzy_pairs_lev1
+
+    vals = [
+        "spark", "sparc",      # substitution
+        "spar",                # deletion of trailing k
+        "sparks",              # insertion
+        "flink", "blink",      # substitution at position 0
+        "duck", "dusk",        # substitution mid-word
+        "totally-different",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["name"])
+    got = {(r.a, r.b) for r in fuzzy_pairs_lev1(df, "name").collect()}
+
+    def lev(a, b):
+        import numpy as np
+
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return int(d[-1])
+
+    want = {
+        (a, b)
+        for i, a in enumerate(sorted(vals))
+        for b in sorted(vals)[i + 1 :]
+        if lev(a, b) == 1
+    }
+    assert got == want and len(want) >= 4
