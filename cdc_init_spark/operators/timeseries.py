@@ -171,3 +171,38 @@ def funnel(
         stage_expr.alias("stage"),
         *[F.col(f"t{i + 1}") for i in range(len(stages))],
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket: str = "week",
+) -> DataFrame:
+    """Retention-cohort matrix: assign every key to the cohort of its
+    FIRST event (truncated to ``bucket``), then count distinct active
+    keys per (cohort, bucket-offset) — the classic product-analytics
+    retention triangle, here over the CDC event stream.
+
+    Shape: one aggregate for first-event cohorts (key-sized), joined
+    back to the events (AQE broadcasts the cohort side when it fits —
+    it is |keys| rows, not |events|), then one distinct-count aggregate
+    on (cohort, offset). No window over the event stream."""
+    cohorts = df.groupBy(key_col).agg(
+        F.date_trunc(bucket, F.min(ts_col)).alias("_cohort")
+    )
+    ev = df.select(
+        F.col(key_col), F.date_trunc(bucket, F.col(ts_col)).alias("_b")
+    )
+    days = {"week": 7, "day": 1}[bucket]
+    joined = ev.join(cohorts, key_col).withColumn(
+        "offset",
+        (
+            F.datediff(F.col("_b").cast("date"), F.col("_cohort").cast("date"))
+            / days
+        ).cast("int"),
+    )
+    return (
+        joined.groupBy(F.col("_cohort").alias("cohort"), "offset")
+        .agg(F.count_distinct(F.col(key_col)).alias("n_active"))
+    )

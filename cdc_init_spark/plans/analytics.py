@@ -244,3 +244,40 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
 
     s = load_table(spark, sf, "supplier")
     return fuzzy_pairs_lev1(s, "s_name").orderBy("a", "b")
+
+
+@query(
+    "q138_retention_cohorts",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT e.user_id, f.cohort,
+             CAST(date_diff('day', CAST(f.cohort AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                  AS INTEGER) AS week_offset
+      FROM events e JOIN first f ON f.user_id = e.user_id
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           week_offset,
+           COUNT(DISTINCT user_id) AS n_active
+    FROM act GROUP BY cohort, week_offset
+    ORDER BY cohort, week_offset
+    """,
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention-cohort triangle (operators.timeseries.retention_cohorts):
+    users cohorted by ISO week of their first event, distinct active
+    users per (cohort, week offset) — first-event aggregate joined back
+    (broadcast: |users| rows) + one distinct-count, no event-stream
+    window. Both engines truncate weeks to ISO Monday."""
+    from cdc_init_spark.operators.timeseries import retention_cohorts
+
+    e = load_table(spark, sf, "events")
+    r = retention_cohorts(e, "user_id", "ts", bucket="week")
+    return r.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        F.col("offset").alias("week_offset"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+    ).orderBy("cohort", "week_offset")

@@ -185,3 +185,27 @@ def test_fuzzy_pairs_lev1_blocking_complete(spark):
         if lev(a, b) == 1
     }
     assert got == want and len(want) >= 4
+
+
+def test_retention_cohort_offset_zero_is_cohort_size(spark, sf_dir):
+    """Every key is active in its own first bucket, so n_active at
+    offset 0 equals the cohort's size; offsets are non-negative and
+    later offsets never exceed the cohort size."""
+    from cdc_init_spark.operators.timeseries import retention_cohorts
+
+    e = load_table(spark, sf_dir, "events")
+    rows = retention_cohorts(e, "user_id", "ts").collect()
+    sizes = {
+        r.cohort: r.n
+        for r in e.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(r.offset >= 0 for r in rows)
+    for r in rows:
+        assert r.n_active <= sizes[r.cohort]
+        if r.offset == 0:
+            assert r.n_active == sizes[r.cohort]
+    assert {r.cohort for r in rows if r.offset == 0} == set(sizes)
