@@ -281,3 +281,48 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
         F.col("offset").alias("week_offset"),
         F.col("n_active").cast("bigint").alias("n_active"),
     ).orderBy("cohort", "week_offset")
+
+
+@query(
+    "q139_last_touch_attribution",
+    oracle="""
+    WITH carried AS (
+      SELECT user_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT COALESCE(touch, 'none') AS touch,
+           COUNT(*) AS n_purchases
+    FROM carried WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRECEDING non-purchase event (IGNORE-NULLS last_value
+    over a [unbounded, -1] frame — the carry pattern), aggregated to
+    purchases per channel. One shuffle on user_id; the window and the
+    purchase filter share the same exchange."""
+    e = load_table(spark, sf, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("touch")
+    )
