@@ -232,3 +232,43 @@ def test_fuzz_set_ops(spark, sf_dir, duck, plan):
     """
     res = compare_frames("fuzz_setop", spark_df.toPandas(), duck.execute(sql).df())
     assert res.ok, f"{plan}: {res}"
+
+
+@st.composite
+def datetime_plan(draw):
+    part = draw(st.sampled_from(["year", "month", "day", "hour"]))
+    trunc = draw(st.sampled_from(["day", "month", "week", "hour"]))
+    min_day = draw(st.integers(min_value=1, max_value=25))
+    return part, trunc, min_day
+
+
+@SETTLE
+@given(plan=datetime_plan())
+def test_fuzz_datetime_exprs(spark, sf_dir, duck, plan):
+    """Composed date/time pipeline over events: extract + truncate +
+    filter, grouped — both engines truncate and extract identically on
+    the microsecond-timestamp fixture."""
+    part, trunc, min_day = plan
+    e = load_table(spark, sf_dir, "events")
+    spark_pd = (
+        e.filter(F.dayofmonth("ts") >= min_day)
+        .groupBy(
+            getattr(F, part)("ts").alias("p"),
+            F.date_format(F.date_trunc(trunc, "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "t"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    duck_pd = duck.execute(
+        f"""
+        SELECT {part}(ts) AS p,
+               strftime(date_trunc('{trunc}', ts), '%Y-%m-%d %H:%M:%S') AS t,
+               COUNT(*) AS n
+        FROM events WHERE day(ts) >= {min_day}
+        GROUP BY 1, 2
+        """
+    ).df()
+    res = compare_frames("fuzz_datetime", spark_pd, duck_pd)
+    assert res.ok, f"{plan}: {res}"
