@@ -186,3 +186,112 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q140_incremental_agg",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id,
+             max_by(event_type, ts) AS op,
+             max_by(value, ts) AS new_bal
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+      GROUP BY user_id
+    )
+    SELECT c.c_nationkey,
+           ROUND(SUM(CASE WHEN l.user_id IS NOT NULL THEN l.new_bal
+                          ELSE c.c_acctbal END), 2) AS sum_value,
+           COUNT(*) AS n_rows
+    FROM customer c
+    LEFT JOIN latest l ON l.user_id = c.c_custkey AND l.op <> 'error'
+    WHERE NOT EXISTS (
+      SELECT 1 FROM latest d WHERE d.user_id = c.c_custkey AND d.op = 'error'
+    )
+    GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+    """,
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance (streaming/apply.incremental_agg):
+    per-nation balance totals updated from the change log with
+    touched-keys-sized work — base_agg − old touched rows + surviving
+    upserts — never re-scanning untouched groups. The oracle IS the full
+    recompute over the merged state, so the incremental arithmetic is
+    hash-verified equal to re-aggregation."""
+    from cdc_init_spark.streaming.apply import incremental_agg
+
+    c = load_table(spark, sf, "customer")
+    e = load_table(spark, sf, "events")
+    changes = (
+        e.filter(F.col("event_type").isin("signup", "purchase", "error"))
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.col("ts"),
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("type"),
+            F.col("value").alias("c_acctbal"),
+        )
+        .join(c.select("c_custkey"), on="c_custkey", how="left_semi")
+    )
+    out = incremental_agg(
+        c, changes, ["c_custkey"], ["c_nationkey"], "c_acctbal"
+    )
+    return out.select(
+        "c_nationkey",
+        round_compat(F.col("sum_value"), 2).alias("sum_value"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    ).orderBy("c_nationkey")
+
+
+@query(
+    "q141_time_travel",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id,
+             max_by(event_type, ts) AS op,
+             max_by(value, ts) AS new_bal
+      FROM events
+      WHERE event_type IN ('signup', 'purchase', 'error')
+        AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT c.c_custkey,
+           ROUND(CASE WHEN l.user_id IS NOT NULL THEN l.new_bal
+                      ELSE c.c_acctbal END, 4) AS acctbal
+    FROM customer c
+    LEFT JOIN latest l ON l.user_id = c.c_custkey AND l.op <> 'error'
+    WHERE NOT EXISTS (
+      SELECT 1 FROM latest d WHERE d.user_id = c.c_custkey AND d.op = 'error'
+    )
+    ORDER BY c.c_custkey
+    """,
+)
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    """Time travel (streaming/apply.state_at): the customer table AS OF
+    2024-01-15, reconstructed by applying only changes at or before the
+    horizon — the snapshot+log pair is a multi-version table and any
+    past state is one pushed-down filter away (q79 is the same merge at
+    the present horizon)."""
+    from cdc_init_spark.streaming.apply import state_at
+
+    c = load_table(spark, sf, "customer")
+    e = load_table(spark, sf, "events")
+    changes = (
+        e.filter(F.col("event_type").isin("signup", "purchase", "error"))
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.col("ts"),
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("type"),
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("int").alias("c_nationkey"),
+            F.col("value").alias("c_acctbal"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
+        .join(c.select("c_custkey"), on="c_custkey", how="left_semi")
+    )
+    merged = state_at(c, changes, ["c_custkey"], "2024-01-15 00:00:00")
+    return merged.select(
+        "c_custkey", round_compat(F.col("c_acctbal"), 4).alias("acctbal")
+    ).orderBy("c_custkey")

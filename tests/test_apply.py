@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from cdc_init_spark.streaming.apply import apply_changes, compact_changes
 
 
@@ -56,3 +58,72 @@ def test_compact_changes_latest_wins(spark):
     )
     rows = compact_changes(changes, ["id"], "ts").collect()
     assert len(rows) == 1 and rows[0]["v"] == 3.0
+
+
+def test_state_at_horizon_extremes(spark):
+    """state_at before any change == base; state_at at/after the last
+    change == apply_changes of the full log."""
+    from cdc_init_spark.streaming.apply import apply_changes, state_at
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "pk long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "2026-01-02 00:00:00", "update", 11.0),
+            (2, "2026-01-03 00:00:00", "delete", None),
+            (1, "2026-01-04 00:00:00", "update", 12.0),
+        ],
+        "pk long, ts string, type string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    before = state_at(base, changes, ["pk"], "2026-01-01 00:00:00")
+    assert sorted((r.pk, r.v) for r in before.collect()) == [
+        (1, 10.0), (2, 20.0), (3, 30.0)
+    ]
+    mid = state_at(base, changes, ["pk"], "2026-01-02 12:00:00")
+    assert sorted((r.pk, r.v) for r in mid.collect()) == [
+        (1, 11.0), (2, 20.0), (3, 30.0)
+    ]
+    final = state_at(base, changes, ["pk"], "2026-01-09 00:00:00")
+    full = apply_changes(base, changes, ["pk"])
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_incremental_agg_equals_full_recompute(spark):
+    """IVM law: incremental arithmetic == groupBy over the fully merged
+    state, including deletes emptying a group and partition invariance."""
+    from cdc_init_spark.streaming.apply import apply_changes, incremental_agg
+
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 30.0), (4, "g3", 5.0)],
+        "pk long, grp string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "2026-01-02 00:00:00", "update", "g1", 15.0),
+            (3, "2026-01-02 00:00:00", "delete", "g2", None),
+            (3, "2026-01-03 00:00:00", "update", "g2", 99.0),  # latest wins
+            (4, "2026-01-04 00:00:00", "delete", "g3", None),  # empties g3
+        ],
+        "pk long, ts string, type string, grp string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    inc = {
+        (r.grp,): (round(r.sum_value, 6), r.n_rows)
+        for r in incremental_agg(
+            base.repartition(5), changes, ["pk"], ["grp"], "v"
+        ).collect()
+    }
+    merged = apply_changes(base, changes, ["pk"])
+    full = {
+        (r.grp,): (round(r.s, 6), r.n)
+        for r in merged.groupBy("grp")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # groups emptied by deletes appear with n_rows=0 in the incremental
+    # form (the full recompute simply drops them)
+    assert inc[("g3",)] == (0.0, 0)
+    for g, (s, n) in full.items():
+        assert inc[g] == (s, n)
