@@ -127,3 +127,82 @@ def test_incremental_agg_equals_full_recompute(spark):
     assert inc[("g3",)] == (0.0, 0)
     for g, (s, n) in full.items():
         assert inc[g] == (s, n)
+
+
+def test_continuous_agg_maintains_base_and_agg(spark, tmp_path):
+    """Streaming materialized view: two change micro-batches through
+    foreachBatch; after each, the maintained aggregate equals the full
+    recompute over base + all changes so far."""
+    import json
+    import os
+
+    from cdc_init_spark.streaming.apply import (
+        continuous_agg_step,
+        init_continuous_agg,
+        read_continuous_agg,
+    )
+
+    table_dir = str(tmp_path / "cagg")
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 30.0)],
+        "pk long, grp string, v double",
+    )
+    init_continuous_agg(base, table_dir)
+
+    def write_batch(name, rows):
+        with open(f"{src}/{name}", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch(
+        "b0.json",
+        [
+            {"pk": 1, "ts": "2026-01-02T00:00:00", "type": "update",
+             "grp": "g1", "v": 15.0},
+            {"pk": 3, "ts": "2026-01-02T00:00:00", "type": "delete",
+             "grp": "g2", "v": None},
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "pk long, ts string, type string, grp string, v double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            continuous_agg_step(spark, table_dir, ["pk"], ["grp"], "v")
+        )
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    agg1 = {
+        r.grp: (round(r.sum_value, 6), r.n_rows)
+        for r in read_continuous_agg(spark, table_dir).collect()
+    }
+    assert agg1["g1"] == (35.0, 2) and agg1["g2"] == (0.0, 0)
+
+    write_batch(
+        "b1.json",
+        [
+            {"pk": 2, "ts": "2026-01-03T00:00:00", "type": "update",
+             "grp": "g1", "v": 1.0}
+        ],
+    )
+    q.processAllAvailable()
+    q.stop()
+    agg2 = {
+        r.grp: (round(r.sum_value, 6), r.n_rows)
+        for r in read_continuous_agg(spark, table_dir).collect()
+    }
+    assert agg2["g1"] == (16.0, 2)
+    # base snapshot advanced in lockstep
+    final_base = {
+        r.pk: r.v for r in read_continuous_agg(spark, table_dir, "base").collect()
+    }
+    assert final_base == {1: 15.0, 2: 1.0}
