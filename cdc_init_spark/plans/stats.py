@@ -295,3 +295,57 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
     return merged.select(
         "c_custkey", round_compat(F.col("c_acctbal"), 4).alias("acctbal")
     ).orderBy("c_custkey")
+
+
+@query(
+    "q142_snapshot_diff",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id,
+             max_by(event_type, ts) AS op,
+             max_by(value, ts) AS new_bal
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+      GROUP BY user_id
+    )
+    SELECT c.c_custkey,
+           CASE WHEN l.op = 'error' THEN 'delete' ELSE 'update' END AS type,
+           CASE WHEN l.op = 'error' THEN NULL
+                ELSE ROUND(l.new_bal, 4) END AS acctbal
+    FROM customer c JOIN latest l ON l.user_id = c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff — the INVERSE of CDC apply
+    (streaming/apply.diff_snapshots): diffing the original customer
+    snapshot against the q79-merged state recovers exactly the compacted
+    change set (updates for non-error users, deletes for error users;
+    untouched rows emit nothing). One PK-partitioned full-outer join
+    with a null-safe struct comparison; change volume out is |delta|.
+    The oracle derives the same delta directly from the event log."""
+    from cdc_init_spark.streaming.apply import apply_changes, diff_snapshots
+
+    c = load_table(spark, sf, "customer")
+    e = load_table(spark, sf, "events")
+    changes = (
+        e.filter(F.col("event_type").isin("signup", "purchase", "error"))
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.col("ts"),
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("type"),
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("int").alias("c_nationkey"),
+            F.col("value").alias("c_acctbal"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
+        .join(c.select("c_custkey"), on="c_custkey", how="left_semi")
+    )
+    new = apply_changes(c, changes, ["c_custkey"])
+    d = diff_snapshots(c, new, ["c_custkey"])
+    return d.select(
+        "c_custkey",
+        "type",
+        round_compat(F.col("c_acctbal"), 4).alias("acctbal"),
+    ).orderBy("c_custkey")

@@ -264,3 +264,59 @@ def read_continuous_agg(spark, table_dir: str, what: str = "agg") -> DataFrame:
     with open(os.path.join(table_dir, "_VERSION")) as f:
         v = json.load(f)["version"]
     return spark.read.parquet(os.path.join(table_dir, f"v{v}", what))
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    pk_cols: list[str],
+    type_col: str = "type",
+) -> DataFrame:
+    """The inverse of ``apply_changes``: diff two versions of a table
+    into the minimal keyed DML set that transforms ``old`` into ``new``
+    — inserts (keys only in new), deletes (keys only in old), updates
+    (keys in both whose non-key columns differ). Unchanged rows emit
+    nothing. Law (pytest): ``apply_changes(old, diff_snapshots(old,
+    new)) ≡ new``.
+
+    This is how a snapshot-only source joins a CDC pipeline: schedule
+    periodic snapshots, diff consecutive ones, feed the same compacted
+    topic the trigger path feeds (the reference's message vocabulary,
+    seed_store.clj:38-55).
+
+    Scale: one full-outer join hash-partitioned on the PK — both sides
+    bucketed/partitioned by PK make it co-located; change volume out is
+    |delta|, not |table|. Row comparison uses a null-safe struct
+    equality over the non-key columns (one codegen'd expression)."""
+    data_cols = [c for c in old.columns if c not in pk_cols]
+    if old.columns != new.columns:
+        raise ValueError(
+            f"schema mismatch: {old.columns} vs {new.columns}"
+        )
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in old.columns]
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in new.columns]
+    )
+    cond = [o[f"_o_{k}"] == n[f"_n_{k}"] for k in pk_cols]
+    j = o.join(n, on=cond, how="full_outer")
+    in_old = j[f"_o_{pk_cols[0]}"].isNotNull()
+    in_new = j[f"_n_{pk_cols[0]}"].isNotNull()
+    same = F.struct(*[F.col(f"_o_{c}") for c in data_cols]).eqNullSafe(
+        F.struct(*[F.col(f"_n_{c}") for c in data_cols])
+    )
+    changed = j.filter(~(in_old & in_new & same))
+    typ = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return changed.select(
+        *[
+            F.coalesce(F.col(f"_n_{k}"), F.col(f"_o_{k}")).alias(k)
+            for k in pk_cols
+        ],
+        typ.alias(type_col),
+        *[F.col(f"_n_{c}").alias(c) for c in data_cols],
+    )

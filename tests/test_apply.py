@@ -206,3 +206,28 @@ def test_continuous_agg_maintains_base_and_agg(spark, tmp_path):
         r.pk: r.v for r in read_continuous_agg(spark, table_dir, "base").collect()
     }
     assert final_base == {1: 15.0, 2: 1.0}
+
+
+def test_diff_snapshots_inverts_apply(spark):
+    """Round trip law: apply_changes(old, diff_snapshots(old, new)) == new
+    across inserts, updates, deletes, and unchanged rows."""
+    from cdc_init_spark.streaming.apply import apply_changes, diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (5, None, 50.0)],
+        "pk long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 21.0), (4, "d", 40.0), (5, None, 50.0)],
+        "pk long, name string, v double",
+    )
+    d = diff_snapshots(old, new, ["pk"])
+    kinds = {r.pk: r.type for r in d.collect()}
+    # 1 and 5 unchanged (incl. the NULL name — null-safe comparison)
+    assert kinds == {2: "update", 3: "delete", 4: "insert"}
+    replayed = apply_changes(
+        old, d.withColumn("ts", F.lit("2026-01-01").cast("timestamp")), ["pk"]
+    )
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, new.collect())
+    )
