@@ -354,3 +354,53 @@ def audio_chunks(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, content_col).mapInPandas(run, schema)
+
+
+def image_dhash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual difference hash (dHash) per image: decode → grayscale
+    → nearest-neighbor resize to (hash_size+1, hash_size) → one bit per
+    horizontal gradient sign → a ``hash_size²``-bit integer. Visually
+    identical images collide; small edits flip few bits, so Hamming
+    distance is the image near-dup metric (the image twin of SimHash —
+    reuse the same sliced-Hamming blocking, operators/dedup.py).
+
+    Real PNGs hash their actual pixels (operators/codecs.py decode);
+    other blobs hash the deterministic fake — either way the output is
+    a stable 64-bit column, Arrow-batched, shuffle-friendly."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("dhash", LongType()),
+        ]
+    )
+    side = hash_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = DECODERS["image"]
+        for pdf in batches:
+            hashes = []
+            for content in pdf[content_col]:
+                arr = decode(bytes(content) if content is not None else b"")
+                a = arr.astype(np.float64)
+                gray = a.mean(axis=2) if a.ndim == 3 else a
+                ys = (np.arange(side) * gray.shape[0] // side).clip(
+                    0, gray.shape[0] - 1
+                )
+                xs = (np.arange(side + 1) * gray.shape[1] // (side + 1)).clip(
+                    0, gray.shape[1] - 1
+                )
+                small = gray[ys][:, xs]
+                bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # fold into signed 64-bit (hash_size 8 → exactly 64 bits)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": hashes})
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)

@@ -531,3 +531,21 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "vec_id", round_compat(F.col("score"), 4).alias("score")
     )
+
+
+@query("q143_image_dhash")  # rows-only: perceptual hash of (fake-)decoded pixels
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    """L5/L2 bridge: perceptual dHash per media blob
+    (operators.multimodal.image_dhash) — the image near-dup signature
+    (SimHash's visual twin; Hamming blocking applies unchanged). Real
+    PNGs hash their actual pixels via the stdlib codec; the fixture
+    blobs hash the deterministic fake, keeping the driver check
+    stable."""
+    from cdc_init_spark.operators.multimodal import image_dhash
+
+    d = load_table(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    return image_dhash(media).orderBy("media_id")

@@ -165,3 +165,33 @@ def test_resize_emits_real_png(spark):
     ys = (np.arange(4) * 8 // 4).clip(0, 7)
     xs = (np.arange(4) * 8 // 4).clip(0, 7)
     np.testing.assert_array_equal(out, arr[ys][:, xs])
+
+
+def test_image_dhash_perceptual_laws(spark):
+    """dHash over REAL PNGs: identical pixels → identical hash;
+    a one-pixel edit → small Hamming distance; an unrelated image →
+    large distance. Proves the perceptual property holds through the
+    full Spark path (encode → mapInPandas decode → hash)."""
+    from cdc_init_spark.operators.multimodal import image_dhash
+
+    base = _rng(3).integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = (near[0, 0] + 40) % 256  # one-pixel edit
+    far = _rng(99).integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(codecs.encode_png(base))),
+            (2, bytearray(codecs.encode_png(base))),
+            (3, bytearray(codecs.encode_png(near))),
+            (4, bytearray(codecs.encode_png(far))),
+        ],
+        "media_id long, content binary",
+    )
+    h = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert h[1] == h[2]  # identical content → identical hash
+    assert ham(h[1], h[3]) <= 6  # near-dup → few bits flip
+    assert ham(h[1], h[4]) >= 16  # unrelated → many bits differ
