@@ -149,7 +149,13 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full-precision, full-name record on disk for the judge / BASELINE.md.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+    # SPARK_GRAFT_BENCH_OUT redirects it (the test suite's contract check
+    # runs at sf0.001 and must not clobber the committed sf0.1 artifact).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
+    )
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     # The stdout line must survive the driver's bounded tail capture
     # (round 1's 3.5 KB line was truncated and recorded as parsed:null —

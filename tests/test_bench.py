@@ -12,9 +12,15 @@ import pytest
 
 @pytest.mark.slow
 def test_bench_json_contract():
+    import tempfile
+
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
+    # keep the committed sf0.1 BENCH.json artifact out of the blast radius
+    env["SPARK_GRAFT_BENCH_OUT"] = os.path.join(
+        tempfile.mkdtemp(), "BENCH_test.json"
+    )
     out = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
