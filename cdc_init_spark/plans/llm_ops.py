@@ -549,3 +549,142 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
     return image_dhash(media).orderBy("media_id")
+
+
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "q145_bm25",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS dl,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM docs
+    ), tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, dl, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(SUM(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * ({_BM25_K1} + 1.0))
+             / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 4) AS bm25
+    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """,
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    """L4+: BM25 ranking of the documents table against a fixed query
+    term set — the classic sparse-retrieval scorer a training-data
+    pipeline uses for quality/topicality filtering (Robertson-Sparck
+    Jones; k1=1.2, b=0.75). Shape at 100 TB: the explode is filtered to
+    the query terms BEFORE the shuffle (a narrow codegen'd stage), so
+    the (doc, term) aggregate only carries matching tokens; corpus
+    stats (N, avgdl) and per-term document frequencies are two tiny
+    aggregates broadcast back — no all-terms posting shuffle ever
+    happens. The oracle replays tokenization, tf, df, idf, and the
+    length normalization term-for-term in DuckDB."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select("doc_id", dedup.tokens(F.col("text")).alias("t"))
+    docs = toks.select("doc_id", F.size("t").cast("bigint").alias("dl"), "t")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            round_compat(F.sum(contrib), 4).alias("bm25"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q147_inverted_index",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT term, doc_id FROM (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+      )
+    ), ranked AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM pairs
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id) FILTER (rn <= 32)), ',') AS postings_head
+    FROM ranked
+    GROUP BY term ORDER BY term
+    """,
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    """L4+: inverted-index build — per-term document frequency plus the
+    first 32-entry posting-list block (sorted doc_ids). The distinct
+    (term, doc_id) pairs shuffle ONCE on term; the posting cap is a
+    row_number window on the same term partitioning (no second
+    shuffle — Catalyst reuses the hash partitioning for the window and
+    the final aggregate), so the collect_list only ever materializes
+    ≤32 ids per term however many documents a stop-word hits. That cap
+    BEFORE collect is the 100 TB contract: an uncapped posting list for
+    a term appearing in every document is an OOM, not an index."""
+    d = load_table(spark, sf, "documents")
+    pairs = (
+        d.select("doc_id", F.explode(dedup.tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("rn") <= 32, F.col("doc_id")))
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+        .orderBy("term")
+    )

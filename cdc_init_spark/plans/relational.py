@@ -443,6 +443,48 @@ def q24_cube(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q144_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    """G6 completion: arbitrary GROUPING SETS — two *disjoint* grouping
+    sets (one by status, one by priority), which neither ROLLUP (q24)
+    nor CUBE (q24_cube) can express. Spark expands the sets with a
+    single Expand node feeding ONE hash aggregate — the input is read
+    once however many sets there are (vs. N scans + UNION ALL that a
+    naive engine would run). The explicit grouping() bits disambiguate
+    subtotal NULLs from data NULLs, mirrored bit-for-bit in the oracle."""
+    o = load_table(spark, sf, "orders")
+    g_status = F.grouping("o_orderstatus").cast("bigint")
+    g_prio = F.grouping("o_orderpriority").cast("bigint")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_compat(F.sum("o_totalprice"), 2).alias("revenue"),
+            (g_status * 2 + g_prio).alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
+@query(
     "q25_collect_list_ordered",
     oracle="""
     SELECT o_custkey,

@@ -95,3 +95,52 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
         """
     )
+
+
+@query(
+    "q146_recursive_cte",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+      FROM orders
+    ), months(m, hi) AS (
+      SELECT lo, hi FROM bounds
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi
+    )
+    SELECT CAST(mo.m AS TIMESTAMP) AS month, COUNT(o.o_orderkey) AS n_orders
+    FROM months mo
+    LEFT JOIN orders o ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = mo.m
+    GROUP BY mo.m ORDER BY mo.m
+    """,
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): build a complete month
+    spine from the data's own bounds, then LEFT JOIN order counts onto
+    it — months with zero orders survive, which no plain GROUP BY can
+    produce. The recursion depth is |months| (~80 for the 7-year TPC-H
+    range), far under spark.sql.cteRecursionLevelLimit (100 default;
+    bounded recursion is the scale contract — the spine is tiny and
+    broadcast to the fact join, so the single wide stage is the count
+    aggregate). Oracle: the identical WITH RECURSIVE in DuckDB."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+                 CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+          FROM orders
+        ), months(m, hi) AS (
+          SELECT lo, hi FROM bounds
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE), hi
+          FROM months WHERE m < hi
+        )
+        SELECT CAST(mo.m AS TIMESTAMP) AS month, COUNT(o.o_orderkey) AS n_orders
+        FROM months mo
+        LEFT JOIN orders o
+          ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = mo.m
+        GROUP BY mo.m ORDER BY mo.m
+        """
+    )
