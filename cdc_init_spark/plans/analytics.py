@@ -326,3 +326,70 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("touch")
     )
+
+
+@query(
+    "q149_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+             AS duration_s
+    FROM sess GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch gap-based sessionization: a new session starts after a
+    >30-minute silence. lag-diff → boolean flag → running sum (the
+    classic gaps-and-islands fold), then one aggregate per session.
+    Both windows AND the final group share the user_id hash partitioning
+    — Catalyst plans ONE exchange for all three (lag, cumulative sum,
+    aggregate), which is the property that makes this viable on a
+    100 TB event log. Ties on ts are broken by event_id on both engines
+    so the session numbering is deterministic. This is the batch twin
+    of the T4 streaming session window (q57), which computes the same
+    semantics incrementally with watermark state."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    new_s = F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = e.withColumn("new_s", new_s).withColumn(
+        "session_seq", F.sum("new_s").over(running)
+    )
+    return (
+        sess.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq"))
+        .agg(
+            F.date_format(F.min("ts"), _US).alias("session_start"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                (
+                    F.unix_micros(F.max("ts").cast("timestamp"))
+                    - F.unix_micros(F.min("ts").cast("timestamp"))
+                )
+                / F.lit(1000000)
+            ).cast("bigint").alias("duration_s"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

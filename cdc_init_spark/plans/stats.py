@@ -349,3 +349,71 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
         "type",
         round_compat(F.col("c_acctbal"), 4).alias("acctbal"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "q148_histogram",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 25000), 23) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram with FIXED bucket bounds (width 25 000,
+    clamped to 24 buckets). Fixed bounds make it a single narrow map +
+    one partial-aggregated shuffle of ≤24 groups — the one-pass shape
+    you want at 100 TB (a data-driven min/max would force a second full
+    scan; for that use approxQuantile on a sample, as the Z-order layout
+    path does). min/max per bucket double as a bounds self-check."""
+    o = load_table(spark, sf, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(23)).cast(
+        "bigint"
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            round_compat(F.min("o_totalprice"), 2).alias("lo"),
+            round_compat(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q150_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe salted JOIN (operators.skew.salted_join) proven equal
+    to the plain equi-join by the oracle: the fact side gets a
+    deterministic per-row salt, the dim side is replicated n_salts×,
+    and the join key becomes (key, salt) — a hot customer key that
+    would serialize one reducer now spreads over 8. This is the
+    join-side twin of q75's salted aggregation, for dims too large to
+    broadcast but far smaller than the fact. AQE's skew-join split is
+    the runtime alternative; salting is the planned one."""
+    from cdc_init_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    dim = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(o, dim, on="o_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            round_compat(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
