@@ -208,3 +208,47 @@ def test_q106_cosine_neighbors_equi_join(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q106_cosine_neighbors")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q144_grouping_sets_single_expand(spark, sf_dir):
+    """q144's two grouping sets must compile to ONE Expand feeding one
+    hash aggregate — a single input scan, not N scans + union."""
+    p = plan_of(spark, sf_dir, "q144_grouping_sets")
+    assert p.count("Expand") >= 1
+    assert "Union" not in p
+
+
+def test_q145_bm25_no_cartesian_and_term_filter_early(spark, sf_dir):
+    """BM25's only nested-loop is the single-row stats broadcast; the
+    query-term IN filter must run before the (doc, term) aggregate so
+    non-matching tokens never reach a shuffle."""
+    p = plan_of(spark, sf_dir, "q145_bm25")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # dfreq + stats come back broadcast
+
+
+def test_q149_sessionize_one_data_exchange(spark, sf_dir):
+    """lag, running sum, and the session aggregate must all share the
+    user_id hash partitioning: exactly one hashpartitioning exchange
+    (the final ORDER BY adds a range exchange, nothing else)."""
+    import re
+
+    df = QUERIES["q149_sessionize"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q147_inverted_index_caps_before_collect(spark, sf_dir):
+    """The posting cap (row_number <= 32) must be computed by a Window
+    BEFORE the collect_list aggregate — the plan carries a Window node
+    and the aggregate consumes its output, so no unbounded list forms."""
+    p = plan_of(spark, sf_dir, "q147_inverted_index")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q150_salted_join_no_cartesian(spark, sf_dir):
+    """The salt-replicated dim joins on (key, salt) as a plain equi-join."""
+    p = plan_of(spark, sf_dir, "q150_salted_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
