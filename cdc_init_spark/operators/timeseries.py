@@ -206,3 +206,44 @@ def retention_cohorts(
         joined.groupBy(F.col("_cohort").alias("cohort"), "offset")
         .agg(F.count_distinct(F.col(key_col)).alias("n_active"))
     )
+
+
+def ewma(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exponentially-weighted moving average per key: the recurrence
+    y_1 = x_1, y_t = (1-alpha)*y_{t-1} + alpha*x_t, applied in event
+    order. Inherently sequential per key, so it runs as an
+    applyInPandas grouped-map (X2): each key's series lands in one
+    Arrow batch, the recurrence is an explicit loop with the exact same
+    literal operations the SQL oracle uses (NOT pandas.ewm, whose
+    internal weighted-average formulation differs in the last ulp), and
+    keys are processed in parallel across executors. State is O(1) per
+    key — this is the batch twin of a transformWithState streaming
+    aggregator. Scale contract: per-key series must fit one task
+    (events of one user do); the shuffle is one exchange on the key.
+    """
+    order = [ts_col, *order_cols]
+    schema_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+    )
+    out_schema = f"{schema_fields}, ewma double"
+
+    def _fold(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype="float64")
+        y = x.copy()
+        keep = 1.0 - alpha
+        for i in range(1, len(y)):
+            y[i] = keep * y[i - 1] + alpha * x[i]
+        pdf = pdf.copy()
+        pdf["ewma"] = y
+        return pdf
+
+    return df.groupBy(key).applyInPandas(_fold, schema=out_schema)

@@ -393,3 +393,143 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@query(
+    "q151_rolling_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, event_id, value,
+             AVG(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             COUNT(*) OVER w AS n_win
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           ROUND(value, 2) AS value,
+           ROUND((value - mu) / sd, 3) AS z
+    FROM stats
+    WHERE n_win >= 5 AND sd > 0 AND abs((value - mu) / sd) > 2.5
+    ORDER BY user_id, event_id
+    """,
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    trailing 20-event window of its own user (mean + sample stddev in
+    ONE window pass — Spark computes both from the same frame scan),
+    flagging |z| > 2.5 with a warm-up guard of 5 observations. The
+    window and nothing else shuffles (one user_id exchange + the output
+    sort); stddev over a frame is an incremental co-moment update, not
+    a per-row rescan. Deterministic tie-break on event_id."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    n_win = F.count(F.lit(1)).over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            round_compat(F.col("value"), 2).alias("value"),
+            round_compat(z, 3).alias("z"),
+            n_win.alias("_n"),
+            sd.alias("_sd"),
+            z.alias("_z"),
+        )
+        .filter((F.col("_n") >= 5) & (F.col("_sd") > 0) & (F.abs(F.col("_z")) > 2.5))
+        .drop("_n", "_sd", "_z")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q152_data_profile",
+    oracle="""
+    SELECT 'c_acctbal' AS col,
+           CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS n_distinct
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) FROM customer
+    ORDER BY col
+    """,
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-profiling summary (the 'describe' an ingestion pipeline runs
+    before training): per-column null count + exact distinct count in a
+    SINGLE scan — Spark plans the three COUNT(DISTINCT)s as one Expand
+    (each input row replicated once per column) feeding one aggregate,
+    where the naive form (the oracle's UNION ALL) scans the table once
+    per column. The unpivot to (col, stat) rows is a zero-shuffle
+    generator expansion on the 1-row aggregate output. At 100 TB swap
+    exact distinct for approx_count_distinct (q71's treatment) column
+    by column as cardinality demands."""
+    c = load_table(spark, sf, "customer")
+    cols = ["c_acctbal", "c_mktsegment", "c_nationkey"]
+    aggs = []
+    for col in cols:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias(f"nn_{col}")
+        )
+        aggs.append(F.count_distinct(F.col(col)).cast("bigint").alias(f"nd_{col}"))
+    one = c.agg(*aggs)
+    stacked = one.select(
+        F.expr(
+            "stack({n}, {args}) AS (col, n_nulls, n_distinct)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{col}', nn_{col}, nd_{col}" for col in cols
+                ),
+            )
+        )
+    )
+    return stacked.orderBy("col")
+
+
+@query(
+    "q153_ewma",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, event_id, rn, value, value AS ewma
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.rn, o.value,
+             (1 - 0.3) * r.ewma + 0.3 * o.value
+      FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ROUND(ewma, 4) AS ewma
+    FROM rec ORDER BY user_id, event_id
+    """,
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA smoothing per user (operators.timeseries.ewma, alpha=0.3):
+    the inherently-sequential recurrence runs as one Arrow grouped-map
+    per key while keys parallelize across the cluster. The oracle
+    replays the identical recurrence as a DuckDB recursive CTE stepping
+    rank-by-rank — both sides execute literally `(1-0.3)*prev +
+    0.3*x` in IEEE doubles, so the match is exact, not approximate.
+    Ties broken by event_id on both sides."""
+    from cdc_init_spark.operators.timeseries import ewma as _ewma
+
+    e = load_table(spark, sf, "events")
+    r = _ewma(e, "user_id", "ts", "value", alpha=0.3, order_cols=("event_id",))
+    return r.select(
+        "user_id", "event_id", round_compat(F.col("ewma"), 4).alias("ewma")
+    ).orderBy("user_id", "event_id")

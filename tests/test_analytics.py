@@ -209,3 +209,32 @@ def test_retention_cohort_offset_zero_is_cohort_size(spark, sf_dir):
         if r.offset == 0:
             assert r.n_active == sizes[r.cohort]
     assert {r.cohort for r in rows if r.offset == 0} == set(sizes)
+
+
+def test_ewma_matches_pandas_reference(spark):
+    """operators.timeseries.ewma equals pandas' adjust=False ewm (up to
+    float tolerance — pandas' internal weighted-average formulation
+    differs in the last ulp, which is why the q153 oracle replays the
+    explicit recurrence instead) and is partitioning-invariant."""
+    import pandas as pd
+
+    from cdc_init_spark.operators.timeseries import ewma
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 50 + ["b"] * 30,
+            "ts": list(range(50)) + list(range(30)),
+            "v": [float((i * 37) % 11) for i in range(50)]
+            + [float((i * 13) % 7) for i in range(30)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    got = (
+        ewma(df, "k", "ts", "v", alpha=0.25)
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+    for k, grp in pdf.groupby("k"):
+        want = grp.sort_values("ts")["v"].ewm(alpha=0.25, adjust=False).mean()
+        have = got[got["k"] == k]["ewma"].to_numpy()
+        assert abs(want.to_numpy() - have).max() < 1e-9
