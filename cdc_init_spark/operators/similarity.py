@@ -462,3 +462,77 @@ def _semdedup_keep_matmul(
         return pdf.loc[~dominated, names]
 
     return df.groupBy(cluster_col).applyInPandas(keep, keep_schema)
+
+
+# --- fully distributed Lloyd's k-means ------------------------------------
+
+def kmeans_fit_distributed(
+    df: DataFrame,
+    k: int = 10,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Lloyd's k-means where the DATA never visits the driver — only the
+    k×dim centroid matrix does, once per iteration. Contrast with
+    ``train_centroids`` (driver numpy on a bounded sample): this is the
+    path when even a sample is too big or exact centroids are wanted.
+
+    - Init: the k vectors with the smallest xxhash64(id) — deterministic,
+      seedless, and a single TakeOrderedAndProject(k) job.
+    - Assign: ``assign_lists`` (Arrow mapInPandas; centroids broadcast).
+    - Update: posexplode each vector to (cluster, pos, val) and take
+      avg per (cluster, pos) — a partial-aggregated shuffle whose output
+      is exactly k·dim rows, independent of |df|. Empty clusters keep
+      their previous centroid.
+
+    Per-iteration cost at 100 TB: one scan + one k·dim-group shuffle;
+    bounded driver traffic (k·dim doubles)."""
+    init = (
+        df.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .collect()
+    )
+    cent = np.array([list(r[vec_col]) for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assigned = assign_lists(df.select(vec_col), cent, vec_col)
+        upd = (
+            assigned.select(
+                "list_id", F.posexplode(vec_col).alias("pos", "val")
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        nxt = cent.copy()
+        for r in upd:
+            nxt[r["list_id"], r["pos"]] = r["m"]
+        cent = nxt
+    return cent
+
+
+def kmeans_inertia(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> float:
+    """Sum of squared distances to the nearest centroid — one scan, one
+    scalar back (the Lloyd's convergence monitor)."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+    schema = StructType([StructField("d2", DoubleType())])
+
+    def dist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({"d2": d.min(axis=1)})
+
+    return df.select(vec_col).mapInPandas(dist, schema).agg(
+        F.sum("d2")
+    ).collect()[0][0]

@@ -688,3 +688,37 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+@query("q154_kmeans")  # rows-only: float-summation order makes exact
+# centroid values engine-specific; Lloyd's invariants are pytest-gated
+# (tests/test_operators.py::test_distributed_kmeans_lloyd_invariants)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    """L3+: fully distributed Lloyd's k-means
+    (operators.similarity.kmeans_fit_distributed) — data never visits
+    the driver; per iteration one Arrow-batched assignment scan plus a
+    k·dim-group average shuffle, with only the k×dim centroid matrix
+    crossing to the driver. Deterministic seedless init (smallest
+    xxhash64 of vec_id). Output: cluster id + member count + share,
+    k rows. This is the exact-centroid counterpart of
+    ``train_centroids`` (bounded-sample driver k-means) that IVF uses,
+    for when centroids must reflect the full corpus."""
+    from cdc_init_spark.operators.similarity import (
+        assign_lists,
+        kmeans_fit_distributed,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    cent = kmeans_fit_distributed(e, k=10, iters=3)
+    a = assign_lists(e, cent)
+    sizes = a.groupBy("list_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    total = sizes.agg(F.sum("n").alias("_tot"))
+    return (
+        sizes.crossJoin(F.broadcast(total))
+        .select(
+            "list_id",
+            "n",
+            round_compat(F.col("n") / F.col("_tot"), 4).alias("share"),
+        )
+        .orderBy("list_id")
+    )

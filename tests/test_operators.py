@@ -594,3 +594,30 @@ def test_dedup_clusters_distributed_matches_unionfind_on_q103_fixture(
     )
     assert via_driver == via_distributed
     assert via_driver  # fixture produces a non-empty edge set
+
+
+def test_distributed_kmeans_lloyd_invariants(spark, sf_dir):
+    """kmeans_fit_distributed: inertia is monotone non-increasing across
+    iterations (Lloyd's guarantee), clearly beats a degenerate 1-cluster
+    solution, and the hash-based init is deterministic."""
+    import numpy as np
+
+    from cdc_init_spark.operators.similarity import (
+        kmeans_fit_distributed,
+        kmeans_inertia,
+    )
+    from cdc_init_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    inertias = [
+        kmeans_inertia(e, kmeans_fit_distributed(e, k=8, iters=i))
+        for i in (0, 1, 3)
+    ]
+    assert inertias[0] >= inertias[1] >= inertias[2] - 1e-9
+    # k=1 at the global mean is the degenerate ceiling
+    one = kmeans_fit_distributed(e, k=1, iters=1)
+    assert inertias[2] < kmeans_inertia(e, one)
+    # deterministic seedless init
+    a = kmeans_fit_distributed(e, k=8, iters=0)
+    b = kmeans_fit_distributed(e, k=8, iters=0)
+    assert np.array_equal(a, b)
