@@ -432,3 +432,51 @@ def interleave_sources(
         .select(*df.columns, round_col)
         .orderBy(round_col, group_col, key_col)
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document mean bigram log-probability with add-one smoothing,
+    LM trained on the corpus itself — the conditional-likelihood upgrade
+    of ``unigram_logprob``: P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V). Returns
+    (id, avg_logprob, n_bigrams); single-token documents have no bigrams
+    and drop out.
+
+    Shapes: positional bigram occurrences come from ``dedup.ngram_rows``
+    (one doc-keyed window, no per-row Python); the bigram and unigram
+    count frames are vocabulary²-bounded (zipfian, ≪ corpus); V is a
+    1-row broadcast; the scoring join broadcasts the model (or shuffles
+    on the gram key with ``broadcast_model=False`` for open vocabularies,
+    where AQE splits the Zipf-head skew); the per-doc mean is the only
+    corpus-wide shuffle."""
+    bg = dedup.ngram_rows(df, text_col, id_col, n=2, distinct=False)
+    toks = df.select(F.explode(dedup.tokens(F.col(text_col))).alias("__tok"))
+    uni = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c1"))
+    vsize = uni.agg(F.count(F.lit(1)).cast("double").alias("__v"))
+    c12 = bg.groupBy("_g").agg(F.count(F.lit(1)).alias("__c12"))
+    model = (
+        c12.withColumn("__w1", F.split("_g", " ").getItem(0))
+        .join(uni, F.col("__w1") == F.col("__tok"))
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "_g",
+            F.log(
+                (F.col("__c12").cast("double") + 1.0)
+                / (F.col("__c1").cast("double") + F.col("__v"))
+            ).alias("__lp"),
+        )
+    )
+    if broadcast_model:
+        model = F.broadcast(model)
+    return (
+        bg.join(model, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.avg("__lp").alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

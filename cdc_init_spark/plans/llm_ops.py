@@ -722,3 +722,46 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+@query(
+    "q155_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '')) AS ch
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM chars GROUP BY doc_id, ch
+    ), p AS (
+      SELECT doc_id, c / SUM(c) OVER (PARTITION BY doc_id) AS p FROM cnt
+    )
+    SELECT doc_id, ROUND(-SUM(p * ln(p)), 4) AS entropy
+    FROM p GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    """L4+: Shannon character entropy per document over normalized text
+    — the classic gibberish/boilerplate signal (low entropy = repeated
+    filler, high = random noise; natural text sits in a band). One char
+    explode shuffles on (doc_id, ch); the normalizing total reuses a
+    doc_id window and the entropy fold is a second agg on the SAME
+    doc_id partitioning — Catalyst plans one exchange for both. The
+    alphabet is bounded (~27 symbols after normalization) so the
+    (doc, ch) aggregate state is tiny regardless of document length."""
+    d = load_table(spark, sf, "documents")
+    from pyspark.sql.window import Window
+
+    norm = dedup.normalize_text(F.col("text"))
+    chars = d.select("doc_id", F.explode(F.split(norm, "")).alias("ch"))
+    cnt = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    p = F.col("c") / F.sum("c").over(Window.partitionBy("doc_id"))
+    return (
+        cnt.withColumn("p", p)
+        .groupBy("doc_id")
+        .agg(round_compat(-F.sum(F.col("p") * F.log("p")), 4).alias("entropy"))
+        .orderBy("doc_id")
+    )

@@ -227,3 +227,56 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
         round_compat(F.col("avg_logprob"), 4).alias("avg_logprob"),
         "n_tokens",
     ).orderBy("doc_id")
+
+
+@query(
+    "q156_bigram_logprob",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM base
+    ), flat AS (
+      SELECT t[i] AS tok FROM toks
+    ), uni AS (
+      SELECT tok, COUNT(*) AS c1 FROM flat GROUP BY tok
+    ), v AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS vsz FROM uni
+    ), bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g, t[i] AS w1
+      FROM toks WHERE i < len(t)
+    ), c12 AS (
+      SELECT g, w1, COUNT(*) AS c12 FROM bg GROUP BY g, w1
+    ), model AS (
+      SELECT c12.g,
+             ln((CAST(c12.c12 AS DOUBLE) + 1.0)
+                / (CAST(uni.c1 AS DOUBLE) + v.vsz)) AS lp
+      FROM c12 JOIN uni ON uni.tok = c12.w1 CROSS JOIN v
+    )
+    SELECT b.doc_id,
+           ROUND(AVG(m.lp), 4) AS avg_logprob,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM bg b JOIN model m ON m.g = b.g
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT quality scoring, conditional form: per-document mean add-one-
+    smoothed bigram log-probability (operators.corpus.bigram_logprob) —
+    scores word-order plausibility where q124's unigram proxy only
+    scores word choice. Model frames are vocabulary-bounded and
+    broadcast; the per-doc mean is the only corpus-wide shuffle. The
+    oracle rebuilds the same bigrams positionally and replays count,
+    smooth, ln, and mean term-for-term."""
+    from cdc_init_spark.functions.compat import round_compat
+    from cdc_init_spark.operators import corpus
+
+    d = load_table(spark, sf, "documents")
+    out = corpus.bigram_logprob(d)
+    return out.select(
+        "doc_id",
+        round_compat(F.col("avg_logprob"), 4).alias("avg_logprob"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+    ).orderBy("doc_id")
