@@ -32,6 +32,9 @@ ALLOWED_CARTESIAN = {
     "q120_quantized_cosine_topk",  # one query vector × embeddings
     "q124_unigram_logprob",  # 1-row token-total broadcast for P(tok)
     "q133_theta_user_overlap",  # two 1-row sketch frames crossed (scalar pattern)
+    "q145_bm25",  # 1-row corpus stats (N, avgdl) broadcast for idf/len-norm
+    "q154_kmeans",  # 1-row cluster-size total broadcast for share
+    "q156_bigram_logprob",  # 1-row token-total broadcast for P(tok)
 }
 
 CARTESIAN_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
