@@ -1,0 +1,176 @@
+"""Distributed graph operators — PageRank and triangle counting (EXT).
+
+Origin: EXT — the reference has no graph surface (its only
+graph-adjacent behavior is the dependency-free table list it seeds,
+/root/reference/src/cdc_init/core.clj:34-101); these are the standard
+link-analysis / community-structure operators a training-data pipeline
+runs over citation, hyperlink, or co-occurrence graphs (page quality
+signals for corpus weighting, near-dup cluster diagnostics).
+
+Both operators are pure DataFrame compositions — no GraphFrames/GraphX
+dependency, no RDDs, no Python in the hot path — so Catalyst/AQE plan
+every step (shuffle hash joins keyed on node ids, partial aggregation,
+runtime skew splitting).
+
+Scale notes (100 TB):
+- ``pagerank``: each iteration is ONE shuffle join (ranks ⋈ edges on
+  src) + ONE aggregation shuffle (contributions by dst) — the minimal
+  data movement any edge-centric PageRank does. The edge list (with
+  out-degrees attached) is computed once and persisted; iterating grows
+  only the logical plan (linearly), so for deep iteration counts pass
+  ``checkpoint_every`` to truncate lineage with ``localCheckpoint``.
+  Skewed in-degree (hub pages) is an AQE skew-join case; the
+  contribution aggregate is partial (map-side combine) so hub traffic
+  is combined before the shuffle.
+- ``triangles_per_node``: uses the degree-ordered orientation (each
+  undirected edge directed from its lower-(degree, id) endpoint), which
+  bounds the wedge join by the graph's arboricity — the classic
+  MapReduce triangle-enumeration bound (Suri & Vassilvitskii, WWW'11) —
+  instead of the naive join whose cost is Σ deg².  Three shuffles
+  total: degree count, wedge join, closure join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected → directed: emit each edge in both directions (the
+    usual preprocessing before ``pagerank`` on an undirected graph; it
+    also guarantees every node has out-degree ≥ 1, so no dangling
+    mass)."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list ``(src, dst)``.
+
+    Returns ``(node, pr)`` for every node appearing as src or dst.
+    Contract: nodes with out-degree 0 (dangling) contribute no mass and
+    their lost mass is NOT redistributed — callers with undirected
+    graphs should ``symmetrize`` first (then no dangling nodes exist and
+    Σ pr = 1 exactly, up to float rounding). Initial rank is 1/N.
+
+    Driver traffic is one scalar (the node count N); everything else is
+    executor-side. Each iteration: edges+outdeg ⋈ ranks on src (shuffle
+    hash join), then sum of contributions grouped by dst (partial agg →
+    one shuffle), then a left join back onto the node list so nodes with
+    no in-edges keep the teleport term (1-d)/N.
+    """
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("_outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = float(nodes.count())  # one scalar to the driver, O(1)
+    ed = e.join(deg, "src").persist()
+    teleport = (1.0 - damping) / n
+
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for i in range(iters):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("_outdeg")).alias("_s"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(teleport) + F.lit(damping) * F.coalesce("_s", F.lit(0.0))).alias(
+                "pr"
+            ),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def _undirected_canonical(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Canonicalize an undirected edge list to distinct (a, b) with
+    a < b and no self-loops."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _prec(d1: Column, n1: Column, d2: Column, n2: Column) -> Column:
+    """The degree-orientation total order: (deg, id) lexicographic."""
+    return (d1 < d2) | ((d1 == d2) & (n1 < n2))
+
+
+def triangles_per_node(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge list.
+
+    Returns ``(node, n_triangles)`` for every node with ≥ 1 triangle
+    (left-join from your node dim to keep zero rows). Each triangle is
+    enumerated exactly once at its minimum-(degree, id) pivot, then
+    credited to all three corners. The degree orientation makes the
+    wedge join output O(m^1.5) worst-case instead of Σ deg² — the
+    difference between a star-node blowup and a bounded join at scale.
+    """
+    e = _undirected_canonical(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    # attach degrees to both endpoints, then orient low → high
+    withdeg = (
+        e.join(deg.withColumnRenamed("node", "a").withColumnRenamed("_deg", "_da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("_deg", "_db"), "b")
+    )
+    o = withdeg.select(
+        F.when(_prec(F.col("_da"), F.col("a"), F.col("_db"), F.col("b")), F.col("a"))
+        .otherwise(F.col("b"))
+        .alias("u"),
+        F.when(_prec(F.col("_da"), F.col("a"), F.col("_db"), F.col("b")), F.col("b"))
+        .otherwise(F.col("a"))
+        .alias("v"),
+        F.when(_prec(F.col("_da"), F.col("a"), F.col("_db"), F.col("b")), F.col("_da"))
+        .otherwise(F.col("_db"))
+        .alias("_du"),
+        F.when(_prec(F.col("_da"), F.col("a"), F.col("_db"), F.col("b")), F.col("_db"))
+        .otherwise(F.col("_da"))
+        .alias("_dv"),
+    ).persist()
+    # wedges at the pivot u: (u→v, u→w) with v ≺ w in the same order
+    o1 = o.select("u", F.col("v").alias("v1"), F.col("_dv").alias("_d1"))
+    o2 = o.select("u", F.col("v").alias("v2"), F.col("_dv").alias("_d2"))
+    wedges = o1.join(o2, "u").filter(
+        _prec(F.col("_d1"), F.col("v1"), F.col("_d2"), F.col("v2"))
+    )
+    # close the wedge: (v1 → v2) must be an oriented edge
+    closed = wedges.join(
+        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    ).select("u", "v1", "v2")
+    corners = (
+        closed.select(F.col("u").alias("node"))
+        .unionByName(closed.select(F.col("v1").alias("node")))
+        .unionByName(closed.select(F.col("v2").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

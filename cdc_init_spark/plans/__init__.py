@@ -56,3 +56,4 @@ from cdc_init_spark.plans import llm as _llm  # noqa: E402,F401
 from cdc_init_spark.plans import llm_ops as _llm_ops  # noqa: E402,F401
 from cdc_init_spark.plans import corpus_ops as _corpus_ops  # noqa: E402,F401
 from cdc_init_spark.plans import pipeline as _pipeline  # noqa: E402,F401
+from cdc_init_spark.plans import graph as _graph  # noqa: E402,F401

@@ -1,0 +1,170 @@
+"""Graph-analytics corpus — PageRank and triangle counting (EXT).
+
+Origin: EXT — link-analysis operators a training-data pipeline runs over
+hyperlink / citation / co-occurrence graphs (PageRank-style page quality
+priors for corpus weighting; triangle density as a community-structure /
+spam-farm signal). The reference has no graph surface; the test graph is
+derived from the driver fixtures: the customer↔supplier bipartite graph
+(who bought from whom, via orders ⋈ lineitem) and the supplier co-order
+graph (suppliers that fulfilled the same order).
+
+Both queries replay EVERY stage — edge derivation, degrees, the
+power-iteration recurrence / the triangle 3-join — term-for-term in
+DuckDB SQL, so the driver hash-verifies the distributed algorithms
+end-to-end, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_init_spark.functions.compat import round_compat
+from cdc_init_spark.plans import query
+from cdc_init_spark.tables import load_table
+
+_DAMP = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled power-iteration PageRank in DuckDB SQL, mirroring
+    operators.graph.pagerank exactly (same teleport term, same left
+    join back onto the node list)."""
+    head = """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM e0
+      UNION ALL
+      SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM e0
+    ), deg AS (
+      SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, SUM(r.pr / d.outdeg) AS s
+      FROM edges e JOIN deg d USING (src) JOIN r{i - 1} r ON r.node = e.src
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT nodes.node,
+             {1.0 - _DAMP} / (SELECT n FROM nn)
+             + {_DAMP} * COALESCE(c{i}.s, 0.0) AS pr
+      FROM nodes LEFT JOIN c{i} USING (node)
+    )""")
+    tail = f"""
+    SELECT node, ROUND(pr, 8) AS pr FROM r{iters} ORDER BY node"""
+    return head + "," + ",".join(steps) + tail
+
+
+@query("q157_pagerank", oracle=_pagerank_oracle(_PR_ITERS))
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT graph: 3-iteration PageRank (d=0.85) over the symmetrized
+    customer↔supplier purchase graph (operators.graph.pagerank). Edge
+    derivation is one orders ⋈ lineitem equi-join + distinct; node ids
+    are prefixed ('c'/'s') so the two key spaces can't collide. Per
+    iteration the plan is exactly one shuffle join (ranks ⋈ edges on
+    src) and one partially-aggregated contribution shuffle (by dst) —
+    the minimal-movement edge-centric PageRank; symmetrization means no
+    dangling mass, so Σ pr = 1. The oracle unrolls the same recurrence
+    as three CTE layers in DuckDB and hash-matches all N ranks at 8
+    decimals."""
+    from cdc_init_spark.operators import graph
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    edges = graph.symmetrize(
+        cs.select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    pr = graph.pagerank(edges, iters=_PR_ITERS, damping=_DAMP)
+    return pr.select("node", round_compat(F.col("pr"), 8).alias("pr")).orderBy("node")
+
+
+@query(
+    "q158_triangle_count",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+      ) GROUP BY node
+    ), tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e0 e1
+      JOIN e0 e2 ON e1.b = e2.a
+      JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), pern AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT s.s_suppkey,
+           COALESCE(deg.degree, 0) AS degree,
+           COALESCE(pern.n_triangles, 0) AS n_triangles
+    FROM supplier s
+    LEFT JOIN deg ON deg.node = s.s_suppkey
+    LEFT JOIN pern ON pern.node = s.s_suppkey
+    ORDER BY s.s_suppkey
+    """,
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT graph: exact per-supplier triangle counts over the supplier
+    co-order graph (operators.graph.triangles_per_node). Edges come from
+    a lineitem self-equi-join on l_orderkey (per-order fanout is bounded
+    by order size, so the pair generation is a narrow join, never
+    all-pairs). The operator enumerates each triangle once at its
+    minimum-(degree, id) pivot — degree-ordered orientation, the
+    arboricity-bounded join shape that survives power-law hubs at
+    100 TB — then credits all three corners. The oracle counts the same
+    triangles with the naive a<b<c 3-way self-join (orientation-free,
+    provably the same set), making the count integer-exact; suppliers in
+    no triangle are kept as zero rows via the dim left-join."""
+    from cdc_init_spark.operators import graph
+
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = l.withColumnRenamed("l_suppkey", "s2")
+    pairs = (
+        l.join(l2, "l_orderkey")
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("src").alias("node"))
+        .unionByName(pairs.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    tri = graph.triangles_per_node(pairs)
+    s = load_table(spark, sf, "supplier").select("s_suppkey")
+    return (
+        s.join(deg, s.s_suppkey == deg.node, "left")
+        .drop("node")
+        .join(tri, s.s_suppkey == tri.node, "left")
+        .drop("node")
+        .select(
+            "s_suppkey",
+            F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+        .orderBy("s_suppkey")
+    )

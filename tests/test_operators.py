@@ -621,3 +621,39 @@ def test_distributed_kmeans_lloyd_invariants(spark, sf_dir):
     a = kmeans_fit_distributed(e, k=8, iters=0)
     b = kmeans_fit_distributed(e, k=8, iters=0)
     assert np.array_equal(a, b)
+
+
+def test_triangles_per_node_known_graph(spark):
+    """K4 plus a pendant vertex: K4 has 4 triangles, each K4 vertex sits
+    in C(3,2)=3 of them, the pendant in none; edge direction/duplication
+    in the input must not matter (canonicalization)."""
+    from cdc_init_spark.operators.graph import triangles_per_node
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(b, a) for a, b in k4] + [(4, 5)], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangles_per_node(edges).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_pagerank_star_graph_and_mass_conservation(spark):
+    """Symmetrized star S4: the hub's rank exceeds every leaf's, leaves
+    are equal by symmetry, and Σ pr = 1 (no dangling mass after
+    symmetrize). Closed form at any iteration keeps leaves identical."""
+    from cdc_init_spark.operators.graph import pagerank, symmetrize
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src int, dst int"
+    )
+    pr = {
+        r["node"]: r["pr"]
+        for r in pagerank(symmetrize(star), iters=5).collect()
+    }
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    leaves = [pr[i] for i in range(1, 5)]
+    assert all(abs(x - leaves[0]) < 1e-12 for x in leaves)
+    assert pr[0] > max(leaves) * 2
