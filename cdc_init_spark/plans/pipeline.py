@@ -280,3 +280,143 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
         round_compat(F.col("avg_logprob"), 4).alias("avg_logprob"),
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q159_bpe_pair_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    ), wf AS (
+      SELECT word, COUNT(*) AS wc FROM tok GROUP BY word
+    ), p AS (
+      SELECT substring(word, i, 1) || ' ' || substring(word, i + 1, 1) AS pair, wc
+      FROM (SELECT word, wc, unnest(range(1, len(word))) AS i
+            FROM wf WHERE len(word) >= 2)
+    )
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS freq
+    FROM p GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT 50
+    """,
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT tokenizer training: the first BPE merge iteration's statistic
+    — corpus-weighted adjacent-symbol-pair frequencies (Sennrich et al.,
+    ACL'16 §3.2). The scale trick BPE trainers use is exactly this
+    factoring: count WORD frequencies once (one shuffle over the token
+    stream, partial-aggregated), then expand each DISTINCT word — a
+    vocabulary-sized frame, orders of magnitude smaller than the corpus
+    — into its adjacent character pairs and weight by word count. The
+    pair expansion is a codegen'd transform over sequence() (no Python),
+    the final pair aggregate is vocabulary-bounded, and top-50 compiles
+    to TakeOrderedAndProject. The oracle replays word counts, positional
+    pair extraction, and the weighted sum; counts are integer-exact."""
+    d = load_table(spark, sf, "documents")
+    wf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> concat(substring(word, i, 1), ' ',"
+                " substring(word, i + 1, 1)))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(50)
+    )
+
+
+@query(
+    "q160_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY source, term
+    ), vocab AS (SELECT DISTINCT term FROM counts),
+    vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+    srcs AS (SELECT DISTINCT source FROM counts),
+    tot AS (SELECT source, SUM(c) AS t FROM counts GROUP BY source),
+    grid AS (
+      SELECT s.source, vb.term,
+             (COALESCE(c.c, 0.0) + 1.0) / (tot.t + (SELECT v FROM vs)) AS p
+      FROM srcs s
+      CROSS JOIN vocab vb
+      LEFT JOIN counts c ON c.source = s.source AND c.term = vb.term
+      JOIN tot ON tot.source = s.source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           ROUND(SUM(0.5 * (a.p * ln(2.0 * a.p / (a.p + b.p))
+                          + b.p * ln(2.0 * b.p / (a.p + b.p)))), 6) AS js_nats
+    FROM grid a JOIN grid b ON a.term = b.term AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT corpus mixing diagnostics: pairwise Jensen-Shannon divergence
+    (in nats, add-one smoothing over the joint vocabulary) between every
+    pair of per-source unigram distributions — the drift/overlap matrix
+    a dataset-mixing stage consults before setting q118-style source
+    weights. Shape at 100 TB: the token stream collapses to (source,
+    term) counts in ONE partial-aggregated shuffle; everything after
+    operates on the vocabulary-sized frame — the smoothing grid is
+    vocab × |S| where the source dim is a small constant (broadcast
+    cross join, the q15-class bounded pattern), and the pair join is
+    term-keyed, never all-rows. The oracle replays smoothing, the mixed
+    distribution, and both KL halves term-for-term; ties to 6 decimals."""
+    from cdc_init_spark.functions.compat import round_compat
+
+    d = load_table(spark, sf, "documents")
+    counts = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    vocab = counts.select("term").distinct()
+    vs = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    srcs = counts.select("source").distinct()
+    tot = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    grid = (
+        vocab.crossJoin(F.broadcast(srcs))
+        .join(counts, ["source", "term"], "left")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(vs))
+        .select(
+            "source",
+            "term",
+            ((F.coalesce("c", F.lit(0.0)) + 1.0) / (F.col("t") + F.col("v"))).alias(
+                "p"
+            ),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"), "term", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"), "term", F.col("p").alias("pb")
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    contrib = 0.5 * (
+        pa * F.log(2.0 * pa / (pa + pb)) + pb * F.log(2.0 * pb / (pa + pb))
+    )
+    return (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(round_compat(F.sum(contrib), 6).alias("js_nats"))
+        .orderBy("source_a", "source_b")
+    )

@@ -35,6 +35,7 @@ ALLOWED_CARTESIAN = {
     "q145_bm25",  # 1-row corpus stats (N, avgdl) broadcast for idf/len-norm
     "q154_kmeans",  # 1-row cluster-size total broadcast for share
     "q156_bigram_logprob",  # 1-row token-total broadcast for P(tok)
+    "q160_js_divergence",  # vocab × bounded source dim grid + 1-row |V| scalar
 }
 
 CARTESIAN_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
