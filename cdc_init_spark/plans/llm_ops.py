@@ -765,3 +765,45 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
         .agg(round_compat(-F.sum(F.col("p") * F.log("p")), 4).alias("entropy"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q162_label_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    )
+    SELECT label, pos,
+           ROUND(AVG(CAST(embedding[pos] AS DOUBLE)), 6) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM flat
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    """L3+: per-label embedding centroids in long form (label, pos,
+    mean component) — the grouped vector aggregate behind class
+    prototypes, SemDeDup cluster centers, and embedding-drift monitors.
+    Shape at 100 TB: posexplode fans each vector into dim rows
+    map-side, then ONE partial-aggregated shuffle on (label, pos) —
+    the exchange carries (label, pos, partial sum/count) cells, i.e.
+    #labels × dim × partitions rows, independent of corpus size. No
+    collect, no Python: centroids stay a DataFrame that downstream
+    assignment joins consume (vs kmeans_fit_distributed's driver-side
+    k×dim matrix, documented there as the bounded exception). The
+    oracle rebuilds positions 1-based via range-unnest and averages
+    the identical double casts."""
+    e = load_table(spark, sf, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double"))
+    return (
+        flat.groupBy("label", "pos")
+        .agg(
+            round_compat(F.avg("v"), 6).alias("centroid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        )
+        .orderBy("label", "pos")
+    )

@@ -420,3 +420,82 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
         .agg(round_compat(F.sum(contrib), 6).alias("js_nats"))
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "q161_pmi_collocations",
+    oracle="""
+    WITH base AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), pos AS (
+      SELECT t, unnest(range(1, len(t))) AS i FROM base
+    ), big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2 FROM pos
+    ), c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM big GROUP BY w1, w2
+    ), uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n1 FROM (
+        SELECT unnest(t) AS tok FROM base
+      ) GROUP BY tok
+    ), nn AS (SELECT CAST(SUM(n1) AS DOUBLE) AS n FROM uni)
+    SELECT w1, w2, n12,
+           ROUND(ln(CAST(n12 AS DOUBLE) * (SELECT n FROM nn)
+                    / (CAST(a.n1 AS DOUBLE) * CAST(b.n1 AS DOUBLE))), 6) AS pmi
+    FROM c2
+    JOIN uni a ON a.tok = w1
+    JOIN uni b ON b.tok = w2
+    WHERE n12 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 40
+    """,
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT collocation mining: pointwise mutual information of adjacent
+    word pairs (Church & Hanks, 1990) — the phrase/multi-word-expression
+    detector a tokenizer or phrase-vocab stage runs before merges.
+    Shape at 100 TB: bigram extraction is a codegen'd positional
+    transform (no Python, no self-join); bigram and unigram counts are
+    two partial-aggregated shuffles; the PMI join touches only the
+    c2-filtered bigram table (min-count 5 prunes the long tail BEFORE
+    the join) against the vocabulary-sized unigram relation; the token
+    total is a 1-row broadcast. Top-40 is TakeOrderedAndProject. The
+    oracle replays extraction, both count relations, and the exact
+    ln(n12·N/(n1a·n1b)) arithmetic; ties break on the word pair."""
+    from cdc_init_spark.functions.compat import round_compat
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select(tokens(F.col("text")).alias("t"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n12"))
+        .filter(F.col("n12") >= 5)
+    )
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    )
+    nn = uni.agg(F.sum("n1").cast("double").alias("n"))
+    a = uni.select(F.col("tok").alias("w1"), F.col("n1").alias("_n1a"))
+    b = uni.select(F.col("tok").alias("w2"), F.col("n1").alias("_n1b"))
+    pmi = F.log(
+        F.col("n12").cast("double")
+        * F.col("n")
+        / (F.col("_n1a").cast("double") * F.col("_n1b").cast("double"))
+    )
+    return (
+        c2.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .crossJoin(F.broadcast(nn))
+        .select("w1", "w2", "n12", round_compat(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(40)
+    )

@@ -36,6 +36,7 @@ ALLOWED_CARTESIAN = {
     "q154_kmeans",  # 1-row cluster-size total broadcast for share
     "q156_bigram_logprob",  # 1-row token-total broadcast for P(tok)
     "q160_js_divergence",  # vocab × bounded source dim grid + 1-row |V| scalar
+    "q161_pmi_collocations",  # 1-row token-total broadcast for the PMI scale
 }
 
 CARTESIAN_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
