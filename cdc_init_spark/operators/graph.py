@@ -174,3 +174,81 @@ def triangles_per_node(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg, JACM'99) over a directed
+    edge list ``(src, dst)``, un-normalized power iteration — callers
+    normalize once at the end (one scalar each), which avoids a 1-row
+    broadcast PER iteration; with bounded ``iters`` the magnitudes stay
+    far from overflow (they grow like avg-degree^iters).
+
+    Returns ``(node, hub, auth)`` for every node. Per iteration:
+    authority(v) = Σ hub(u) over u→v, then hub(u) = Σ auth(v) over
+    u→v — each update is one shuffle join + one partially-aggregated
+    sum, the same minimal edge-centric movement as ``pagerank``. Nodes
+    with no in-edges get auth 0; no out-edges, hub 0.
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = nodes.withColumn("auth", F.lit(1.0))
+    for _ in range(iters):
+        auth = (
+            nodes.join(
+                e.join(hub.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("_a"))
+                .withColumnRenamed("dst", "node"),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("_a", F.lit(0.0)).alias("auth"))
+        )
+        hub = (
+            nodes.join(
+                e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.sum("auth").alias("_h"))
+                .withColumnRenamed("src", "node"),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("_h", F.lit(0.0)).alias("hub"))
+        )
+    return hub.join(auth, "node")
+
+
+def khop_distances(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+    """Minimum-hop distances from a seed set, out to ``k`` hops —
+    distributed BFS by iterated frontier expansion.
+
+    ``edges`` is directed ``(src, dst)`` (symmetrize for undirected);
+    ``seeds`` has a ``node`` column. Returns ``(node, hops)`` with
+    hops = min distance ≤ k. Each round expands only the NEWLY reached
+    frontier (not the whole visited set) through one shuffle join, then
+    one min-aggregate folds rediscoveries — k joins total, each sized
+    by the frontier, the textbook scalable BFS (no quadratic closure).
+    """
+    dist = seeds.select("node").distinct().withColumn("hops", F.lit(0))
+    frontier = dist
+    for i in range(1, k + 1):
+        reached = (
+            frontier.join(edges.withColumnRenamed("src", "node"), "node")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("hops", F.lit(i))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .persist()
+        )
+        frontier = dist.filter(F.col("hops") == i)
+    return dist

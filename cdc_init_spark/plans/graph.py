@@ -168,3 +168,120 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q163_hits",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM e0
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    a1 AS (
+      SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS auth FROM edges GROUP BY dst
+    ), h1 AS (
+      SELECT e.src AS node, SUM(a1.auth) AS hub
+      FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY e.src
+    ), a2 AS (
+      SELECT e.dst AS node, SUM(h1.hub) AS auth
+      FROM edges e JOIN h1 ON h1.node = e.src GROUP BY e.dst
+    ), h2 AS (
+      SELECT e.src AS node, SUM(a2.auth) AS hub
+      FROM edges e JOIN a2 ON a2.node = e.dst GROUP BY e.src
+    )
+    SELECT nodes.node,
+           CAST(COALESCE(h2.hub, 0) AS BIGINT) AS hub,
+           CAST(COALESCE(a2.auth, 0) AS BIGINT) AS auth
+    FROM nodes LEFT JOIN h2 USING (node) LEFT JOIN a2 USING (node)
+    ORDER BY node
+    """,
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT graph: 2-iteration HITS hubs/authorities (Kleinberg, JACM'99;
+    operators.graph.hits) over the DIRECTED customer→supplier purchase
+    graph — customers are pure hubs, suppliers pure authorities, the
+    canonical bipartite HITS setting. Un-normalized power iteration from
+    all-ones makes every intermediate an INTEGER (auth₁ = in-degree,
+    then alternating integer sums), so the driver hash-check is exact
+    with no float rounding anywhere; normalization is a presentation
+    step (two scalars) deliberately left out of the algebra. Per update
+    the plan is one shuffle join + one partially-aggregated sum — same
+    minimal edge-centric movement as q157. The oracle unrolls
+    a1→h1→a2→h2 as CTE layers."""
+    from cdc_init_spark.operators import graph
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    hs = graph.hits(edges, iters=2)
+    return hs.select(
+        "node",
+        F.col("hub").cast("bigint").alias("hub"),
+        F.col("auth").cast("bigint").alias("auth"),
+    ).orderBy("node")
+
+
+@query(
+    "q164_khop_bfs",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+    ), ed AS (
+      SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+    ), seeds AS (
+      SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = 0
+    ), d1 AS (
+      SELECT DISTINCT ed.dst AS node FROM ed JOIN seeds ON ed.src = seeds.node
+    ), d2 AS (
+      SELECT DISTINCT ed.dst AS node FROM ed JOIN d1 ON ed.src = d1.node
+    ), reach AS (
+      SELECT node, 0 AS hops FROM seeds
+      UNION ALL SELECT node, 1 FROM d1
+      UNION ALL SELECT node, 2 FROM d2
+    )
+    SELECT node, MIN(hops) AS hops
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT graph: distributed BFS — minimum-hop distances out to 2 hops
+    from the nation-0 supplier seed set over the (symmetrized) supplier
+    co-order graph (operators.graph.khop_distances). Each round expands
+    only the NEWLY-reached frontier through one shuffle join, then a
+    min-aggregate folds rediscoveries — k frontier-sized joins, never a
+    transitive-closure blowup; this is the reachability primitive under
+    contamination-spread and link-expansion analyses. The oracle unions
+    seed/1-hop/2-hop layers and takes MIN(hops); integer-exact."""
+    from cdc_init_spark.operators import graph
+
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = l.withColumnRenamed("l_suppkey", "s2")
+    pairs = (
+        l.join(l2, "l_orderkey")
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    edges = graph.symmetrize(pairs)
+    seeds = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    d = graph.khop_distances(edges, seeds, k=2)
+    return d.select("node", F.col("hops").cast("integer").alias("hops")).orderBy(
+        "node"
+    )

@@ -657,3 +657,41 @@ def test_pagerank_star_graph_and_mass_conservation(spark):
     leaves = [pr[i] for i in range(1, 5)]
     assert all(abs(x - leaves[0]) < 1e-12 for x in leaves)
     assert pr[0] > max(leaves) * 2
+
+
+def test_hits_bipartite_known_graph(spark):
+    """Two customers, two suppliers: c1→{s1,s2}, c2→{s1}. After one
+    iteration auth = in-degree (s1:2, s2:1), hubs fold those back
+    (c1:3, c2:2); second iteration alternates the same integer sums
+    (auth: s1=5, s2=3; hub: c1=8, c2=5). Pure-hub customers carry
+    auth 0, pure-authority suppliers hub 0."""
+    from cdc_init_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("c1", "s1"), ("c1", "s2"), ("c2", "s1")], "src string, dst string"
+    )
+    got = {
+        r["node"]: (r["hub"], r["auth"]) for r in hits(edges, iters=2).collect()
+    }
+    assert got == {
+        "c1": (8.0, 0.0),
+        "c2": (5.0, 0.0),
+        "s1": (0.0, 5.0),
+        "s2": (0.0, 3.0),
+    }
+
+
+def test_khop_distances_path_graph(spark):
+    """Path 1-2-3-4-5 with seed {1}: hops are the path distances,
+    truncated at k; node 5 is unreached at k=3."""
+    from cdc_init_spark.operators.graph import khop_distances, symmetrize
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {
+        r["node"]: r["hops"]
+        for r in khop_distances(symmetrize(path), seeds, k=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
