@@ -365,6 +365,177 @@ def quantized_cosine_topk(
     )
 
 
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 20000,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al., TPAMI 2011):
+    split the vector into ``m`` contiguous subspaces and run an
+    independent k-means (``k_codes`` centroids) in each. Returns the
+    codebook tensor of shape ``(m, k_codes, dim/m)``.
+
+    Training collects only a BOUNDED deterministic sample — the
+    ``sample_size`` vectors with the smallest xxhash64(id), a single
+    TakeOrderedAndProject job (same discipline as ``train_centroids``
+    but seedless/deterministic like ``kmeans_fit_distributed``'s init);
+    the full corpus never visits the driver. Per-subspace Lloyd's runs
+    in driver numpy over that sample — m codebooks of k·(dim/m) floats,
+    kilobytes to broadcast."""
+    sample = (
+        df.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h", id_col)
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    x = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k_codes, sub), dtype=np.float64)
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        k = min(k_codes, len(xs))
+        cent = xs[rng.choice(len(xs), size=k, replace=False)]
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        if k < k_codes:  # degenerate tiny input: pad with repeats
+            cent = np.vstack([cent, np.repeat(cent[:1], k_codes - k, axis=0)])
+        books[s] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Replace ``vec_col`` with ``codes`` — the per-subspace nearest
+    codebook index, ``m`` small ints per vector. At dim=64 float32 →
+    m=4 bytes this is a 64× scan/shuffle compression; at 100 TB the
+    corpus is encoded ONCE at ingest and every ANN query runs over the
+    codes. One numpy pass per Arrow batch; codebooks ride a broadcast."""
+    bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    out_fields = [f for f in df.schema.fields if f.name != vec_col]
+    schema = StructType(out_fields + [StructField("codes", ArrayType(LongType()))])
+    names = [f.name for f in out_fields]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        m, _, sub = books.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for s in range(m):
+                xs = mat[:, s * sub : (s + 1) * sub]
+                d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d.argmin(axis=1)
+            out = pdf[names].copy()
+            out["codes"] = list(codes)
+            yield out
+
+    return df.mapInPandas(encode, schema)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds an
+    ``m × k_codes`` lookup table of exact sub-distances ONCE; each coded
+    vector's approximate squared L2 distance is then ``m`` table lookups
+    and a sum — no decode, no original vectors touched. Output:
+    (id, adc_dist) ascending, ties broken by id.
+
+    Physical shape: broadcast lookup table, one narrow Arrow scoring
+    pass over the codes relation, TakeOrderedAndProject(k). Nothing
+    proportional to corpus size crosses the network."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    m, k_codes, sub = codebooks.shape
+    table = np.empty((m, k_codes), dtype=np.float64)
+    for s in range(m):
+        table[s] = ((codebooks[s] - q[None, s * sub : (s + 1) * sub]) ** 2).sum(
+            axis=1
+        )
+    bt = encoded.sparkSession.sparkContext.broadcast(table)
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("adc_dist", DoubleType())]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = bt.value
+        rows = np.arange(t.shape[0])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            d = t[rows[None, :], codes].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "adc_dist": d})
+
+    return (
+        encoded.select(id_col, "codes")
+        .mapInPandas(score, schema)
+        .orderBy(F.col("adc_dist").asc(), id_col)
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    encoded: DataFrame,
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 5,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ pipeline: ADC shortlist (``pq_topk`` with
+    ``shortlist`` ≫ k) then EXACT re-rank of just those candidates
+    against the raw vectors. The full corpus is only ever touched
+    through its m-byte codes; the float vectors are fetched for the
+    shortlist alone via a broadcast semi-join (shortlist rows, not
+    corpus rows, cross the network). Returns (id, l2_dist) ascending —
+    exact distances, PQ only decided WHO got scored."""
+    cand = pq_topk(encoded, codebooks, query_vec, k=shortlist, id_col=id_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        vectors.join(F.broadcast(cand.select(id_col)), id_col)
+        .select(
+            id_col,
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), q, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("l2_dist"),
+        )
+        .orderBy(F.col("l2_dist").asc(), id_col)
+        .limit(k)
+    )
+
+
 def semdedup_keep(
     df: DataFrame,
     cluster_col: str,

@@ -807,3 +807,32 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@query("q165_pq_topk")  # rows-only: the codebooks are k-means output, so
+# exact code assignments are float-order engine-specific; ADC recall and
+# determinism laws are pytest-gated (tests/test_operators.py::TestPQ)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    """L3+: product-quantization ANN (Jégou et al., TPAMI 2011) — the
+    compression tier of the ANN suite next to IVF pruning (q-ivf path)
+    and int8 quantization (q120). Vectors are split into m=4 subspaces,
+    each coded to its nearest of 16 per-subspace k-means centroids
+    (``pq_train``/``pq_encode``): 64 floats → 4 small ints, a ~64×
+    scan/shuffle compression at ingest. The query scores candidates via
+    the asymmetric-distance lookup table (``pq_topk``): m table lookups
+    + a sum per vector, broadcast table, narrow Arrow pass,
+    TakeOrderedAndProject — nothing corpus-sized moves. Output: top-5
+    (vec_id, adc_dist) for the deterministic query vector vec_id=7's
+    raw embedding."""
+    from cdc_init_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    e = load_table(spark, sf, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    ]
+    books = pq_train(e, m=4, k_codes=16)
+    coded = pq_encode(e.select("vec_id", "embedding"), books)
+    return pq_topk(coded, books, qvec, k=5).withColumn(
+        "adc_dist", F.round(F.col("adc_dist"), 6)
+    )

@@ -695,3 +695,75 @@ def test_khop_distances_path_graph(spark):
         for r in khop_distances(symmetrize(path), seeds, k=3).collect()
     }
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_pq_adc_recall_and_determinism(spark, sf_dir):
+    """Product quantization (similarity.pq_train/pq_encode/pq_topk):
+    (a) codebooks are deterministic (hash-ordered sample + seeded init);
+    (b) encoding is partitioning-invariant; (c) ADC top-10 recalls most
+    of the exact-L2 top-10 (m=8, 32 codes over dim=64 is a 32x
+    compression — recall well above chance is the contract); (d) the
+    ADC distance of a vector's own code is <= its distance to any other
+    single code (table-lookup sanity)."""
+    import numpy as np
+
+    from cdc_init_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_topk_rerank,
+        pq_train,
+    )
+    from cdc_init_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=8, k_codes=32)
+    assert books.shape[0] == 8 and books.shape[1] == 32
+    assert np.array_equal(books, pq_train(e, m=8, k_codes=32))
+
+    coded = pq_encode(e.select("vec_id", "embedding"), books)
+    a = {r["vec_id"]: list(r["codes"]) for r in coded.collect()}
+    b = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(
+            e.select("vec_id", "embedding").repartition(7), books
+        ).collect()
+    }
+    assert a == b
+    assert all(len(c) == 8 for c in a.values())
+
+    qrow = e.filter("vec_id = 7").select("embedding").first()[0]
+    qvec = [float(x) for x in qrow]
+    approx = [r["vec_id"] for r in pq_topk(coded, books, qvec, k=10).collect()]
+    shortlist = [
+        r["vec_id"] for r in pq_topk(coded, books, qvec, k=100).collect()
+    ]
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in e.select("vec_id", "embedding").collect()
+    }
+    q = np.array(qvec)
+    exact = sorted(vecs, key=lambda i: (float(((vecs[i] - q) ** 2).sum()), i))[:10]
+    # near-random embeddings are PQ's worst case; still ≫ chance (10/500)
+    assert len(set(approx) & set(exact)) / 10 >= 0.3
+    # the query's own id must rank first: its code cell is the nearest
+    # reconstruction available to ADC
+    assert approx[0] == 7
+    # the real contract is the SHORTLIST: ADC top-100 must recall nearly
+    # all of the exact top-10, because production PQ reranks exactly
+    assert len(set(shortlist) & set(exact)) / 10 >= 0.9
+
+    reranked = pq_topk_rerank(
+        coded, e.select("vec_id", "embedding"), books, qvec, k=10,
+        shortlist=100,
+    ).collect()
+    got = [r["vec_id"] for r in reranked]
+    # rerank scores are exact L2, so within the recalled set the order is
+    # the exact order (any non-recalled exact ids are simply absent and
+    # later candidates fill the tail); distances must agree with numpy
+    want_prefix = [i for i in exact if i in set(shortlist)]
+    assert got[: len(want_prefix)] == want_prefix or got == want_prefix[: len(got)]
+    for r in reranked:
+        np.testing.assert_allclose(
+            r["l2_dist"], float(((vecs[r["vec_id"]] - q) ** 2).sum()), rtol=1e-9
+        )
