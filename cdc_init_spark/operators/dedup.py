@@ -1098,3 +1098,86 @@ def fuzzy_pairs_lev1(
         .distinct()
         .filter(F.levenshtein("a", "b") == 1)
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 100,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity self-join via an inverted-index
+    (term-keyed) join — the BoW twin of the dense-embedding
+    ``similarity.cosine_self_join`` and the weighted upgrade of exact
+    n-gram Jaccard (``ngram_jaccard_neighbors``). Bayardo et al.'s
+    all-pairs family, reduced to its relational core:
+
+    1. (doc, term, tf) — token occurrences collapse map-side before the
+       one term shuffle;
+    2. smoothed idf = ln((N+1)/(df+1)) + 1 (q114's formula) from the
+       vocabulary-sized df relation; N is a 1-row broadcast scalar;
+    3. **df-cut**: terms occurring in more than ``max_df`` documents are
+       dropped BEFORE pairing. This is the scale contract — the pair
+       fan-out of the posting join is Σ_term df² ≤ |vocab|·max_df², so a
+       stop-word can never explode a partition (the same heavy-bucket
+       discipline as the LSH band cap). Vectors/norms are defined over
+       the kept terms, so the cosine is exact in the cut space;
+    4. posting self-join on term with a<b, one partial-aggregated
+       (a, b) dot-product shuffle, norm join (doc-sized, broadcastable),
+       threshold on the 6-dp-rounded cosine (engine-portable boundary).
+
+    Output: (doc_a, doc_b, cosine) for rounded cosine ≥ threshold."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("_doc", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    kept = (
+        tf.join(dfreq.filter(F.col("_df") <= max_df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_doc",
+            "term",
+            (
+                F.col("_tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0)) + 1.0)
+            ).alias("_w"),
+        )
+    )
+    norms = kept.groupBy("_doc").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nrm")
+    )
+    dots = (
+        kept.select(F.col("_doc").alias("doc_a"), "term", F.col("_w").alias("_wa"))
+        .join(
+            kept.select(
+                F.col("_doc").alias("doc_b"), "term", F.col("_w").alias("_wb")
+            ),
+            "term",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    from cdc_init_spark.functions.compat import round_compat
+
+    return (
+        dots.join(norms.withColumnRenamed("_doc", "doc_a"), "doc_a")
+        .withColumnRenamed("_nrm", "_na")
+        .join(norms.withColumnRenamed("_doc", "doc_b"), "doc_b")
+        .withColumnRenamed("_nrm", "_nb")
+        .select(
+            "doc_a",
+            "doc_b",
+            round_compat(
+                F.col("_dot") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

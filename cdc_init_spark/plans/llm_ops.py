@@ -836,3 +836,56 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
     return pq_topk(coded, books, qvec, k=5).withColumn(
         "adc_dist", F.round(F.col("adc_dist"), 6)
     )
+
+
+@query(
+    "q166_tfidf_cosine_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS dfc FROM tf GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    kept AS (
+      SELECT doc_id, tf.term AS term,
+             tf * (ln((n.n + 1.0) / (dfc + 1.0)) + 1.0) AS w
+      FROM tf, dfreq, n
+      WHERE tf.term = dfreq.term AND dfc <= 100
+    ), nrm AS (
+      SELECT doc_id, sqrt(SUM(w * w)) AS nn FROM kept GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+      FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT doc_a, doc_b,
+             ROUND(dot / (na.nn * nb.nn), 6) AS cosine
+      FROM dots
+      JOIN nrm na ON doc_a = na.doc_id
+      JOIN nrm nb ON doc_b = nb.doc_id
+    )
+    SELECT doc_a, doc_b, cosine FROM scored
+    WHERE cosine >= 0.5 ORDER BY doc_a, doc_b
+    """,
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    """L6+: sparse TF-IDF cosine all-pairs self-join
+    (operators.dedup.tfidf_cosine_pairs) — the bag-of-words similarity
+    join between the exact n-gram Jaccard (q101) and the dense-embedding
+    pair queries (q106): term-weighted, inverted-index-shaped. The df-cut
+    (df ≤ 100 here) bounds every posting list BEFORE the self-join, so
+    the pair fan-out is Σ df² — the stop-word-proof shape; token
+    occurrences collapse map-side ahead of the single term shuffle, and
+    the dot-product aggregate is partial-aggregated on (doc_a, doc_b).
+    Threshold compares the 6-dp-rounded cosine so the boundary is
+    engine-portable. Oracle replays tf, smoothed idf, df-cut, norms and
+    the posting join verbatim in DuckDB."""
+    d = load_table(spark, sf, "documents")
+    return dedup.tfidf_cosine_pairs(
+        d, max_df=100, threshold=0.5
+    ).orderBy("doc_a", "doc_b")

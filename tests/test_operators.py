@@ -767,3 +767,34 @@ def test_pq_adc_recall_and_determinism(spark, sf_dir):
         np.testing.assert_allclose(
             r["l2_dist"], float(((vecs[r["vec_id"]] - q) ** 2).sum()), rtol=1e-9
         )
+
+
+def test_tfidf_cosine_pairs_laws(spark):
+    """tfidf_cosine_pairs: identical documents score exactly 1.0; a term
+    occurring in EVERY document is removed by the df-cut, so documents
+    sharing only that term produce no pair; pairs are canonical a<b."""
+    from cdc_init_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma common"),
+            (2, "alpha beta gamma common"),   # exact dup of 1
+            (3, "delta epsilon zeta common"), # shares only 'common' with 1/2
+            (4, "delta epsilon zeta common"), # exact dup of 3
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(docs, max_df=3, threshold=0.1).collect()
+    }
+    assert set(got) == {(1, 2), (3, 4)}
+    assert got[(1, 2)] == 1.0 and got[(3, 4)] == 1.0
+    # with the cut relaxed the cross-group 'common'-only pairs appear,
+    # but far below the dup score
+    loose = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(docs, max_df=4, threshold=0.0).collect()
+    }
+    assert set(loose) == {(a, b) for a in range(1, 5) for b in range(1, 5) if a < b}
+    assert loose[(1, 3)] < 0.5 < loose[(1, 2)]

@@ -37,6 +37,7 @@ ALLOWED_CARTESIAN = {
     "q156_bigram_logprob",  # 1-row token-total broadcast for P(tok)
     "q160_js_divergence",  # vocab × bounded source dim grid + 1-row |V| scalar
     "q161_pmi_collocations",  # 1-row token-total broadcast for the PMI scale
+    "q166_tfidf_cosine_pairs",  # 1-row doc-count scalar broadcast for idf
 }
 
 CARTESIAN_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
