@@ -480,3 +480,102 @@ def bigram_logprob(
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Train byte-pair-encoding merges (Sennrich et al., ACL 2016) over
+    the corpus — the full iterative loop, not just the first-pair
+    statistic (q159). Returns the merge table
+    (step, left, right, merged, pair_count) in training order.
+
+    Scale factoring: the corpus is touched ONCE — the word-count
+    aggregate (one shuffle; token occurrences collapse map-side). Every
+    merge iteration then runs over the DISTINCT-WORD vocabulary frame
+    only, weighted by word count:
+
+    - pair statistics: a codegen ``transform`` over each word's symbol
+      sequence → explode → one partially-aggregated (left, right) sum —
+      vocabulary-sized, corpus-size-independent;
+    - argmax: ONE row to the driver per iteration (count desc, then
+      lexicographic pair — deterministic across engines/partitionings);
+    - merge application: a pure higher-order ``aggregate`` fold over
+      each word's symbols (greedy left-to-right, the BPE convention:
+      a fresh merge output cannot immediately re-merge as the right
+      element), no Python;
+    - ``localCheckpoint`` every 4 iterations truncates the growing
+      lineage (the k-means/PageRank discipline).
+
+    The loop is inherently sequential (merge t+1's statistics depend on
+    merge t), so no SQL oracle exists — pytest pins the merge sequence
+    against a pure-Python reference implementation."""
+    words = (
+        df.select(F.explode(dedup.tokens(F.col(text_col))).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.split(F.col("_w"), "").alias("_syms"),
+            F.col("_n"),
+        )
+    )
+    vocab = words.persist()
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for step in range(n_merges):
+            pairs = (
+                vocab.select(
+                    F.when(
+                        F.size("_syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("_syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at("_syms", i).alias("l"),
+                                F.element_at("_syms", i + 1).alias("r"),
+                            ),
+                        ),
+                    )
+                    .otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                    .alias("_ps"),
+                    "_n",
+                )
+                .select(F.explode("_ps").alias("_p"), "_n")
+                .groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
+                .agg(F.sum("_n").alias("c"))
+                .orderBy(F.col("c").desc(), "l", "r")
+                .first()
+            )
+            if pairs is None or pairs["c"] < min_count:
+                break
+            left, right, cnt = pairs["l"], pairs["r"], int(pairs["c"])
+            merged = left + right
+            merges.append((step, left, right, merged, cnt))
+            la, lb = F.lit(left), F.lit(right)
+            folded = F.aggregate(
+                "_syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (x == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            nxt = vocab.select(folded.alias("_syms"), "_n")
+            if (step + 1) % 4 == 0:
+                nxt = nxt.localCheckpoint(eager=False)
+            prev, vocab = vocab, nxt.persist()
+            prev.unpersist()
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count bigint"
+    )

@@ -499,3 +499,23 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(40)
     )
+
+
+@query("q167_bpe_train")  # rows-only: the merge LOOP is inherently
+# sequential (iteration t+1's statistics depend on merge t), so no SQL
+# oracle exists; the merge sequence is pinned merge-for-merge against a
+# pure-Python reference (tests/test_corpus_ops.py::
+# test_bpe_train_matches_python_reference) and q159 oracle-gates the
+# iteration-0 statistic
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT tokenizer training, the full loop (operators.corpus.bpe_train;
+    Sennrich et al. ACL'16): 8 BPE merges trained on the corpus. The
+    corpus is scanned ONCE (word-count aggregate); every iteration then
+    costs one vocabulary-sized pair aggregate + a 1-row argmax to the
+    driver + a codegen fold applying the merge — corpus-size-independent
+    after the first shuffle, the factoring real BPE trainers use.
+    Deterministic: integer pair counts, lexicographic tiebreak."""
+    from cdc_init_spark.operators.corpus import bpe_train
+
+    d = load_table(spark, sf, "documents")
+    return bpe_train(d, n_merges=8).orderBy("step")

@@ -395,3 +395,64 @@ def test_substring_dedup_short_docs_untouched(spark):
     got = {r.doc_id: r for r in substring_dedup(df, k=5).collect()}
     assert got[1].clean_text == "a b c" and got[2].clean_text == "a b c"
     assert got[3].clean_text == "a b c d e"  # unique 5-gram, kept
+
+
+def _bpe_reference(texts, n_merges, min_count=2):
+    """Pure-Python BPE (Sennrich et al.): word counts once, then greedy
+    highest-count pair (ties: lexicographic) merged left-to-right."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): n for w, n in words.items()}
+    merges = []
+    for step in range(n_merges):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_count:
+            break
+        merges.append((step, a, b, a + b, c))
+        out = {}
+        for syms, n in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out[tuple(res)] = out.get(tuple(res), 0) + n
+        vocab = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed BPE loop reproduces the classic sequential
+    algorithm merge-for-merge, counts included, on the textbook
+    low/lower/newest corpus and on a repeated-char edge case (aaa must
+    merge to (aa, a) — a fresh merge output cannot immediately re-merge
+    as the right element)."""
+    from cdc_init_spark.operators.corpus import bpe_train
+
+    texts = [
+        "low low low low low lower lower newest newest",
+        "newest newest newest newest widest widest widest",
+        "aaa aaa baab",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(df, n_merges=8).orderBy("step").collect()
+    ]
+    assert got == _bpe_reference(texts, 8)
+    assert len(got) == 8  # corpus is rich enough that no early stop fired
