@@ -217,3 +217,57 @@ def weighted_sample(
         .limit(n)
         .drop("_es_priority")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_total: int = 1000,
+    salt: str = "",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-based source re-mixing (the multilingual-LM sampling
+    rule, e.g. XLM-R: p_g ∝ n_g^α) — flatten the source distribution
+    toward uniform with ``alpha`` < 1, realized as a deterministic hash
+    sample of ≈ ``target_total`` rows.
+
+    Fully relational manifest — unlike ``mix_manifest`` nothing visits
+    the driver: the per-group count aggregate (sources-sized) feeds
+    p_g = n_g^α / Σ n^α, each group's keep-fraction is
+    min(1, target·p_g / n_g), and the integer bucket cut
+    round(frac·buckets) broadcast-joins back onto the rows. Membership
+    is the same md5-bucket rule as ``dataset_mix`` — a narrow filter,
+    stable across runs/partitionings/engines; output size is binomial
+    around the quota (the scale trade: no per-group window, no global
+    ordering, every task independent). Groups too small for their
+    temperature share are kept whole (frac capped at 1)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("_n").cast("double"), F.lit(alpha))).alias("_z")
+    )
+    cuts = (
+        counts.crossJoin(F.broadcast(z))
+        .select(
+            group_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_total))
+                    * F.pow(F.col("_n").cast("double"), F.lit(alpha))
+                    / F.col("_z")
+                    / F.col("_n").cast("double"),
+                )
+                * buckets
+            )
+            .cast("int")
+            .alias("_cut"),
+        )
+    )
+    b = hash_bucket(F.col(key_col), buckets, salt)
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .filter(b < F.col("_cut"))
+        .drop("_cut")
+    )

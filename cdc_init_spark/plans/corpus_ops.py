@@ -658,3 +658,45 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     return dedup.substring_dedup(d, k=5).orderBy("doc_id")
+
+
+@query(
+    "q168_temperature_mix",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM documents GROUP BY source
+    ), z AS (
+      SELECT SUM(pow(n, 0.5)) AS z FROM cnt
+    ), cuts AS (
+      SELECT source,
+             CAST(ROUND(LEAST(1.0, 300.0 * pow(n, 0.5) / z.z / n) * 10000)
+                  AS INTEGER) AS cut
+      FROM cnt, z
+    ), b AS (
+      SELECT doc_id, source,
+             CAST(({_hex32("substring(md5(CAST(doc_id AS VARCHAR) || 'temp1'), 1, 8)")})
+                  % 10000 AS INTEGER) AS bkt
+      FROM documents
+    )
+    SELECT b.doc_id, b.source
+    FROM b JOIN cuts USING (source)
+    WHERE bkt < cut
+    ORDER BY doc_id
+    """,
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT dataset mixing, temperature form
+    (operators.sampling.temperature_mix; the XLM-R/mT5 sampling rule
+    p_g ∝ n_g^α with α=0.5): flatten the source distribution toward
+    uniform and realize ≈300 rows as a deterministic md5-bucket sample.
+    The manifest never visits the driver — per-source counts (a
+    sources-sized partial aggregate) feed the n^α share and the integer
+    bucket cut, which broadcast-joins back onto the rows; membership is
+    the same narrow hash rule as q118, so the plan is scan + tiny
+    broadcast join + filter at any scale. Oracle replays counts, the
+    √n share, the rounded cut and the bucket rule in DuckDB."""
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    return sampling.temperature_mix(
+        d, "source", "doc_id", alpha=0.5, target_total=300, salt="temp1"
+    ).orderBy("doc_id")

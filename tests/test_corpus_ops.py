@@ -456,3 +456,42 @@ def test_bpe_train_matches_python_reference(spark):
     ]
     assert got == _bpe_reference(texts, 8)
     assert len(got) == 8  # corpus is rich enough that no early stop fired
+
+
+def test_temperature_mix_laws(spark):
+    """temperature_mix: α=0 targets equal per-group quotas, α=1 is
+    proportional (uniform keep-fraction across groups), membership is
+    partition-invariant, and a group too small for its share is kept
+    whole."""
+    from cdc_init_spark.operators.sampling import temperature_mix
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i + 1000, "mid") for i in range(90)]
+        + [(i + 2000, "tiny") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def kept_by(alpha, total):
+        out = temperature_mix(
+            df, "source", "doc_id", alpha=alpha, target_total=total
+        ).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r["source"], set()).add(r["doc_id"])
+        return by
+
+    # α=0: every group targets total/3 = 40 → tiny (10 rows) kept whole,
+    # big and mid land near 40 (binomial, hash-deterministic)
+    flat = kept_by(0.0, 120)
+    assert len(flat["tiny"]) == 10
+    assert 20 <= len(flat["big"]) <= 60 and 20 <= len(flat["mid"]) <= 60
+    # α=1: proportional — every group keeps the same fraction, so the
+    # big group keeps ~9x the mid group
+    prop = kept_by(1.0, 500)
+    assert len(prop["big"]) > 5 * len(prop["mid"])
+    # partition invariance: membership identical after repartition
+    re = temperature_mix(
+        df.repartition(13), "source", "doc_id", alpha=0.0, target_total=120
+    ).collect()
+    assert {r["doc_id"] for r in re} == {d for s in flat.values() for d in s}
