@@ -889,3 +889,99 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.tfidf_cosine_pairs(
         d, max_df=100, threshold=0.5
     ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q169_chi2_keyness",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), cell AS (
+      SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS a
+      FROM tok GROUP BY source, term
+    ), src AS (
+      SELECT source, SUM(a) AS s FROM cell GROUP BY source
+    ), trm AS (
+      SELECT term, SUM(a) AS t FROM cell GROUP BY term
+    ), n AS (SELECT SUM(a) AS n FROM cell),
+    chi AS (
+      SELECT cell.source, cell.term,
+             CAST(cell.a AS BIGINT) AS n11,
+             ROUND(
+               n.n * pow(cell.a * (n.n - src.s - trm.t + cell.a)
+                         - (src.s - cell.a) * (trm.t - cell.a), 2)
+               / (src.s * (n.n - src.s) * trm.t * (n.n - trm.t)),
+               4
+             ) AS chi2
+      FROM cell
+      JOIN src ON cell.source = src.source
+      JOIN trm ON cell.term = trm.term
+      CROSS JOIN n
+    ), ranked AS (
+      SELECT source, term, n11, chi2,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY chi2 DESC, term) AS rk
+      FROM chi
+    )
+    SELECT source, term, n11, chi2 FROM ranked
+    WHERE rk <= 3 ORDER BY source, term
+    """,
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    """L4+: per-source keyness — the top-3 most source-characteristic
+    terms by 2×2 chi-square over token counts (corpus-linguistics
+    keyword extraction; the significance-testing sibling of TF-IDF q114
+    and PMI q161). Token occurrences collapse map-side into the
+    (source, term) cell relation — ONE corpus-sized shuffle; both
+    margins are tiny re-aggregates of the cells (source-sized and
+    vocabulary-sized, broadcastable), the grand total a 1-row scalar.
+    The per-source top-3 runs as WindowGroupLimit on the cell relation.
+    Ranking keys on the 4-dp-rounded statistic + term so the order is
+    engine-portable; the chi-square expression is written in the
+    identical operation order on both sides (IEEE doubles make it
+    bit-reproducible)."""
+    d = load_table(spark, sf, "documents")
+    cell = (
+        d.select("source", F.explode(dedup.tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("a"))
+    )
+    src = cell.groupBy("source").agg(F.sum("a").alias("s"))
+    trm = cell.groupBy("term").agg(F.sum("a").alias("t"))
+    n = cell.agg(F.sum("a").alias("n"))
+    chi = (
+        cell.join(src, "source")
+        .join(trm, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            F.col("a").cast("bigint").alias("n11"),
+            round_compat(
+                F.col("n")
+                * F.pow(
+                    F.col("a") * (F.col("n") - F.col("s") - F.col("t") + F.col("a"))
+                    - (F.col("s") - F.col("a")) * (F.col("t") - F.col("a")),
+                    F.lit(2.0),
+                )
+                / (
+                    F.col("s")
+                    * (F.col("n") - F.col("s"))
+                    * F.col("t")
+                    * (F.col("n") - F.col("t"))
+                ),
+                4,
+            ).alias("chi2"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("chi2").desc(), "term")
+    return (
+        chi.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+        .orderBy("source", "term")
+    )

@@ -417,3 +417,69 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q170_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY user_id
+    ), dev AS (
+      SELECT e.user_id, e.value, ABS(e.value - m.med) AS dev, m.med
+      FROM events e JOIN med m ON e.user_id = m.user_id
+    ), mad AS (
+      SELECT user_id, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MAX(d.med), 4) AS med,
+           ROUND(MAX(m.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.user_id = m.user_id
+    GROUP BY d.user_id
+    ORDER BY d.user_id
+    """,
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT robust stats: median-absolute-deviation outlier screen per
+    user — the robust twin of q151's rolling z-score (a single wild
+    value cannot poison its own threshold the way it inflates a
+    stddev). Two exact-median aggregates (the interpolated percentile
+    shared by Spark and DuckDB) on the SAME user_id key, so the second
+    agg and both joins reuse one hash partitioning — one logical
+    shuffle at scale; the flagged count uses the standard 3·1.4826·MAD
+    (≈3σ-consistent) cut. Exact medians sort per group (documented q74
+    trade; approx_percentile is the 100 TB swap-in)."""
+    e = load_table(spark, sf, "events").select("user_id", "value")
+    med = e.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(med, "user_id").select(
+        "user_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            round_compat(F.max("med"), 4).alias("med"),
+            round_compat(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("user_id")
+    )
