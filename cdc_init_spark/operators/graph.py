@@ -252,3 +252,90 @@ def khop_distances(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
         )
         frontier = dist.filter(F.col("hops") == i)
     return dist
+
+
+def bellman_ford(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths, ``k`` relaxation
+    rounds — the weighted generalization of ``khop_distances``.
+
+    ``edges`` is directed ``(src, dst, w)``; ``seeds`` has ``node``.
+    Returns ``(node, dist)`` = minimum path weight reachable within k
+    edges. Each round is the classic distributed Bellman-Ford step: ONE
+    shuffle join (current distances ⋈ edges on src) producing tentative
+    dst distances, then ONE partial-aggregated min fold — data movement
+    per round is O(reached-nodes ⋈ their out-edges), never the
+    transitive closure. Integer weights stay integer-exact, so the
+    result is engine-portable (the oracle unrolls the same recurrence).
+    ``persist`` pins each round's frontier; for deep k add
+    localCheckpoint (PageRank discipline)."""
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+    )
+    for _ in range(k):
+        relaxed = (
+            dist.join(edges.withColumnRenamed("src", "node"), "node")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col(weight)).cast("bigint").alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+    return dist
+
+
+def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), made deterministic: every node starts with its own id as
+    label; each round it adopts the most frequent label among its
+    neighbors AND itself (the self-vote variant — equivalent to a
+    self-loop per node, which damps the label oscillation synchronous
+    LPA exhibits on bipartite/bridge structure), ties broken by the
+    SMALLEST label. Deterministic tie-breaking makes the result
+    identical across engines/partitionings — and therefore
+    oracle-checkable (integer labels, no randomness).
+
+    Per round: ONE shuffle join (labels ⋈ edges on src) + ONE
+    (dst, label) count aggregate + ONE per-node argmax (max_by on the
+    (count, -label) pair — partial-aggregable, no window). Hub skew is
+    an AQE skew-join case, counts combine map-side."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node").cast("bigint"))
+    for _ in range(iters):
+        neigh = (
+            labels.withColumnRenamed("node", "src")
+            .join(edges, "src")
+            .select(F.col("dst").alias("node"), "label")
+            .unionByName(labels.select("node", "label"))
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = neigh.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("new_label")
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .persist()
+        )
+    return labels

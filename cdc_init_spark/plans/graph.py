@@ -285,3 +285,152 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("node", F.col("hops").cast("integer").alias("hops")).orderBy(
         "node"
     )
+
+
+@query(
+    "q171_bellman_ford",
+    oracle="""
+    WITH e0 AS (
+      SELECT l1.l_suppkey AS a, l2.l_suppkey AS b,
+             COUNT(DISTINCT l1.l_orderkey) AS sh
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+      GROUP BY 1, 2
+    ), ed AS (
+      SELECT a AS src, b AS dst, 6 - LEAST(5, sh) AS w FROM e0
+      UNION ALL
+      SELECT b, a, 6 - LEAST(5, sh) FROM e0
+    ), d0 AS (
+      SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS dist
+      FROM supplier WHERE s_nationkey = 0
+    ), r1 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT ed.dst AS node, d0.dist + ed.w AS dist
+        FROM d0 JOIN ed ON ed.src = d0.node
+        UNION ALL SELECT node, dist FROM d0
+      ) GROUP BY node
+    ), r2 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT ed.dst AS node, r1.dist + ed.w AS dist
+        FROM r1 JOIN ed ON ed.src = r1.node
+        UNION ALL SELECT node, dist FROM r1
+      ) GROUP BY node
+    ), r3 AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT ed.dst AS node, r2.dist + ed.w AS dist
+        FROM r2 JOIN ed ON ed.src = r2.node
+        UNION ALL SELECT node, dist FROM r2
+      ) GROUP BY node
+    )
+    SELECT node, dist FROM r3 ORDER BY node
+    """,
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT graph: weighted shortest paths, 3 Bellman-Ford rounds from
+    the nation-0 supplier seed set over the supplier co-order graph
+    (operators.graph.bellman_ford) — edge weight 6 − min(5, shared
+    orders), so strongly-connected suppliers are 'closer'. Each round is
+    one shuffle join of the reached set with its out-edges plus one
+    partial-aggregated MIN fold — never a transitive closure; integer
+    weights make every intermediate engine-exact, so the oracle can
+    unroll the identical recurrence. The weighted sibling of q164's BFS."""
+    from cdc_init_spark.operators import graph
+
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = l.withColumnRenamed("l_suppkey", "s2")
+    e0 = (
+        l.join(l2, "l_orderkey")
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .groupBy(F.col("l_suppkey").alias("a"), F.col("s2").alias("b"))
+        .agg(F.count_distinct("l_orderkey").alias("sh"))
+        .select(
+            "a",
+            "b",
+            (F.lit(6) - F.least(F.lit(5), F.col("sh"))).alias("w"),
+        )
+    )
+    edges = e0.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    seeds = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return graph.bellman_ford(edges, seeds, k=3).orderBy("node")
+
+
+@query(
+    "q172_label_propagation",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+    ), ed AS (
+      SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM ed
+    ), l0 AS (
+      SELECT node, CAST(node AS BIGINT) AS label FROM nodes
+    ), n1 AS (
+      SELECT node, label, COUNT(*) AS c FROM (
+        SELECT ed.dst AS node, l0.label
+        FROM l0 JOIN ed ON ed.src = l0.node
+        UNION ALL SELECT node, label FROM l0
+      ) GROUP BY 1, 2
+    ), b1 AS (
+      SELECT node, label AS new_label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rk
+        FROM n1
+      ) WHERE rk = 1
+    ), l1 AS (
+      SELECT l0.node, COALESCE(b1.new_label, l0.label) AS label
+      FROM l0 LEFT JOIN b1 ON l0.node = b1.node
+    ), n2 AS (
+      SELECT node, label, COUNT(*) AS c FROM (
+        SELECT ed.dst AS node, l1.label
+        FROM l1 JOIN ed ON ed.src = l1.node
+        UNION ALL SELECT node, label FROM l1
+      ) GROUP BY 1, 2
+    ), b2 AS (
+      SELECT node, label AS new_label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rk
+        FROM n2
+      ) WHERE rk = 1
+    ), l2_ AS (
+      SELECT l1.node, COALESCE(b2.new_label, l1.label) AS label
+      FROM l1 LEFT JOIN b2 ON l1.node = b2.node
+    )
+    SELECT node, label FROM l2_ ORDER BY node
+    """,
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT graph: deterministic synchronous label-propagation community
+    detection, 2 rounds over the symmetrized supplier co-order graph
+    (operators.graph.label_propagation) — each node adopts the most
+    frequent label among its neighbors and itself (self-vote damps
+    synchronous oscillation), smallest label on ties (the determinism
+    that makes LPA engine-checkable). Per round: one
+    labels ⋈ edges shuffle join, one map-side-combined (node, label)
+    count, one partial-aggregable max_by argmax — no window over the
+    edge stream. Communities seed corpus-weighting and dedup-cluster
+    diagnostics; q103's connected components are the τ→0 limit."""
+    from cdc_init_spark.operators import graph
+
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = l.withColumnRenamed("l_suppkey", "s2")
+    pairs = (
+        l.join(l2, "l_orderkey")
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    edges = graph.symmetrize(pairs)
+    return graph.label_propagation(edges, iters=2).orderBy("node")

@@ -798,3 +798,35 @@ def test_tfidf_cosine_pairs_laws(spark):
     }
     assert set(loose) == {(a, b) for a in range(1, 5) for b in range(1, 5) if a < b}
     assert loose[(1, 3)] < 0.5 < loose[(1, 2)]
+
+
+def test_bellman_ford_weighted_path(spark):
+    """Weighted path 1→2→3 (w 1,1) with a direct heavy edge 1→3 (w 5):
+    the two-edge path must win once k ≥ 2; unreachable nodes absent."""
+    from cdc_init_spark.operators.graph import bellman_ford
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 5), (9, 10, 1)], "src int, dst int, w int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    one = {r["node"]: r["dist"] for r in bellman_ford(edges, seeds, k=1).collect()}
+    assert one == {1: 0, 2: 1, 3: 5}
+    two = {r["node"]: r["dist"] for r in bellman_ford(edges, seeds, k=2).collect()}
+    assert two == {1: 0, 2: 1, 3: 2}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles bridged by one edge: after 2 deterministic rounds
+    every node carries its clique's minimum id; the min tiebreak keeps
+    the bridge from merging the communities."""
+    from cdc_init_spark.operators.graph import label_propagation, symmetrize
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(11, 12), (12, 13), (11, 13)]
+    edges = symmetrize(
+        spark.createDataFrame(tri1 + tri2 + [(3, 11)], "src int, dst int")
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iters=2).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[12] == got[13] == got[11]
+    assert got[12] != got[1]

@@ -38,6 +38,7 @@ ALLOWED_CARTESIAN = {
     "q160_js_divergence",  # vocab × bounded source dim grid + 1-row |V| scalar
     "q161_pmi_collocations",  # 1-row token-total broadcast for the PMI scale
     "q166_tfidf_cosine_pairs",  # 1-row doc-count scalar broadcast for idf
+    "q169_chi2_keyness",  # 1-row grand-total scalar broadcast for chi2
 }
 
 CARTESIAN_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
