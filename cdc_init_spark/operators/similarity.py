@@ -707,3 +707,94 @@ def kmeans_inertia(
     return df.select(vec_col).mapInPandas(dist, schema).agg(
         F.sum("d2")
     ).collect()[0][0]
+
+
+def pca_fit(
+    df: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA by the covariance method — the data never visits
+    the driver, only sufficient statistics do: each Arrow partition
+    emits its local Gram partial Xᵀ X (a d×d matrix — 4096 doubles at
+    d=64), sum vector and count; the driver folds the partials,
+    forms cov = (G − n·μμᵀ)/(n−1) and eigendecomposes the d×d matrix
+    (trivial at embedding dims; this is exact PCA, not an iterative
+    sketch). Communication: partitions × d² doubles, independent of
+    row count — the classic scalable-PCA factoring.
+
+    Returns (mean, eigenvalues_desc[:k], components[k, d]). Component
+    sign is fixed by making each vector's largest-|coordinate| entry
+    positive, so results are reproducible run to run."""
+    schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+            StructField("g", ArrayType(DoubleType())),
+        ]
+    )
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tot_n, tot_s, tot_g = 0, None, None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            tot_n += len(mat)
+            s = mat.sum(axis=0)
+            g = mat.T @ mat
+            tot_s = s if tot_s is None else tot_s + s
+            tot_g = g if tot_g is None else tot_g + g
+        if tot_n:
+            yield pd.DataFrame(
+                {"n": [tot_n], "s": [tot_s], "g": [tot_g.ravel()]}
+            )
+
+    parts = df.select(vec_col).mapInPandas(gram, schema).collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    d = len(s)
+    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / max(n - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # (k, d)
+    for i in range(len(comps)):
+        j = np.argmax(np.abs(comps[i]))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, vals[order], comps
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pc",
+) -> DataFrame:
+    """Project vectors onto fitted components: (x − μ) @ Wᵀ as one
+    narrow Arrow pass (μ and the k×d component matrix ride a
+    broadcast). Output: (id, pc ARRAY<DOUBLE> length k)."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        (np.asarray(mean), np.asarray(components))
+    )
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(out_col, ArrayType(DoubleType())),
+        ]
+    )
+
+    def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mu, comps = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            p = (mat - mu[None, :]) @ comps.T
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: list(p)})
+
+    return df.select(id_col, vec_col).mapInPandas(proj, schema)

@@ -323,3 +323,54 @@ def text_profile(
     return out.withColumn("quality_score", score.cast("double")).drop(
         "_sum_len", "_n_distinct", *[f"_hits_{lg}" for lg in langs]
     )
+
+
+def feature_hash_long(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 256,
+    salt: str = "fh",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML 2009): map each term
+    into one of ``n_features`` buckets by portable md5 hash, with a ±1
+    sign drawn from an independent hash bit so collisions cancel in
+    expectation — the fixed-width featurizer for linear models over
+    unbounded vocabularies (no dictionary, no fit step, new terms never
+    resize anything).
+
+    Output is the SPARSE long form ``(id, bucket, val)`` with
+    val = Σ sign(term)·tf over the bucket's terms, zero rows dropped —
+    at 100 TB the dense form is n_features doubles per document, the
+    long form only the occupied cells, and downstream linear algebra
+    (dot with a broadcast weight vector, L2 norms) stays relational.
+    Token occurrences collapse map-side; ONE shuffle on (id, bucket).
+    Bucket and sign derive from disjoint md5-prefix bits, so the
+    featurization is reproducible across engines (DuckDB-oracle-exact,
+    integer vals)."""
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("term"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select(
+            id_col,
+            (h32 % n_features).cast("int").alias("bucket"),
+            F.when(
+                F.shiftright(h32, 8).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .alias("_sign"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_sign").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )

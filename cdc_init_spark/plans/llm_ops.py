@@ -985,3 +985,68 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
         .drop("rk")
         .orderBy("source", "term")
     )
+
+
+@query(
+    "q173_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST({_HEX_TO_INT} AS BIGINT) AS h32
+      FROM (SELECT doc_id, md5(term || 'fh') AS m FROM toks WHERE term <> '')
+    ), cells AS (
+      SELECT doc_id,
+             CAST(h32 % 256 AS INTEGER) AS bucket,
+             CASE WHEN (h32 >> 8) & 1 = 1 THEN 1 ELSE -1 END AS s
+      FROM h
+    )
+    SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS val
+    FROM cells GROUP BY doc_id, bucket
+    HAVING SUM(s) <> 0
+    ORDER BY doc_id, bucket
+    """,
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    """L4+: the hashing trick (operators.text.feature_hash_long;
+    Weinberger et al. ICML'09) — fixed-width signed-hash featurization
+    of the corpus into 256 buckets, sparse long form. No dictionary, no
+    fit: bucket and ±1 sign come from disjoint md5-prefix bits, so new
+    vocabulary never resizes anything and the featurization is
+    engine-exact (integer cell values). One (doc, bucket) shuffle with
+    map-side combine; zero cells dropped. The fixed-dimension
+    complement of TF-IDF (q114) for linear quality models."""
+    d = load_table(spark, sf, "documents")
+    return text.feature_hash_long(d).orderBy("doc_id", "bucket")
+
+
+@query("q174_pca_project")  # rows-only: covariance partials fold in
+# partition order, so trailing float digits are engine/partitioning
+# specific; subspace correctness is pytest-gated against numpy's exact
+# PCA (tests/test_operators.py::test_pca_matches_numpy)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    """L3+: distributed PCA (operators.similarity.pca_fit/pca_project)
+    — covariance-method PCA where only sufficient statistics move: each
+    Arrow partition emits its d×d Gram partial + sum + count
+    (partitions × d² doubles total, row-count-independent), the driver
+    eigendecomposes the 64×64 covariance, and the projection onto the
+    top-3 components runs as one narrow broadcast pass. Deterministic
+    component signs (largest-|coordinate| positive). The linear
+    dimensionality reducer feeding visualization, whitening and cheap
+    pre-ANN compression; complements PQ (q165) which compresses
+    non-linearly."""
+    from cdc_init_spark.operators.similarity import pca_fit, pca_project
+
+    e = load_table(spark, sf, "embeddings")
+    mu, _vals, comps = pca_fit(e, k=3)
+    proj = pca_project(e, mu, comps)
+    return proj.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("pc", i + 1), 4).alias(f"pc{i + 1}")
+            for i in range(3)
+        ],
+    ).orderBy("vec_id")

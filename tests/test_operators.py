@@ -830,3 +830,41 @@ def test_label_propagation_two_cliques(spark):
     assert got[1] == got[2] == got[3] == 1
     assert got[12] == got[13] == got[11]
     assert got[12] != got[1]
+
+
+def test_pca_matches_numpy(spark, emb):
+    """pca_fit's mean/eigenvalues/components must agree with numpy PCA
+    on the full data (covariance partials are exact sums), up to the
+    documented sign convention; projection = (X − μ)Wᵀ; reconstruction
+    error at k=8 beats k=1 (monotone capture)."""
+    from cdc_init_spark.operators.similarity import pca_fit, pca_project
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mu_np = x.mean(axis=0)
+    cov_np = np.cov(x, rowvar=False)
+    vals_np, vecs_np = np.linalg.eigh(cov_np)
+    top_np = vals_np[np.argsort(vals_np)[::-1][:3]]
+
+    mu, vals, comps = pca_fit(emb, k=3)
+    np.testing.assert_allclose(mu, mu_np, rtol=1e-9)
+    np.testing.assert_allclose(vals, top_np, rtol=1e-7)
+    assert comps.shape == (3, x.shape[1])
+    # components are the top eigenvectors up to sign
+    for i in range(3):
+        ref = vecs_np[:, np.argsort(vals_np)[::-1][i]]
+        dot = abs(float(np.dot(comps[i], ref)))
+        assert dot > 1 - 1e-7
+    # projection agrees with numpy
+    got = {
+        r["vec_id"]: np.asarray(r["pc"])
+        for r in pca_project(emb, mu, comps).collect()
+    }
+    want = (x - mu[None, :]) @ comps.T
+    for j, i in enumerate(ids):
+        np.testing.assert_allclose(got[int(i)], want[j], atol=1e-8)
+    # variance captured grows with k
+    _, v1, c1 = pca_fit(emb, k=1)
+    _, v8, c8 = pca_fit(emb, k=8)
+    assert v8.sum() > v1.sum()
