@@ -122,10 +122,44 @@ def stream_stream_join(
 ) -> DataFrame:
     """T7+: watermarked stream-stream inner join — right rows match left
     rows with the same key whose event time is within ``within`` after the
-    left event. BOTH sides carry watermarks and the join condition bounds
-    event-time distance, so Spark can size and evict the row buffers
-    (state per side = rows inside watermark+within horizon; without the
-    time bound the buffers grow forever)."""
+    left event. BOTH sides carry watermarks and the event-time bound sits
+    INSIDE the join condition (not a post-join filter) — that placement is
+    what lets Spark derive per-side state watermarks and EVICT the row
+    buffers (state per side = rows inside watermark+within horizon;
+    as a filter the buffers would grow forever, and outer variants would
+    be rejected outright)."""
+    return _stream_stream(left, right, on, left_ts, right_ts, delay, within, "inner")
+
+
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    delay: str = "10 minutes",
+    within: str = "5 minutes",
+) -> DataFrame:
+    """T7+: watermarked stream-stream LEFT OUTER join — unmatched left
+    rows emit with NULL right columns once the watermark passes their
+    match horizon (the engine must know no future right row can still
+    match; that is why outer stream joins REQUIRE the event-time bound
+    in the join condition — Spark rejects them otherwise)."""
+    return _stream_stream(
+        left, right, on, left_ts, right_ts, delay, within, "leftOuter"
+    )
+
+
+def _stream_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    delay: str,
+    within: str,
+    how: str,
+) -> DataFrame:
     l_wm = left.withWatermark(left_ts, delay)
     r_wm = right.withWatermark(right_ts, delay)
     l = l_wm.select(
@@ -134,15 +168,31 @@ def stream_stream_join(
         *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (on, left_ts)],
     )
     r = r_wm.select(
-        F.col(on).alias("_k"),
+        F.col(on).alias("_rk"),
         F.col(right_ts).alias("_rts"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (on, right_ts)],
     )
     cond = (
-        (F.col("_rts") >= F.col("_lts"))
+        (F.col("_k") == F.col("_rk"))
+        & (F.col("_rts") >= F.col("_lts"))
         & (F.col("_rts") <= F.col("_lts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, on=["_k"], how="inner").filter(cond).withColumnRenamed("_k", on)
+    return l.join(r, on=cond, how=how).drop("_rk").withColumnRenamed("_k", on)
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """T5+: ``dropDuplicatesWithinWatermark`` — dedup by KEY ALONE for
+    duplicates whose event times differ (retries/replays stamp new
+    timestamps, so q-T5's key+ts dedup would pass them). State per key
+    is evicted once the watermark passes first-seen + delay; within
+    that horizon every re-delivery of the key is suppressed regardless
+    of its timestamp."""
+    return watermarked(stream, ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
 def last_state_per_key(

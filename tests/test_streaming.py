@@ -415,3 +415,52 @@ def test_running_totals_transform_with_state(spark, tmp_path):
     assert by_key[1][-1] == (3, 10.0)
     assert (2, 5.0) in by_key[1]
     assert by_key[2][-1] == (1, 10.0)
+
+
+def test_stream_stream_left_join_emits_unmatched(spark, tmp_path):
+    """T7+ left-outer: matched pairs carry right columns; a left row
+    whose horizon expired emits with NULLs once the watermark passes."""
+    import json as _json
+    import os
+
+    lsrc, rsrc = str(tmp_path / "ssl_l"), str(tmp_path / "ssl_r")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+    with open(f"{lsrc}/a.json", "w") as f:
+        f.write(_json.dumps({"k": 1, "ts": "2026-01-01T12:00:00", "lv": "L1"}) + "\n")
+        f.write(_json.dumps({"k": 2, "ts": "2026-01-01T12:00:00", "lv": "L2"}) + "\n")
+        # watermark driver: pushes event time far past k=2's horizon
+        f.write(_json.dumps({"k": 9, "ts": "2026-01-01T14:00:00", "lv": "LX"}) + "\n")
+    with open(f"{rsrc}/a.json", "w") as f:
+        f.write(_json.dumps({"k": 1, "ts": "2026-01-01T12:03:00", "rv": "R1"}) + "\n")
+        f.write(_json.dumps({"k": 9, "ts": "2026-01-01T14:00:00", "rv": "RX"}) + "\n")
+    lschema = "k bigint, ts string, lv string"
+    rschema = "k bigint, ts string, rv string"
+    ls = spark.readStream.schema(lschema).json(lsrc).withColumn("ts", F.to_timestamp("ts"))
+    rs = spark.readStream.schema(rschema).json(rsrc).withColumn("ts", F.to_timestamp("ts"))
+    joined = W.stream_stream_left_join(ls, rs, on="k", delay="1 minute", within="5 minutes")
+    result = _run_stream(spark, joined, "t7ssl", mode="append")
+    got = {(r["k"], r["l_lv"], r["r_rv"]) for r in result.collect()}
+    assert (1, "L1", "R1") in got
+    assert (2, "L2", None) in got  # unmatched left row emitted with NULL
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """T5+: re-deliveries of the same key with DIFFERENT timestamps are
+    suppressed inside the watermark horizon (key+ts dedup would not)."""
+    import json as _json
+    import os
+
+    src = str(tmp_path / "ddww")
+    os.makedirs(src)
+    with open(f"{src}/a.json", "w") as f:
+        f.write(_json.dumps({"k": 1, "ts": "2026-01-01T12:00:00", "v": "a"}) + "\n")
+        f.write(_json.dumps({"k": 1, "ts": "2026-01-01T12:00:07", "v": "retry"}) + "\n")
+        f.write(_json.dumps({"k": 2, "ts": "2026-01-01T12:00:01", "v": "b"}) + "\n")
+    schema = "k bigint, ts string, v string"
+    s = spark.readStream.schema(schema).json(src).withColumn("ts", F.to_timestamp("ts"))
+    result = _run_stream(
+        spark, W.streaming_dedup_within_watermark(s, ["k"]), "t5ww", mode="append"
+    )
+    ks = sorted(r["k"] for r in result.collect())
+    assert ks == [1, 2]
