@@ -140,3 +140,39 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the OPTIMIZE maintenance pass a 100 TB
+    lake needs after streaming/incremental writes (thousands of KB-size
+    files per partition destroy scan throughput: each file costs a task,
+    a footer read, and a seek). Rewrites ``path`` into
+    ``ceil(bytes / target_file_mb)`` files at ``out_path`` and returns
+    the file count.
+
+    Sizing reads the FILESYSTEM byte size (not a row sample) so the
+    target is hit regardless of schema; ``repartition(n)`` round-robins
+    rows evenly across output files, an optional within-file sort
+    restores min/max skipping. Rewrite-to-new-path + swap is the
+    idempotent deployment pattern (never compact in place)."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, fn))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -135,3 +135,25 @@ def test_zorder_approx_matches_clustering_property(spark, sf_dir, tmp_path):
     full_value = ev.agg(F.max("value") - F.min("value")).first()[0]
     assert avg_span("user_id") < 0.8 * full_user
     assert avg_span("value") < 0.8 * full_value
+
+
+def test_compact_small_files(spark, tmp_path):
+    """200 tiny files compact to the computed byte-target count; row set
+    survives unchanged; optional within-file sort applies."""
+    import glob
+
+    from cdc_init_spark.sources.layout import compact_small_files
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(20_000).withColumn("v", F.col("id") % 97)
+    df.repartition(200).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 200
+
+    n = compact_small_files(spark, src, dst, target_file_mb=128, sort_within_by=["id"])
+    got_files = glob.glob(f"{dst}/*.parquet")
+    assert len(got_files) == n  # tiny input → single target file
+    assert n < 200
+    back = spark.read.parquet(dst)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
