@@ -118,7 +118,8 @@ def _prec(d1: Column, n1: Column, d2: Column, n2: Column) -> Column:
 
 
 def triangles_per_node(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """Exact per-node triangle counts over an undirected edge list.
 
@@ -128,6 +129,15 @@ def triangles_per_node(
     credited to all three corners. The degree orientation makes the
     wedge join output O(m^1.5) worst-case instead of Σ deg² — the
     difference between a star-node blowup and a bounded join at scale.
+
+    ``broadcast_edges=True``: the wedge stream is m^1.5-sized — the
+    LARGEST relation in the plan — so when the oriented edge list
+    itself fits an executor (≈24 bytes/edge; tens of millions of edges)
+    broadcasting it to both the wedge and closure joins means the wedge
+    stream is never exchanged: it pipelines map-side from generation
+    through closure into the partial-aggregated corner count. With the
+    default False the closure is a shuffle join on (v1, v2) — the
+    billion-edge path where nothing fits.
     """
     e = _undirected_canonical(edges, src, dst)
     deg = (
@@ -158,14 +168,15 @@ def triangles_per_node(
     # wedges at the pivot u: (u→v, u→w) with v ≺ w in the same order
     o1 = o.select("u", F.col("v").alias("v1"), F.col("_dv").alias("_d1"))
     o2 = o.select("u", F.col("v").alias("v2"), F.col("_dv").alias("_d2"))
+    close_side = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    if broadcast_edges:
+        o2 = F.broadcast(o2)
+        close_side = F.broadcast(close_side)
     wedges = o1.join(o2, "u").filter(
         _prec(F.col("_d1"), F.col("v1"), F.col("_d2"), F.col("v2"))
     )
     # close the wedge: (v1 → v2) must be an oriented edge
-    closed = wedges.join(
-        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
-        ["v1", "v2"],
-    ).select("u", "v1", "v2")
+    closed = wedges.join(close_side, ["v1", "v2"]).select("u", "v1", "v2")
     corners = (
         closed.select(F.col("u").alias("node"))
         .unionByName(closed.select(F.col("v1").alias("node")))
@@ -173,6 +184,55 @@ def triangles_per_node(
     )
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+def triangles_adjacency(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    broadcast_adjacency: bool = True,
+) -> DataFrame:
+    """Per-node triangle counts by sorted-adjacency intersection — the
+    bounded-degree fast path to ``triangles_per_node`` (same result,
+    different physical shape). For each undirected edge (a, b),
+    |N(a) ∩ N(b)| is the number of triangles through that edge; node
+    v's count is Σ over incident edges / 2 (each of v's triangles is
+    seen via both of its other corners).
+
+    Physical shape: ONE shuffle builds the per-node neighbor array
+    (degree-sized rows — this is the method's contract: fine when max
+    degree is bounded, e.g. co-purchase/knn graphs; a power-law hub
+    with millions of neighbors wants ``triangles_per_node``'s
+    orientation instead, which never materializes an adjacency list).
+    The node→array relation is nodes-sized and broadcasts to both
+    endpoint joins, so the per-edge ``array_intersect`` runs map-side
+    in codegen and the final per-node sum is partial-aggregated — no
+    wedge stream ever exists (the m^1.5 relation the orientation method
+    must build), which is why this wins whenever the arrays fit."""
+    e = _undirected_canonical(edges, src, dst)
+    sym = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    adj = sym.groupBy(F.col("x").alias("node")).agg(
+        F.sort_array(F.collect_list("y")).alias("_nbrs")
+    )
+    if broadcast_adjacency:
+        adj = F.broadcast(adj)
+    per_edge = (
+        e.join(adj.withColumnRenamed("node", "a").withColumnRenamed("_nbrs", "_na"), "a")
+        .join(adj.withColumnRenamed("node", "b").withColumnRenamed("_nbrs", "_nb"), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("_na", "_nb")).cast("bigint").alias("_t"),
+        )
+    )
+    corners = per_edge.select(F.col("a").alias("node"), "_t").unionByName(
+        per_edge.select(F.col("b").alias("node"), "_t")
+    )
+    return (
+        corners.groupBy("node")
+        .agg((F.sum("_t") / 2).cast("bigint").alias("n_triangles"))
+        .filter(F.col("n_triangles") > 0)
     )
 
 

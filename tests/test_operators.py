@@ -868,3 +868,29 @@ def test_pca_matches_numpy(spark, emb):
     _, v1, c1 = pca_fit(emb, k=1)
     _, v8, c8 = pca_fit(emb, k=8)
     assert v8.sum() > v1.sum()
+
+
+def test_triangles_adjacency_matches_orientation(spark):
+    """The adjacency-intersection fast path and the degree-orientation
+    wedge method are the same logical operator: identical counts on K4
+    plus pendant and on a random-ish co-occurrence graph."""
+    from cdc_init_spark.operators.graph import (
+        triangles_adjacency,
+        triangles_per_node,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(b, a) for a, b in k4] + [(4, 5)], "src int, dst int"
+    )
+    adj = {(r["node"], r["n_triangles"]) for r in triangles_adjacency(edges).collect()}
+    ori = {(r["node"], r["n_triangles"]) for r in triangles_per_node(edges).collect()}
+    assert adj == ori == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+    rnd = spark.createDataFrame(
+        [(a, b) for a in range(12) for b in range(12) if a < b and (a + b) % 3],
+        "src int, dst int",
+    )
+    a2 = {(r["node"], r["n_triangles"]) for r in triangles_adjacency(rnd).collect()}
+    o2 = {(r["node"], r["n_triangles"]) for r in triangles_per_node(rnd).collect()}
+    assert a2 == o2 and a2
