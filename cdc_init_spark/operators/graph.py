@@ -51,6 +51,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_every: int | None = None,
+    broadcast_state: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list ``(src, dst)``.
 
@@ -80,8 +81,15 @@ def pagerank(
 
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for i in range(iters):
+        rstate = ranks.withColumnRenamed("node", "src")
+        if broadcast_state:
+            # node set is dimension-bounded (caller's contract): the rank
+            # vector broadcasts, the edge scan never shuffles, and the
+            # partial-aggregated contribution exchange carries ≤ |nodes|
+            # rows per partition — each iteration becomes map-side work.
+            rstate = F.broadcast(rstate)
         contrib = (
-            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            ed.join(rstate, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("_outdeg")).alias("_s"))
             .withColumnRenamed("dst", "node")
@@ -236,7 +244,7 @@ def triangles_adjacency(
     )
 
 
-def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
+def hits(edges: DataFrame, iters: int = 2, broadcast_state: bool = False) -> DataFrame:
     """HITS hub/authority scores (Kleinberg, JACM'99) over a directed
     edge list ``(src, dst)``, un-normalized power iteration — callers
     normalize once at the end (one scalar each), which avoids a 1-row
@@ -258,10 +266,11 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     )
     hub = nodes.withColumn("hub", F.lit(1.0))
     auth = nodes.withColumn("auth", F.lit(1.0))
+    maybe_b = F.broadcast if broadcast_state else (lambda df: df)
     for _ in range(iters):
         auth = (
             nodes.join(
-                e.join(hub.withColumnRenamed("node", "src"), "src")
+                e.join(maybe_b(hub.withColumnRenamed("node", "src")), "src")
                 .groupBy("dst")
                 .agg(F.sum("hub").alias("_a"))
                 .withColumnRenamed("dst", "node"),
@@ -272,7 +281,7 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
         )
         hub = (
             nodes.join(
-                e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                e.join(maybe_b(auth.withColumnRenamed("node", "dst")), "dst")
                 .groupBy("src")
                 .agg(F.sum("auth").alias("_h"))
                 .withColumnRenamed("src", "node"),
@@ -284,7 +293,9 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     return hub.join(auth, "node")
 
 
-def khop_distances(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+def khop_distances(
+    edges: DataFrame, seeds: DataFrame, k: int, broadcast_state: bool = False
+) -> DataFrame:
     """Minimum-hop distances from a seed set, out to ``k`` hops —
     distributed BFS by iterated frontier expansion.
 
@@ -298,8 +309,11 @@ def khop_distances(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
     dist = seeds.select("node").distinct().withColumn("hops", F.lit(0))
     frontier = dist
     for i in range(1, k + 1):
+        fstate = frontier
+        if broadcast_state:
+            fstate = F.broadcast(fstate)
         reached = (
-            frontier.join(edges.withColumnRenamed("src", "node"), "node")
+            fstate.join(edges.withColumnRenamed("src", "node"), "node")
             .select(F.col("dst").alias("node"))
             .distinct()
             .withColumn("hops", F.lit(i))
@@ -319,6 +333,7 @@ def bellman_ford(
     seeds: DataFrame,
     k: int,
     weight: str = "w",
+    broadcast_state: bool = False,
 ) -> DataFrame:
     """Weighted single/multi-source shortest paths, ``k`` relaxation
     rounds — the weighted generalization of ``khop_distances``.
@@ -339,8 +354,11 @@ def bellman_ford(
         .withColumn("dist", F.lit(0).cast("bigint"))
     )
     for _ in range(k):
+        dstate = dist
+        if broadcast_state:
+            dstate = F.broadcast(dstate)
         relaxed = (
-            dist.join(edges.withColumnRenamed("src", "node"), "node")
+            dstate.join(edges.withColumnRenamed("src", "node"), "node")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("dist") + F.col(weight)).cast("bigint").alias("dist"),
@@ -355,7 +373,9 @@ def bellman_ford(
     return dist
 
 
-def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iters: int = 2, broadcast_state: bool = False
+) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007), made deterministic: every node starts with its own id as
     label; each round it adopts the most frequent label among its
@@ -377,8 +397,11 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
     )
     labels = nodes.withColumn("label", F.col("node").cast("bigint"))
     for _ in range(iters):
+        lstate = labels.withColumnRenamed("node", "src")
+        if broadcast_state:
+            lstate = F.broadcast(lstate)
         neigh = (
-            labels.withColumnRenamed("node", "src")
+            lstate
             .join(edges, "src")
             .select(F.col("dst").alias("node"), "label")
             .unionByName(labels.select("node", "label"))

@@ -36,9 +36,9 @@ def _pagerank_oracle(iters: int) -> str:
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ), edges AS (
-      SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM e0
+      SELECT CAST(2 * c AS BIGINT) AS src, CAST(2 * s + 1 AS BIGINT) AS dst FROM e0
       UNION ALL
-      SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM e0
+      SELECT CAST(2 * s + 1 AS BIGINT), CAST(2 * c AS BIGINT) FROM e0
     ), deg AS (
       SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src
     ), nodes AS (
@@ -68,7 +68,9 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
     """EXT graph: 3-iteration PageRank (d=0.85) over the symmetrized
     customer↔supplier purchase graph (operators.graph.pagerank). Edge
     derivation is one orders ⋈ lineitem equi-join + distinct; node ids
-    are prefixed ('c'/'s') so the two key spaces can't collide. Per
+    are parity-encoded (2·custkey / 2·suppkey+1) so the two key spaces
+    can't collide while every join/agg stays on BIGINT keys (integer
+    hashing beats string keys in the per-iteration shuffles). Per
     iteration the plan is exactly one shuffle join (ranks ⋈ edges on
     src) and one partially-aggregated contribution shuffle (by dst) —
     the minimal-movement edge-centric PageRank; symmetrization means no
@@ -78,7 +80,13 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
     from cdc_init_spark.operators import graph
 
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    l = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        # single-row-group fixture file scans as ONE task; spread the
+        # CPU-dense self-join fan-out across the machine first
+        .repartition(spark.sparkContext.defaultParallelism, F.col("l_orderkey"))
+    )
     cs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select("o_custkey", "l_suppkey")
@@ -86,8 +94,8 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
     )
     edges = graph.symmetrize(
         cs.select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).cast("bigint").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("dst"),
         )
     )
     pr = graph.pagerank(edges, iters=_PR_ITERS, damping=_DAMP)
@@ -149,7 +157,11 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
     power-law-safe twin, cross-method equality pytest-pinned."""
     from cdc_init_spark.operators import graph
 
-    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    l = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("l_orderkey"))
+    )
     l2 = l.withColumnRenamed("l_partkey", "p2")
     pairs = (
         l.join(l2, "l_orderkey")
@@ -186,7 +198,7 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ), edges AS (
-      SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst FROM e0
+      SELECT CAST(2 * c AS BIGINT) AS src, CAST(2 * s + 1 AS BIGINT) AS dst FROM e0
     ), nodes AS (
       SELECT src AS node FROM edges UNION SELECT dst FROM edges
     ),
@@ -224,12 +236,18 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
     from cdc_init_spark.operators import graph
 
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    l = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        # single-row-group fixture file scans as ONE task; spread the
+        # CPU-dense self-join fan-out across the machine first
+        .repartition(spark.sparkContext.defaultParallelism, F.col("l_orderkey"))
+    )
     edges = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).cast("bigint").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("dst"),
         )
         .distinct()
     )
@@ -276,7 +294,13 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
     seed/1-hop/2-hop layers and takes MIN(hops); integer-exact."""
     from cdc_init_spark.operators import graph
 
-    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    l = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        # single-row-group fixture file scans as ONE task; spread the
+        # CPU-dense self-join fan-out across the machine first
+        .repartition(spark.sparkContext.defaultParallelism, F.col("l_orderkey"))
+    )
     l2 = l.withColumnRenamed("l_suppkey", "s2")
     pairs = (
         l.join(l2, "l_orderkey")
@@ -345,7 +369,13 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
     unroll the identical recurrence. The weighted sibling of q164's BFS."""
     from cdc_init_spark.operators import graph
 
-    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    l = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        # single-row-group fixture file scans as ONE task; spread the
+        # CPU-dense self-join fan-out across the machine first
+        .repartition(spark.sparkContext.defaultParallelism, F.col("l_orderkey"))
+    )
     l2 = l.withColumnRenamed("l_suppkey", "s2")
     e0 = (
         l.join(l2, "l_orderkey")
@@ -433,7 +463,13 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
     diagnostics; q103's connected components are the τ→0 limit."""
     from cdc_init_spark.operators import graph
 
-    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    l = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        # single-row-group fixture file scans as ONE task; spread the
+        # CPU-dense self-join fan-out across the machine first
+        .repartition(spark.sparkContext.defaultParallelism, F.col("l_orderkey"))
+    )
     l2 = l.withColumnRenamed("l_suppkey", "s2")
     pairs = (
         l.join(l2, "l_orderkey")

@@ -49,6 +49,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan split size, env-tunable. Default 16 MB here vs Spark's
+        # 128 MB: the local bench profile reads ~100-200 MB tables, and
+        # 128 MB splits hand a 3-task scan to every broadcast-join probe
+        # side — compute-dense operators (self-join pair generation,
+        # shingling, per-row codecs) then run at 3/32 of the machine.
+        # AQE coalesces by shuffle SIZE, so it never widens a narrow
+        # scan-side stage; the split size is the only lever. On a real
+        # 100 TB cluster leave the default (set the env to 134217728):
+        # there the scan has thousands of splits regardless and larger
+        # files amortize task startup.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
