@@ -48,7 +48,13 @@ def zscore_by_group(
         pdf[out_col] = (pdf[value_col] - mu) / sd
         return pdf
 
-    return df.groupBy(group_col).applyInPandas(standardize, schema)
+    from cdc_init_spark.functions.parallelism import widen_by
+
+    return (
+        widen_by(df, group_col)
+        .groupBy(group_col)
+        .applyInPandas(standardize, schema)
+    )
 
 
 @F.pandas_udf(DoubleType())

@@ -53,6 +53,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_init_spark.functions.compat import round_compat
+from cdc_init_spark.functions.parallelism import widen_by
 from cdc_init_spark.operators import dedup
 
 
@@ -300,7 +301,7 @@ def pack_sequences(
         pdf["bin"] = bins
         return pdf
 
-    return src.groupBy("grp").applyInPandas(pack, schema=out_schema)
+    return widen_by(src, "grp").groupBy("grp").applyInPandas(pack, schema=out_schema)
 
 
 # --- unigram LM quality scoring -------------------------------------------

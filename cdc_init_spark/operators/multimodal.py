@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from cdc_init_spark.functions.parallelism import widen
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -147,7 +148,7 @@ def extract_image_features(
                 feats.append(pooled.tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
-    return df.select(id_col, content_col).mapInPandas(run, schema)
+    return widen(df.select(id_col, content_col)).mapInPandas(run, schema)
 
 
 def resize_images(
@@ -196,7 +197,7 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, content_col).mapInPandas(run, schema)
+    return widen(df.select(id_col, content_col)).mapInPandas(run, schema)
 
 
 def sample_frames(
@@ -234,7 +235,7 @@ def sample_frames(
                     )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, content_col).mapInPandas(run, schema)
+    return widen(df.select(id_col, content_col)).mapInPandas(run, schema)
 
 
 def _fake_decode_audio(content: bytes, sample_rate: int = 16_000) -> np.ndarray:
@@ -314,7 +315,7 @@ def extract_audio_features(
                 {id_col: pdf[id_col], "features": feats, "n_samples": lens}
             )
 
-    return df.select(id_col, content_col).mapInPandas(run, schema)
+    return widen(df.select(id_col, content_col)).mapInPandas(run, schema)
 
 
 def audio_chunks(
@@ -353,7 +354,7 @@ def audio_chunks(
                     rows["chunk"].append(pcm[i : i + samples_per_chunk].tobytes())
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, content_col).mapInPandas(run, schema)
+    return widen(df.select(id_col, content_col)).mapInPandas(run, schema)
 
 
 def image_dhash(
@@ -403,4 +404,4 @@ def image_dhash(
                 hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
             yield pd.DataFrame({id_col: pdf[id_col], "dhash": hashes})
 
-    return df.select(id_col, content_col).mapInPandas(run, schema)
+    return widen(df.select(id_col, content_col)).mapInPandas(run, schema)

@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
+from cdc_init_spark.functions.parallelism import widen, widen_by
 from cdc_init_spark.functions.vectors import cosine_similarity
 
 
@@ -116,7 +117,7 @@ def cosine_topk_many(
                 )
             yield pd.concat(res, ignore_index=True)
 
-    partial = df.select(id_col, vec_col).mapInPandas(local_topk, out_schema)
+    partial = widen(df.select(id_col, vec_col)).mapInPandas(local_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
     return (
         partial.withColumn("_rn", F.row_number().over(w))
@@ -178,7 +179,7 @@ def assign_lists(
             pdf["list_id"] = d.argmin(axis=1).astype(np.int64)
             yield pdf
 
-    return df.mapInPandas(assign, schema)
+    return widen(df).mapInPandas(assign, schema)
 
 
 def ivf_topk(
@@ -258,7 +259,7 @@ def hyperplane_buckets(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(run, schema)
+    return widen(df.select(id_col, vec_col)).mapInPandas(run, schema)
 
 
 def cosine_self_join(
@@ -315,7 +316,7 @@ def cosine_self_join(
             }
         )
 
-    pairs = with_vec.groupBy("table_id", "bucket").applyInPandas(
+    pairs = widen_by(with_vec, "table_id", "bucket").groupBy("table_id", "bucket").applyInPandas(
         bucket_pairs, out_schema
     )
     return pairs.groupBy("a", "b").agg(F.max("score").alias("score"))
@@ -450,7 +451,7 @@ def pq_encode(
             out["codes"] = list(codes)
             yield out
 
-    return df.mapInPandas(encode, schema)
+    return widen(df).mapInPandas(encode, schema)
 
 
 def pq_topk(
@@ -493,7 +494,7 @@ def pq_topk(
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "adc_dist": d})
 
     return (
-        encoded.select(id_col, "codes")
+        widen(encoded.select(id_col, "codes"))
         .mapInPandas(score, schema)
         .orderBy(F.col("adc_dist").asc(), id_col)
         .limit(k)
@@ -632,7 +633,7 @@ def _semdedup_keep_matmul(
         dominated = (np.triu(g, k=1) >= threshold).any(axis=0)
         return pdf.loc[~dominated, names]
 
-    return df.groupBy(cluster_col).applyInPandas(keep, keep_schema)
+    return widen_by(df, cluster_col).groupBy(cluster_col).applyInPandas(keep, keep_schema)
 
 
 # --- fully distributed Lloyd's k-means ------------------------------------
@@ -704,7 +705,7 @@ def kmeans_inertia(
             d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame({"d2": d.min(axis=1)})
 
-    return df.select(vec_col).mapInPandas(dist, schema).agg(
+    return widen(df.select(vec_col)).mapInPandas(dist, schema).agg(
         F.sum("d2")
     ).collect()[0][0]
 
@@ -750,7 +751,7 @@ def pca_fit(
                 {"n": [tot_n], "s": [tot_s], "g": [tot_g.ravel()]}
             )
 
-    parts = df.select(vec_col).mapInPandas(gram, schema).collect()
+    parts = widen(df.select(vec_col)).mapInPandas(gram, schema).collect()
     n = sum(r["n"] for r in parts)
     s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
     d = len(s)
@@ -797,4 +798,4 @@ def pca_project(
             p = (mat - mu[None, :]) @ comps.T
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: list(p)})
 
-    return df.select(id_col, vec_col).mapInPandas(proj, schema)
+    return widen(df.select(id_col, vec_col)).mapInPandas(proj, schema)

@@ -246,4 +246,13 @@ def ewma(
         pdf["ewma"] = y
         return pdf
 
-    return df.groupBy(key).applyInPandas(_fold, schema=out_schema)
+    # Pin the exchange width: AQE coalesces the grouped-map shuffle by
+    # BYTE size, and a few-MB input would hand all keys to 2 tasks —
+    # Python stages are CPU-bound, not byte-bound. An explicit
+    # numPartitions repartition is exempt from AQE coalescing and is
+    # reused by the groupBy (same hash clustering), so this adds no
+    # second exchange.
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parts, key).groupBy(key).applyInPandas(
+        _fold, schema=out_schema
+    )

@@ -528,7 +528,12 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
     Ties broken by event_id on both sides."""
     from cdc_init_spark.operators.timeseries import ewma as _ewma
 
-    e = load_table(spark, sf, "events")
+    # prune BEFORE the grouped-map: Catalyst cannot push projection
+    # through a Python boundary, and the unused props map would ride
+    # the Arrow round-trip otherwise
+    e = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
     r = _ewma(e, "user_id", "ts", "value", alpha=0.3, order_cols=("event_id",))
     return r.select(
         "user_id", "event_id", round_compat(F.col("ewma"), 4).alias("ewma")
