@@ -308,3 +308,28 @@ def running_totals_per_key(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """L1 (exact dedup), streaming form: suppress re-deliveries of the
+    same CONTENT — the sha-256 of normalized text, the identical digest
+    the batch ``operators.dedup.exact_dedup`` keys on — within the
+    watermark horizon, whatever ids or timestamps the duplicates carry.
+    State is one digest per distinct content inside the horizon,
+    evicted by the watermark; a continuously-ingesting corpus pipeline
+    runs this at the door and the batch operator as the periodic
+    full-corpus pass (same normalization → the two agree on what is a
+    duplicate)."""
+    from cdc_init_spark.operators.dedup import content_hash
+
+    tagged = watermarked(stream, ts_col, delay).withColumn(
+        "_content_hash", content_hash(F.col(text_col))
+    )
+    return tagged.dropDuplicatesWithinWatermark(["_content_hash"]).drop(
+        "_content_hash"
+    )

@@ -464,3 +464,24 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     )
     ks = sorted(r["k"] for r in result.collect())
     assert ks == [1, 2]
+
+
+def test_streaming_exact_dedup_by_content(spark, tmp_path):
+    """L1 streaming twin: same normalized content under different ids
+    and timestamps emits once; distinct content passes."""
+    import json as _json
+    import os
+
+    src = str(tmp_path / "sed")
+    os.makedirs(src)
+    with open(f"{src}/a.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "ts": "2026-01-01T12:00:00", "text": "Hello  World"}) + "\n")
+        f.write(_json.dumps({"doc_id": 2, "ts": "2026-01-01T12:00:05", "text": "hello world"}) + "\n")
+        f.write(_json.dumps({"doc_id": 3, "ts": "2026-01-01T12:00:09", "text": "different"}) + "\n")
+    schema = "doc_id bigint, ts string, text string"
+    s = spark.readStream.schema(schema).json(src).withColumn("ts", F.to_timestamp("ts"))
+    result = _run_stream(
+        spark, W.streaming_exact_dedup(s), "sed_out", mode="append"
+    )
+    rows = sorted((r["doc_id"]) for r in result.collect())
+    assert rows == [1, 3]  # 2 is a content-duplicate of 1 despite new id/ts
