@@ -1050,3 +1050,104 @@ def q174(spark: SparkSession, sf: str) -> DataFrame:
             for i in range(3)
         ],
     ).orderBy("vec_id")
+
+
+@query(
+    "q176_quality_aware_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_GRAMS_CTE}, jac AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+             (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+      FROM gram_sets a JOIN gram_sets b
+        ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
+    ), edges AS (
+      SELECT a AS x, b AS y FROM jac WHERE j >= 0.02
+      UNION SELECT b, a FROM jac WHERE j >= 0.02
+    ), reach(id, r) AS (
+      SELECT x, x FROM edges
+      UNION
+      SELECT e.x, reach.r FROM edges e JOIN reach ON reach.id = e.y
+    ), clusters AS (
+      SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ), richness AS (
+      SELECT doc_id, CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens
+      FROM toks
+    ), member AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             r.n_distinct_tokens
+      FROM documents d
+      LEFT JOIN clusters c ON c.id = d.doc_id
+      JOIN richness r ON r.doc_id = d.doc_id
+    ), best AS (
+      SELECT cluster_id, doc_id AS keep_id, n_distinct_tokens FROM (
+        SELECT cluster_id, doc_id, n_distinct_tokens,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_distinct_tokens DESC, doc_id) AS rk
+        FROM member
+      ) WHERE rk = 1
+    )
+    SELECT cluster_id, keep_id, n_distinct_tokens,
+           CAST((SELECT COUNT(*) FROM member m
+                 WHERE m.cluster_id = best.cluster_id) AS BIGINT) AS cluster_size
+    FROM best ORDER BY cluster_id
+    """,
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    """L6 capstone: QUALITY-AWARE near-dup retention — the production
+    form of dedup where each cluster keeps its best document, not its
+    smallest id (Gopher/FineWeb keep the longest/richest member). The
+    composition: q101's deterministic n-gram Jaccard edges →
+    connected-component clusters (operators.dedup.dedup_clusters) →
+    per-doc lexical richness (distinct-token count, integer → portable
+    ranking) → one partial-aggregable max_by per cluster; singleton
+    documents form their own cluster via the left join. One extra
+    shuffle on cluster_id beyond q103 — at 100 TB the cluster relation
+    is duplicate-sized, far smaller than the corpus, and the richness
+    aggregate reuses the token pipeline's doc partitioning. The oracle
+    replays edges, the recursive closure, richness and the argmax in
+    DuckDB."""
+    from pyspark.sql.window import Window  # noqa: F401 (documented alt form)
+
+    d = load_table(spark, sf, "documents")
+    edges = dedup.ngram_jaccard_neighbors(d, max_gap=50, threshold=0.02)
+    clusters = dedup.dedup_clusters(edges)
+    richness = d.select(
+        "doc_id",
+        F.size(F.array_distinct(dedup.tokens(F.col("text"))))
+        .cast("bigint")
+        .alias("n_distinct_tokens"),
+    )
+    member = (
+        d.select("doc_id")
+        .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .join(richness, "doc_id")
+    )
+    return (
+        member.groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("doc_id").alias("keep_id"),
+                    F.col("n_distinct_tokens"),
+                ),
+                F.struct(
+                    F.col("n_distinct_tokens"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                ),
+            ).alias("_best"),
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        )
+        .select(
+            "cluster_id",
+            F.col("_best.keep_id").alias("keep_id"),
+            F.col("_best.n_distinct_tokens").alias("n_distinct_tokens"),
+            "cluster_size",
+        )
+        .orderBy("cluster_id")
+    )

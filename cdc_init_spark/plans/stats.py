@@ -483,3 +483,55 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q175_grouped_ols",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, epoch(ts) - epoch(TIMESTAMP '2026-01-01')), 6) AS slope,
+           ROUND(AVG(value), 6) AS level,
+           ROUND(regr_r2(value, epoch(ts) - epoch(TIMESTAMP '2026-01-01')), 6) AS r2
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT stats: per-key ordinary least squares — value-vs-time slope,
+    mean level and R² per user via the SQL-standard ``regr_*``
+    aggregates (one partial-aggregable pass; the closed-form moments
+    merge associatively, so this is a single shuffle on user_id at any
+    scale — the trend-detection primitive behind drift monitors and
+    cohort burn-down fits). Both engines implement the identical
+    textbook definitions over IEEE doubles; results compare at 6 dp.
+    The x axis is seconds since 2026-01-01 on both sides — CENTERED
+    time, because raw epoch seconds (~1.7e9) put the moments into
+    catastrophic-cancellation territory and the two engines' last-ulp
+    differences surface in the intercept; small x keeps both engines'
+    closed forms agreeing to 6 dp (and is what a production fit should
+    do regardless). The reported level is ȳ rather than the x=0
+    intercept: an intercept extrapolates the fit ~10^7 seconds from the
+    data, multiplying the engines' last-ulp slope difference past any
+    fixed rounding — ȳ + slope carries the same information without
+    the amplification."""
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit("2026-01-01 00:00:00"))
+        )
+        .cast("double")
+        .alias("x"),
+        F.col("value").alias("y"),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            round_compat(F.regr_slope("y", "x"), 6).alias("slope"),
+            round_compat(F.avg("y"), 6).alias("level"),
+            round_compat(F.regr_r2("y", "x"), 6).alias("r2"),
+        )
+        .orderBy("user_id")
+    )
