@@ -39,6 +39,7 @@ ALLOWED_CARTESIAN = {
     "q161_pmi_collocations",  # 1-row token-total broadcast for the PMI scale
     "q166_tfidf_cosine_pairs",  # 1-row doc-count scalar broadcast for idf
     "q169_chi2_keyness",  # 1-row grand-total scalar broadcast for chi2
+    "q168_temperature_mix",  # 1-row Σ n^α scalar broadcast for the share
 }
 
 CARTESIAN_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
