@@ -180,3 +180,59 @@ def encode_wav(pcm: np.ndarray, sample_rate: int = 16_000) -> bytes:
         f.setframerate(sample_rate)
         f.writeframes(np.asarray(pcm, dtype="<i2").tobytes())
     return buf.getvalue()
+
+
+# --- FPNG: a minimal real video container (indexed PNG frames) -----------
+
+_FPNG_MAGIC = b"FPNG"
+_FPNG_VERSION = 1
+
+
+def is_fpng(content: bytes) -> bool:
+    return bool(content) and content[:4] == _FPNG_MAGIC
+
+
+def encode_fpng(frames: list[bytes], frame_ms: int = 40) -> bytes:
+    """Pack PNG-encoded frames into the FPNG container:
+    ``magic(4) version(1) n_frames(u32 LE) frame_ms(u32 LE)
+    offsets((n+1)×u64 LE, relative to data start) frame bytes…``.
+
+    The offset index is the whole point: a frame-sampler can slice any
+    frame's exact byte range without inflating a single non-sampled
+    frame — the property real containers (MP4 stbl/stco) provide and
+    the reason frame sampling at 100 TB reads ~sampled/total of the
+    bytes it touches."""
+    for f in frames:
+        if f[:8] != _PNG_MAGIC:
+            raise ValueError("FPNG frames must be PNG-encoded")
+    offs = [0]
+    for f in frames:
+        offs.append(offs[-1] + len(f))
+    head = (
+        _FPNG_MAGIC
+        + bytes([_FPNG_VERSION])
+        + struct.pack("<II", len(frames), frame_ms)
+        + b"".join(struct.pack("<Q", o) for o in offs)
+    )
+    return head + b"".join(frames)
+
+
+def fpng_info(content: bytes) -> tuple[int, int, int]:
+    """(n_frames, frame_ms, data_start) from the header."""
+    if not is_fpng(content):
+        raise ValueError("not an FPNG container")
+    n, frame_ms = struct.unpack_from("<II", content, 5)
+    data_start = 4 + 1 + 8 + 8 * (n + 1)
+    return n, frame_ms, data_start
+
+
+def decode_fpng_frame(content: bytes, idx: int) -> bytes:
+    """The PNG bytes of frame ``idx`` — a pure byte-range slice via the
+    offset index; no decompression of anything else."""
+    n, _ms, start = fpng_info(content)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} of {n}")
+    base = 4 + 1 + 8
+    a = struct.unpack_from("<Q", content, base + 8 * idx)[0]
+    b = struct.unpack_from("<Q", content, base + 8 * (idx + 1))[0]
+    return content[start + a : start + b]

@@ -206,9 +206,15 @@ def sample_frames(
     id_col: str = "media_id",
     content_col: str = "content",
 ) -> DataFrame:
-    """Video → frame rows (media_id, frame_idx, ts_ms, frame BINARY).
-    The fake 'codec' derives a deterministic frame count from the blob;
-    a real ffmpeg-backed decoder drops in via DECODERS."""
+    """Video → sampled frame rows (media_id, frame_idx, ts_ms,
+    frame BINARY). REAL path: blobs in the FPNG container format
+    (operators.codecs — an offset-indexed sequence of PNG frames, the
+    stbl/stco shape of real containers) are sampled by timestamp and
+    each selected frame's PNG bytes are extracted as a pure byte-range
+    slice — non-sampled frames are never inflated, so the work scales
+    with frames KEPT, not stored. Unrecognized formats keep the
+    deterministic fake (one digest row per pseudo-frame); a real
+    ffmpeg-backed decoder drops in via DECODERS."""
     schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -218,11 +224,27 @@ def sample_frames(
         ]
     )
 
+    from cdc_init_spark.operators import codecs
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {id_col: [], "frame_idx": [], "ts_ms": [], "frame": []}
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 blob = bytes(content) if content is not None else b""
+                if codecs.is_fpng(blob):
+                    n, frame_ms, _ = codecs.fpng_info(blob)
+                    dur = n * frame_ms
+                    seen: set[int] = set()
+                    for t in range(0, max(dur, 1), every_ms):
+                        i = min(t // max(frame_ms, 1), n - 1)
+                        if i in seen:
+                            continue
+                        seen.add(i)
+                        rows[id_col].append(mid)
+                        rows["frame_idx"].append(int(i))
+                        rows["ts_ms"].append(int(i * frame_ms))
+                        rows["frame"].append(codecs.decode_fpng_frame(blob, i))
+                    continue
                 n_frames = (zlib.crc32(blob) % 5) + 1  # fake duration
                 for i in range(n_frames):
                     rows[id_col].append(mid)

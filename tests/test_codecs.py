@@ -195,3 +195,34 @@ def test_image_dhash_perceptual_laws(spark):
     assert h[1] == h[2]  # identical content → identical hash
     assert ham(h[1], h[3]) <= 6  # near-dup → few bits flip
     assert ham(h[1], h[4]) >= 16  # unrelated → many bits differ
+
+
+def test_fpng_container_roundtrip_and_frame_sampling(spark):
+    """FPNG: real PNG frames packed with an offset index; sample_frames
+    extracts the timestamp-sampled frames as byte-exact PNG blobs whose
+    decoded pixels match the originals (no other frame touched)."""
+    import numpy as np
+
+    from cdc_init_spark.operators import codecs
+    from cdc_init_spark.operators.multimodal import sample_frames
+
+    frames_px = [
+        np.full((4, 4, 3), i * 40, dtype=np.uint8) for i in range(5)
+    ]
+    pngs = [codecs.encode_png(p) for p in frames_px]
+    blob = codecs.encode_fpng(pngs, frame_ms=500)
+
+    n, ms, _ = codecs.fpng_info(blob)
+    assert (n, ms) == (5, 500)
+    for i in range(5):
+        assert codecs.decode_fpng_frame(blob, i) == pngs[i]
+
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, content binary")
+    got = sample_frames(df, every_ms=1000).orderBy("frame_idx").collect()
+    # 2.5 s of video sampled at 1 Hz → frames at t=0,1000,2000 ms → idx 0,2,4
+    assert [(r["frame_idx"], r["ts_ms"]) for r in got] == [
+        (0, 0), (2, 1000), (4, 2000),
+    ]
+    for r in got:
+        px = codecs.decode_png(bytes(r["frame"]))
+        np.testing.assert_array_equal(px, frames_px[r["frame_idx"]])
