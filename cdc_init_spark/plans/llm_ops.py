@@ -1151,3 +1151,73 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query("q177_video_pipeline")  # rows-only: the payloads are PNG bytes
+# (no SQL codec); every stage is deterministic, so the row set is stable
+# and the shuffle-partition determinism sweep covers it
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    """L5 capstone, REAL codecs end to end: embeddings → synthesized
+    FPNG video containers (each vector renders 3 real 8×8 PNG frames —
+    operators.codecs.encode_png/encode_fpng) → timestamp frame sampling
+    that slices ONLY the sampled frames' byte ranges via the container's
+    offset index (operators.multimodal.sample_frames) → per-frame
+    perceptual dHash over the decoded pixels (image_dhash) → per-video
+    rollup (frame count, distinct perceptual hashes). This is the video
+    near-dup pipeline shape: at 100 TB the sampler reads ~kept/stored
+    bytes, the dHash column is 8 bytes/frame, and the rollup is one
+    partial-aggregated shuffle; every byte of pixels en route passes
+    through the real PNG codec, not a digest fake."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    from cdc_init_spark.functions.parallelism import widen
+    from cdc_init_spark.operators import codecs
+    from cdc_init_spark.operators.multimodal import image_dhash, sample_frames
+
+    e = load_table(spark, sf, "embeddings")
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def render(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(vec, dtype=np.float64)
+                base = ((v - v.min()) / (v.ptp() or 1.0) * 255).astype(np.uint8)
+                px = base.reshape(8, 8)
+                frames = [
+                    codecs.encode_png(((px.astype(np.int32) + 37 * f) % 256).astype(np.uint8))
+                    for f in range(3)
+                ]
+                ids.append(int(vid))
+                blobs.append(codecs.encode_fpng(frames, frame_ms=500))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    videos = widen(e.select("vec_id", "embedding")).mapInPandas(render, out_schema)
+    frames = sample_frames(videos, every_ms=500)
+    hashes = image_dhash(
+        frames.select(
+            F.col("media_id"), F.col("frame").alias("content")
+        ),
+        content_col="content",
+        id_col="media_id",
+    )
+    return (
+        hashes.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.count_distinct("dhash").cast("bigint").alias("n_distinct_hashes"),
+        )
+        .orderBy("media_id")
+    )
