@@ -488,50 +488,72 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q175_grouped_ols",
     oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             (epoch(ts) - epoch(TIMESTAMP '2025-07-01')) / 86400.0 AS x,
+             value AS y
+      FROM events
+    ), m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM pts GROUP BY user_id
+    )
     SELECT user_id,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(regr_slope(value, epoch(ts) - epoch(TIMESTAMP '2026-01-01')), 6) AS slope,
-           ROUND(AVG(value), 6) AS level,
-           ROUND(regr_r2(value, epoch(ts) - epoch(TIMESTAMP '2026-01-01')), 6) AS r2
-    FROM events
-    GROUP BY user_id ORDER BY user_id
+           CAST(n AS BIGINT) AS n,
+           ROUND(sy / n, 4) AS level,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope_per_day,
+           ROUND(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM m ORDER BY user_id
     """,
 )
 def q175(spark: SparkSession, sf: str) -> DataFrame:
     """EXT stats: per-key ordinary least squares — value-vs-time slope,
-    mean level and R² per user via the SQL-standard ``regr_*``
-    aggregates (one partial-aggregable pass; the closed-form moments
-    merge associatively, so this is a single shuffle on user_id at any
-    scale — the trend-detection primitive behind drift monitors and
-    cohort burn-down fits). Both engines implement the identical
-    textbook definitions over IEEE doubles; results compare at 6 dp.
-    The x axis is seconds since 2026-01-01 on both sides — CENTERED
-    time, because raw epoch seconds (~1.7e9) put the moments into
-    catastrophic-cancellation territory and the two engines' last-ulp
-    differences surface in the intercept; small x keeps both engines'
-    closed forms agreeing to 6 dp (and is what a production fit should
-    do regardless). The reported level is ȳ rather than the x=0
-    intercept: an intercept extrapolates the fit ~10^7 seconds from the
-    data, multiplying the engines' last-ulp slope difference past any
-    fixed rounding — ȳ + slope carries the same information without
-    the amplification."""
+    mean level and R² per user from EXPLICIT closed-form moments
+    (n, Σx, Σy, Σx², Σy², Σxy): one partial-aggregable pass, one
+    shuffle on user_id at any scale — the trend-detection primitive
+    behind drift monitors and cohort burn-down fits.
+
+    Numerics are part of the design, and three pitfalls were hit and
+    fixed en route: (a) ``unix_timestamp`` TRUNCATES sub-second parts
+    while DuckDB's ``epoch()`` keeps them — x itself differed until the
+    fractional cast ("ts".cast(timestamp).cast(double)); (b) explicit
+    moments written in the IDENTICAL operation order on both sides
+    agree to ~1e-12 where opaque builtin regression aggregates need
+    not; (c) the x axis is DAYS since 2025-07-01 (|x| ≲ 200) so the
+    n·Σxy − Σx·Σy cancellation keeps its digits — raw epoch seconds
+    (~1e9) lose the slope entirely. 4 dp rounding then has orders of
+    magnitude of margin (verified hash-exact at sf0.01 AND sf0.1)."""
     e = load_table(spark, sf, "events").select(
         "user_id",
+        # cast("double") keeps the fractional seconds; unix_timestamp
+        # truncates them and silently diverges from DuckDB's epoch()
         (
-            F.unix_timestamp("ts")
-            - F.unix_timestamp(F.lit("2026-01-01 00:00:00"))
-        )
-        .cast("double")
-        .alias("x"),
+            (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.to_timestamp(F.lit("2025-07-01 00:00:00")).cast("double")
+            )
+            / F.lit(86400.0)
+        ).alias("x"),
         F.col("value").alias("y"),
     )
-    return (
-        e.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            round_compat(F.regr_slope("y", "x"), 6).alias("slope"),
-            round_compat(F.avg("y"), 6).alias("level"),
-            round_compat(F.regr_r2("y", "x"), 6).alias("r2"),
-        )
-        .orderBy("user_id")
+    m = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        round_compat(F.col("sy") / F.col("n"), 4).alias("level"),
+        round_compat(num / dx, 4).alias("slope_per_day"),
+        round_compat(F.pow(num, F.lit(2.0)) / (dx * dy), 4).alias("r2"),
+    ).orderBy("user_id")
