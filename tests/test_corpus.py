@@ -34,7 +34,7 @@ def test_all_queries_have_docstrings():
 @pytest.mark.skipif(
     __import__("os").environ.get("SPARK_GRAFT_SCALE_DIFF") != "1",
     reason="10x-scale differential is opt-in (SPARK_GRAFT_SCALE_DIFF=1); "
-    "run verified green at sf0.1 (115/115) on 2026-08-13",
+    "run verified green at sf0.1 (153/153 oracle queries) on 2026-08-14",
 )
 def test_full_differential_at_sf01(spark):
     """Scale-sensitivity check: the whole oracle corpus must hash-match
