@@ -557,3 +557,41 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
         round_compat(num / dx, 4).alias("slope_per_day"),
         round_compat(F.pow(num, F.lit(2.0)) / (dx * dy), 4).alias("r2"),
     ).orderBy("user_id")
+
+
+@query(
+    "q178_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(l_discount AS DECIMAL(5,3))) AS DOUBLE) AS sum_disc_amt,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT types: exact fixed-point aggregation — prices cast to
+    DECIMAL(14,2), discount to DECIMAL(5,3), summed and cross-multiplied
+    per flag. Decimal arithmetic is the money-correct path double
+    aggregation only approximates: both engines compute the identical
+    scaled integers, so the match is EXACT — the final cast to DOUBLE
+    exists only for the comparison layer (pandas renders DECIMAL as
+    object), and the scaled-integer totals (≲1e13) sit far inside
+    double's 2^53 exact range, so no precision is lost in the cast. Partial-aggregable, one shuffle, integer math end to end."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("decimal(14,2)").alias("p"),
+            F.col("l_discount").cast("decimal(5,3)").alias("d"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("p").cast("double").alias("sum_price"),
+            F.sum(F.col("p") * F.col("d")).cast("double").alias("sum_disc_amt"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
