@@ -272,3 +272,50 @@ def test_fuzz_datetime_exprs(spark, sf_dir, duck, plan):
     ).df()
     res = compare_frames("fuzz_datetime", spark_pd, duck_pd)
     assert res.ok, f"{plan}: {res}"
+
+
+@st.composite
+def frame_plan(draw):
+    kind = draw(st.sampled_from(["lag", "lead", "sum", "avg", "min", "max"]))
+    k = draw(st.integers(min_value=1, max_value=4))
+    preceding = draw(st.integers(min_value=0, max_value=5))
+    following = draw(st.integers(min_value=0, max_value=5))
+    return kind, k, preceding, following
+
+
+@SETTLE
+@given(plan=frame_plan())
+def test_fuzz_window_frames(spark, sf_dir, duck, plan):
+    """lag/lead at random offsets and ROWS-frame aggregates at random
+    bounds over a totally-ordered per-customer window — the frame
+    semantics (inclusive bounds, partial frames at partition edges,
+    NULL fill for out-of-range offsets) must agree cell-for-cell."""
+    from pyspark.sql.window import Window
+
+    kind, k, preceding, following = plan
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    if kind in ("lag", "lead"):
+        expr = getattr(F, kind)("o_totalprice", k).over(w)
+        spark_pd = o.select(
+            "o_orderkey", round_compat(expr, 2).alias("v")
+        ).toPandas()
+        sql = (
+            f"SELECT o_orderkey, ROUND({kind.upper()}(o_totalprice, {k}) OVER "
+            f"(PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS v FROM orders"
+        )
+    else:
+        wf = w.rowsBetween(-preceding, following)
+        expr = getattr(F, kind)("o_totalprice").over(wf)
+        spark_pd = o.select(
+            "o_orderkey", round_compat(expr, 2).alias("v")
+        ).toPandas()
+        sql = (
+            f"SELECT o_orderkey, ROUND({kind.upper()}(o_totalprice) OVER "
+            f"(PARTITION BY o_custkey ORDER BY o_orderkey "
+            f"ROWS BETWEEN {preceding} PRECEDING AND {following} FOLLOWING), 2)"
+            f" AS v FROM orders"
+        )
+    duck_pd = duck.execute(sql).df()
+    res = compare_frames("fuzz_frame", spark_pd, duck_pd)
+    assert res.ok, f"{plan}: {res}"
