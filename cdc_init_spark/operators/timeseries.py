@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -255,4 +256,81 @@ def ewma(
     parts = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(parts, key).groupBy(key).applyInPandas(
         _fold, schema=out_schema
+    )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    ts_us_col: str,
+    id_col: str,
+    value_col: str,
+    window_us: int,
+) -> DataFrame:
+    """Sharded sliding-window DISTINCT count: for every row, the number
+    of distinct ``value_col`` in the half-open interval
+    (t − window, t] — the scalable twin of the single global RANGE
+    window (which is one sort task however big the input).
+
+    Shape: bucket the time axis at the window width; every row is
+    REPLICATED to its own bucket and the next (any anchor's trailing
+    window spans at most two buckets), so each bucket holds everything
+    its anchors can see. One shuffle on bucket id, then an Arrow
+    grouped-map runs the classic two-pointer + occurrence-map sweep —
+    O(bucket rows), not O(rows × window) — and emits only the bucket's
+    OWN anchors. 2× replication buys full parallelism and locality;
+    determinism is inherited from the data (no ties: the sweep is by
+    (ts, id))."""
+    from cdc_init_spark.functions.parallelism import widen_by
+
+    w = int(window_us)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(ts_us_col).alias("_ts"),
+        F.col(value_col).alias("_v"),
+    )
+    own = base.withColumn("_b", (F.col("_ts") / w).cast("bigint")).withColumn(
+        "_anchor", F.lit(True)
+    )
+    nxt = base.withColumn(
+        "_b", (F.col("_ts") / w).cast("bigint") + 1
+    ).withColumn("_anchor", F.lit(False))
+    both = own.unionByName(nxt)
+
+    schema = "_id long, uniq bigint"
+
+    def sweep(pdf):
+        pdf = pdf.sort_values(["_ts", "_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        ts = pdf["_ts"].to_numpy()
+        vals = pdf["_v"].to_numpy()
+        anchors = pdf["_anchor"].to_numpy()
+        ids = pdf["_id"].to_numpy()
+        from collections import defaultdict
+
+        counts: dict = defaultdict(int)
+        distinct = 0
+        lo = 0
+        out_ids, out_n = [], []
+        for hi in range(len(ts)):
+            v = vals[hi]
+            if counts[v] == 0:
+                distinct += 1
+            counts[v] += 1
+            while ts[lo] <= ts[hi] - w:
+                u = vals[lo]
+                counts[u] -= 1
+                if counts[u] == 0:
+                    distinct -= 1
+                lo += 1
+            if anchors[hi]:
+                out_ids.append(ids[hi])
+                out_n.append(distinct)
+        return pd.DataFrame({"_id": out_ids, "uniq": out_n})
+
+    return (
+        widen_by(both, "_b")
+        .groupBy("_b")
+        .applyInPandas(sweep, schema=schema)
+        .withColumnRenamed("_id", id_col)
     )

@@ -538,3 +538,45 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
     return r.select(
         "user_id", "event_id", round_compat(F.col("ewma"), 4).alias("ewma")
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "q179_sliding_distinct",
+    oracle="""
+    SELECT e.event_id,
+           CAST((SELECT COUNT(DISTINCT e2.user_id) FROM events e2
+                 WHERE e2.ts > e.ts - INTERVAL 1 HOUR
+                   AND e2.ts <= e.ts) AS BIGINT) AS uniq_1h
+    FROM events e
+    ORDER BY e.event_id
+    """,
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT temporal: per-event count of DISTINCT users active in the
+    trailing hour — the sliding-distinct shape engines cannot express as
+    a windowed DISTINCT aggregate (neither Spark nor DuckDB allows it),
+    so each side uses its own legal plan for the same semantics. The
+    Spark side is the SCALE plan, not a global window:
+    ``operators.timeseries.sliding_distinct`` buckets the µs time axis
+    at the window width, replicates each row to its own and the next
+    bucket (an anchor's trailing hour spans at most two buckets — 2×
+    data for full parallelism), and an Arrow grouped-map runs the
+    two-pointer occurrence-map sweep per bucket, O(bucket rows). The
+    global RANGE-window form (one sort task at any size) exists only in
+    the pytest that pins the sharded operator equal to it; the oracle
+    is a correlated distinct-count subquery. Three structurally
+    different plans agreeing cell-for-cell is the strongest kind of
+    differential evidence. At 100 TB swap the exact set for q131's
+    mergeable HLL if ±2% is acceptable."""
+    from cdc_init_spark.operators.timeseries import sliding_distinct
+
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    )
+    return (
+        sliding_distinct(e, "_us", "event_id", "user_id", 3600 * 1_000_000)
+        .withColumnRenamed("uniq", "uniq_1h")
+        .orderBy("event_id")
+    )

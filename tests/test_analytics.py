@@ -238,3 +238,33 @@ def test_ewma_matches_pandas_reference(spark):
         want = grp.sort_values("ts")["v"].ewm(alpha=0.25, adjust=False).mean()
         have = got[got["k"] == k]["ewma"].to_numpy()
         assert abs(want.to_numpy() - have).max() < 1e-9
+
+
+def test_sliding_distinct_sharded_matches_global_window(spark, sf_dir):
+    """The bucket-replicated two-pointer sliding distinct equals the
+    single global RANGE-window form on real events — exact, both the
+    half-open boundary and duplicate users."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cdc_init_spark.operators.timeseries import sliding_distinct
+    from cdc_init_spark.tables import load_table
+
+    W_US = 3600 * 1_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+    )
+    w = Window.orderBy("_us").rangeBetween(-(W_US - 1), 0)
+    want = {
+        r["event_id"]: r["u"]
+        for r in e.withColumn(
+            "u", F.size(F.collect_set("user_id").over(w)).cast("bigint")
+        ).collect()
+    }
+    got = {
+        r["event_id"]: r["uniq"]
+        for r in sliding_distinct(e, "_us", "event_id", "user_id", W_US).collect()
+    }
+    assert got == want
