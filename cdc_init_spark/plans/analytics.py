@@ -580,3 +580,62 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
         .withColumnRenamed("uniq", "uniq_1h")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q180_skyline",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey,
+             CAST(SUM(l_quantity) AS BIGINT) AS qty,
+             ROUND(AVG(l_extendedprice), 2) AS price
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.l_suppkey, s.qty, s.price
+    FROM m s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m t
+      WHERE t.qty >= s.qty AND t.price <= s.price
+        AND (t.qty > s.qty OR t.price < s.price)
+    )
+    ORDER BY s.l_suppkey
+    """,
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT analytics: 2-D skyline (Pareto frontier) — suppliers not
+    dominated on (maximize shipped quantity, minimize average price);
+    the classic Börzsönyi et al. skyline operator. The oracle states
+    the semantics directly as a NOT-EXISTS domination anti-join
+    (quadratic — fine for DuckDB at oracle scale); the Spark plan is
+    the sort-based frontier that scales: collapse to the per-qty
+    minimum price (supplier-sized partial agg), one window cumulative
+    strict-min over qty descending on that ALREADY-AGGREGATED tiny
+    relation (the only global window, dimension-sized by construction),
+    then a broadcast semi-join back — survivors are exactly the rows
+    whose price equals their qty's min AND beats every higher-qty min
+    strictly (tie pairs don't dominate each other, so equal-metric
+    suppliers all survive — matching NOT EXISTS's strictness clause).
+    """
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf, "lineitem")
+    m = l.groupBy("l_suppkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("qty"),
+        round_compat(F.avg("l_extendedprice"), 2).alias("price"),
+    )
+    per_qty = m.groupBy("qty").agg(F.min("price").alias("minp"))
+    w = Window.orderBy(F.col("qty").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        per_qty.withColumn("prev_best", F.min("minp").over(w))
+        .filter(
+            F.col("prev_best").isNull() | (F.col("minp") < F.col("prev_best"))
+        )
+        .select("qty", F.col("minp").alias("price"))
+    )
+    return (
+        m.join(F.broadcast(frontier), ["qty", "price"], "left_semi")
+        .select("l_suppkey", "qty", "price")
+        .orderBy("l_suppkey")
+    )
