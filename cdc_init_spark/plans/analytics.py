@@ -639,3 +639,50 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
         .select("l_suppkey", "qty", "price")
         .orderBy("l_suppkey")
     )
+
+
+@query(
+    "q181_table_checksum",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT o_custkey,
+             {_hex32("substring(md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' || CAST(ROUND(o_totalprice, 2) AS VARCHAR) || '|' || strftime(o_orderdate, '%Y-%m-%d')), 1, 8)")} AS h
+      FROM orders
+    )
+    SELECT o_custkey % 16 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS sum_hash,
+           CAST(bit_xor(CAST(h AS BIGINT)) AS BIGINT) AS xor_hash
+    FROM rows_ GROUP BY 1 ORDER BY 1
+    """,
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT integrity: order-invariant table checksums — the primitive
+    CDC replication verification runs on BOTH ends of a pipeline
+    (does the applied replica equal the source?) without moving rows:
+    per bucket, (count, SUM, BIT_XOR) of a canonical per-row md5. All
+    three aggregates are commutative → partitioning/order-invariant and
+    partial-aggregable; a single changed cell flips the hash (pytest
+    law), and bucketing localizes WHICH shard diverged so re-sync
+    touches 1/16 of the table. The canonical row string pins column
+    order, a NULL sentinel, 2-dp money rounding and ISO dates so the
+    checksum is engine-portable — replayed verbatim in the oracle."""
+    o = load_table(spark, sf, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        round_compat(F.col("o_totalprice"), 2).cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    return (
+        o.select((F.col("o_custkey") % 16).alias("bucket"), h.alias("_h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("_h").cast("bigint").alias("sum_hash"),
+            F.bit_xor("_h").cast("bigint").alias("xor_hash"),
+        )
+        .orderBy("bucket")
+    )

@@ -268,3 +268,55 @@ def test_sliding_distinct_sharded_matches_global_window(spark, sf_dir):
         for r in sliding_distinct(e, "_us", "event_id", "user_id", W_US).collect()
     }
     assert got == want
+
+
+def test_table_checksum_detects_single_cell_change(spark, sf_dir):
+    """q181's checksum law: identical tables agree bucket-for-bucket; a
+    single changed cell flips exactly the changed row's bucket."""
+    from pyspark.sql import functions as F
+
+    from cdc_init_spark.plans import QUERIES
+
+    base = {
+        r["bucket"]: (r["n_rows"], r["sum_hash"], r["xor_hash"])
+        for r in QUERIES["q181_table_checksum"](spark, sf_dir).collect()
+    }
+    again = {
+        r["bucket"]: (r["n_rows"], r["sum_hash"], r["xor_hash"])
+        for r in QUERIES["q181_table_checksum"](spark, sf_dir).collect()
+    }
+    assert base == again
+    # re-run the same checksum over a mutated copy: one row's price +0.01
+    from cdc_init_spark.functions.compat import round_compat
+    from cdc_init_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    first = o.orderBy("o_orderkey").first()
+    mut = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == first["o_orderkey"],
+            F.col("o_totalprice") + 0.01,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        round_compat(F.col("o_totalprice"), 2).cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    mutated = {
+        r["bucket"]: (r["n_rows"], r["sum_hash"], r["xor_hash"])
+        for r in mut.select((F.col("o_custkey") % 16).alias("bucket"), h.alias("_h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("_h").cast("bigint").alias("sum_hash"),
+            F.bit_xor("_h").cast("bigint").alias("xor_hash"),
+        )
+        .collect()
+    }
+    changed = {b for b in base if base[b] != mutated.get(b)}
+    assert changed == {int(first["o_custkey"]) % 16}
