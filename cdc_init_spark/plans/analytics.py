@@ -686,3 +686,97 @@ def q181(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q182_quantile_normalize",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars AS v,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS idx
+      FROM documents
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    pr AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN COUNT(*) OVER (PARTITION BY source) = 1 THEN 0.0
+                  ELSE (CAST(RANK() OVER (PARTITION BY source
+                                          ORDER BY n_chars) AS DOUBLE) - 1)
+                       / (COUNT(*) OVER (PARTITION BY source) - 1)
+             END AS r
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, source, n_chars, r,
+             r * (nn.n - 1) AS p,
+             CAST(FLOOR(r * (nn.n - 1)) AS BIGINT) AS lo,
+             CAST(CEIL(r * (nn.n - 1)) AS BIGINT) AS hi
+      FROM pr, nn
+    )
+    SELECT pos.doc_id, pos.source,
+           CAST(pos.n_chars AS BIGINT) AS n_chars,
+           ROUND(gl.v + (pos.p - pos.lo) * (gh.v - gl.v), 4) AS normalized
+    FROM pos
+    JOIN g gl ON gl.idx = pos.lo
+    JOIN g gh ON gh.idx = pos.hi
+    ORDER BY pos.doc_id
+    """,
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT ML prep: quantile normalization — map each document's length
+    onto the GLOBAL length distribution at its within-source percent
+    rank, so heterogeneous sources become comparable (the cross-source
+    alignment step before length-based quality cuts). Fully relational
+    on both sides: the global order-statistic table g is built once
+    (one sort), each row's interpolation position r·(N−1) is exact
+    rational arithmetic evaluated in the identical order, and the two
+    order-statistic lookups are integer equi-joins (broadcastable —
+    g is values-sized, and at 100 TB you'd swap g for q132's KLL
+    quantile sketch and accept rank-bounded error). Single-source
+    degenerate case pins r = 0."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    g = d.select(
+        F.col("n_chars").alias("v"),
+        (
+            F.row_number().over(Window.orderBy("n_chars", "doc_id")) - 1
+        ).alias("idx"),
+    )
+    n = d.count()
+    wsrc = Window.partitionBy("source").orderBy("n_chars")
+    wcnt = Window.partitionBy("source")
+    pr = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.count(F.lit(1)).over(wcnt) == 1, F.lit(0.0))
+        .otherwise(
+            (F.rank().over(wsrc).cast("double") - 1)
+            / (F.count(F.lit(1)).over(wcnt) - 1)
+        )
+        .alias("r"),
+    )
+    pos = pr.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("r") * F.lit(float(n - 1))).alias("p"),
+        F.floor(F.col("r") * F.lit(float(n - 1))).cast("bigint").alias("lo"),
+        F.ceil(F.col("r") * F.lit(float(n - 1))).cast("bigint").alias("hi"),
+    )
+    gl = g.withColumnRenamed("idx", "lo").withColumnRenamed("v", "vlo")
+    gh = g.withColumnRenamed("idx", "hi").withColumnRenamed("v", "vhi")
+    return (
+        pos.join(F.broadcast(gl), "lo")
+        .join(F.broadcast(gh), "hi")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            round_compat(
+                F.col("vlo")
+                + (F.col("p") - F.col("lo")) * (F.col("vhi") - F.col("vlo")),
+                4,
+            ).alias("normalized"),
+        )
+        .orderBy("doc_id")
+    )
