@@ -780,3 +780,96 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q183_event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT behavioral: the event-type transition matrix (first-order
+    Markov counts over each user's event sequence) — the clickstream
+    primitive behind funnel discovery and next-action models. One
+    (user, ts) window computes every adjacent pair; the count
+    aggregate's key space is |types|² (tiny), collapsing map-side, so
+    the only corpus-sized movement is the window's user_id exchange —
+    which q149's sessionization and q153's EWMA already share in a
+    fused pipeline (same partitioning). Ties broken by event_id on
+    both sides."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+@query(
+    "q184_k_anonymity",
+    oracle="""
+    WITH quasi AS (
+      SELECT event_type, hour(ts) AS hr,
+             CAST(FLOOR(value / 100.0) AS BIGINT) AS val_bucket
+      FROM events
+    ), grp AS (
+      SELECT event_type, hr, val_bucket, COUNT(*) AS cnt
+      FROM quasi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           ROUND(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END)
+                 / CAST(SUM(cnt) AS DOUBLE), 6) AS at_risk_frac
+    FROM grp
+    """,
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT governance: k-anonymity audit (k=5) over the quasi-identifier
+    tuple (event_type, hour, value bucket) — the privacy screen a
+    training-data release runs before publishing behavioral data: any
+    quasi-identifier combination matching fewer than k rows
+    re-identifies its members. Two partial-aggregable aggregations
+    (rows → groups → 1 summary row); the group relation is
+    quasi-identifier-cardinality-sized, never row-sized, so the audit
+    is one shuffle at any scale."""
+    e = load_table(spark, sf, "events")
+    grp = (
+        e.select(
+            "event_type",
+            F.hour("ts").alias("hr"),
+            F.floor(F.col("value") / 100.0).cast("bigint").alias("val_bucket"),
+        )
+        .groupBy("event_type", "hr", "val_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    below = F.when(F.col("cnt") < 5, F.col("cnt")).otherwise(F.lit(0))
+    return grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("cnt") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_below_k"),
+        F.sum(below).cast("bigint").alias("rows_at_risk"),
+        round_compat(
+            F.sum(below) / F.sum("cnt").cast("double"), 6
+        ).alias("at_risk_frac"),
+    )
