@@ -799,3 +799,125 @@ def pca_project(
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: list(p)})
 
     return widen(df.select(id_col, vec_col)).mapInPandas(proj, schema)
+
+
+def ivfpq_build(
+    df: DataFrame,
+    nlist: int = 16,
+    m: int = 4,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Build the canonical IVF+PQ index (Jégou et al. — the FAISS
+    IVFPQ architecture): coarse k-means lists for pruning, product
+    quantization of the RESIDUAL (vector − its list centroid) for
+    compression. Residual coding is the load-bearing detail: residuals
+    concentrate near 0, so the same codebook budget quantizes them far
+    more precisely than raw vectors.
+
+    Returns (coded relation (id, list_id, codes), centroids, codebooks).
+    The coded relation is the ONLY corpus-sized artifact — one small int
+    for the list + m bytes of codes per vector; centroids and codebooks
+    are kilobytes. At 100 TB the coded relation is written partitioned
+    by list_id so probes prune files (the ivf_topk layout contract)."""
+    cent = train_centroids(df, nlist, vec_col=vec_col)
+    assigned = assign_lists(df.select(id_col, vec_col), cent, vec_col)
+    bc = df.sparkSession.sparkContext.broadcast(cent)
+
+    res_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("list_id", LongType()),
+            StructField("residual", ArrayType(DoubleType())),
+        ]
+    )
+
+    def residuals(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            lids = pdf["list_id"].to_numpy()
+            r = mat - c[lids]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "list_id": lids,
+                    "residual": list(r),
+                }
+            )
+
+    res = widen(assigned).mapInPandas(residuals, res_schema)
+    books = pq_train(res, m=m, k_codes=k_codes, vec_col="residual", id_col=id_col)
+    coded = pq_encode(res, books, vec_col="residual")
+    return coded, cent, books
+
+
+def ivfpq_topk(
+    coded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF+PQ query: probe the ``nprobe`` nearest lists; within each,
+    score by ADC against a PER-LIST lookup table built from the query's
+    residual to THAT list's centroid (the residual-coding counterpart
+    of ``pq_topk``'s single table). Scanned volume ≈ nprobe/nlist of
+    the codes; per row the cost is m table lookups. The probed-list
+    filter is a pushable IN predicate (file pruning under the
+    partitioned-by-list layout); tables are nprobe × m × k_codes
+    doubles, broadcast."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    mm, k_codes, sub = codebooks.shape
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in d.argsort()[:nprobe]]
+    tables = {}
+    for li in probe:
+        rq = q - centroids[li]
+        t = np.empty((mm, k_codes), dtype=np.float64)
+        for s in range(mm):
+            t[s] = ((codebooks[s] - rq[None, s * sub : (s + 1) * sub]) ** 2).sum(
+                axis=1
+            )
+        tables[li] = t
+    bt = coded.sparkSession.sparkContext.broadcast(tables)
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("adc_dist", DoubleType())]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tabs = bt.value
+        rows = np.arange(mm)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_ids, out_d = [], []
+            for li, grp in pdf.groupby("list_id"):
+                t = tabs.get(li)
+                if t is None:
+                    continue
+                codes = np.vstack(grp["codes"].to_numpy()).astype(np.int64)
+                dd = t[rows[None, :], codes].sum(axis=1)
+                out_ids.append(grp[id_col].to_numpy())
+                out_d.append(dd)
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(out_ids),
+                        "adc_dist": np.concatenate(out_d),
+                    }
+                )
+
+    return (
+        coded.filter(F.col("list_id").isin(probe))
+        .select(id_col, "list_id", "codes")
+        .mapInPandas(score, schema)
+        .orderBy(F.col("adc_dist").asc(), id_col)
+        .limit(k)
+    )

@@ -1221,3 +1221,30 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query("q185_ivfpq_topk")  # rows-only: k-means + float partials make
+# exact codes engine-specific; recall/pruning laws are pytest-gated
+# (tests/test_operators.py::test_ivfpq_recall_and_pruning)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    """L3 capstone: IVF+PQ — the canonical billion-scale ANN index
+    (FAISS IVFPQ architecture) assembled from this engine's own pieces:
+    coarse k-means lists prune the scan to nprobe/nlist of the corpus,
+    product quantization of the RESIDUAL (vector − list centroid)
+    compresses each vector to one small int + m codes, and the query
+    scores survivors via per-list ADC lookup tables
+    (operators.similarity.ivfpq_build/ivfpq_topk). The coded relation
+    is the only corpus-sized artifact — written partitioned by list_id
+    at scale so probes prune files. Output: top-5 ids + 6-dp ADC
+    distances for vec_id 7's raw vector, nprobe=4 of nlist=8."""
+    from cdc_init_spark.operators.similarity import ivfpq_build, ivfpq_topk
+
+    e = load_table(spark, sf, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    ]
+    coded, cent, books = ivfpq_build(e, nlist=8, m=4, k_codes=16)
+    return ivfpq_topk(coded, cent, books, qvec, k=5, nprobe=4).withColumn(
+        "adc_dist", F.round(F.col("adc_dist"), 6)
+    )

@@ -894,3 +894,40 @@ def test_triangles_adjacency_matches_orientation(spark):
     a2 = {(r["node"], r["n_triangles"]) for r in triangles_adjacency(rnd).collect()}
     o2 = {(r["node"], r["n_triangles"]) for r in triangles_per_node(rnd).collect()}
     assert a2 == o2 and a2
+
+
+def test_ivfpq_recall_and_pruning(spark, emb):
+    """IVF+PQ: the coded relation carries only (id, list_id, m codes);
+    probing nprobe of nlist lists still recalls most of the exact
+    top-10 (residual coding + shortlist discipline), and full-probe
+    IVFPQ ranks the query's own vector first."""
+    import numpy as np
+
+    from cdc_init_spark.operators.similarity import ivfpq_build, ivfpq_topk
+
+    coded, cent, books = ivfpq_build(emb, nlist=8, m=8, k_codes=32)
+    row = coded.first()
+    assert set(coded.columns) == {"vec_id", "list_id", "codes"}
+    assert len(row["codes"]) == 8
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = list(vecs[7])
+    exact = sorted(
+        vecs, key=lambda i: (float(((vecs[i] - np.array(q)) ** 2).sum()), i)
+    )[:10]
+
+    # full probe: pure PQ error, no pruning loss — own id must rank 1st,
+    # and the 100-candidate shortlist recalls most of the exact top-10
+    full = [
+        r["vec_id"]
+        for r in ivfpq_topk(coded, cent, books, q, k=100, nprobe=8).collect()
+    ]
+    assert full[0] == 7
+    assert len(set(full) & set(exact)) / 10 >= 0.7
+    # pruned probe scans ~half the lists and still recalls well
+    pruned = [
+        r["vec_id"]
+        for r in ivfpq_topk(coded, cent, books, q, k=100, nprobe=4).collect()
+    ]
+    assert len(set(pruned) & set(exact)) / 10 >= 0.5
