@@ -873,3 +873,58 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(below) / F.sum("cnt").cast("double"), 6
         ).alias("at_risk_frac"),
     )
+
+
+@query(
+    "q186_referential_audit",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+           AS BIGINT) AS orphan_lineitems,
+      CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+           AS BIGINT) AS orphan_orders,
+      CAST((SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+           AS BIGINT) AS orphan_customers,
+      CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey))
+           AS BIGINT) AS childless_orders
+    """,
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT data quality: referential-integrity audit across the star
+    schema — orphaned fact rows (lineitem→orders, orders→customer,
+    customer→nation) and childless parents (orders with no lineitem)
+    in ONE summary row. Each check is a left-anti join counted: the
+    dimension sides broadcast, the two fact-fact checks shuffle on the
+    orderkey they already share. This is the ingest gate a pipeline
+    runs before trusting joins downstream — at 100 TB a nonzero cell
+    routes to quarantine rather than silently vanishing in inner
+    joins."""
+    l = load_table(spark, sf, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey")
+
+    def cnt(df):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    a = cnt(l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")).select(
+        F.col("n").alias("orphan_lineitems")
+    )
+    b = cnt(o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")).select(
+        F.col("n").alias("orphan_orders")
+    )
+    d = cnt(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti")
+    ).select(F.col("n").alias("orphan_customers"))
+    e = cnt(o.join(l, o.o_orderkey == l.l_orderkey, "left_anti")).select(
+        F.col("n").alias("childless_orders")
+    )
+    return a.crossJoin(b).crossJoin(d).crossJoin(e)

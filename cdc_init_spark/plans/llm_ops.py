@@ -1248,3 +1248,76 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
     return ivfpq_topk(coded, cent, books, qvec, k=5, nprobe=4).withColumn(
         "adc_dist", F.round(F.col("adc_dist"), 6)
     )
+
+
+@query(
+    "q187_embedding_drift",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, label, embedding,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings
+    ), cent AS (
+      SELECT pos, AVG(CAST(embedding[pos] AS DOUBLE)) AS c
+      FROM flat GROUP BY pos
+    ), dots AS (
+      SELECT f.vec_id, f.label,
+             SUM(CAST(f.embedding[f.pos] AS DOUBLE) * cent.c) AS xy,
+             SUM(CAST(f.embedding[f.pos] AS DOUBLE)
+                 * CAST(f.embedding[f.pos] AS DOUBLE)) AS xx,
+             SUM(cent.c * cent.c) AS cc
+      FROM flat f JOIN cent ON f.pos = cent.pos
+      GROUP BY f.vec_id, f.label
+    ), cos AS (
+      SELECT vec_id, label, xy / (sqrt(xx) * sqrt(cc)) AS cs FROM dots
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(cs), 4) AS avg_cos,
+           ROUND(MIN(cs), 4) AS min_cos
+    FROM cos GROUP BY label ORDER BY label
+    """,
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    """L3+: per-label embedding drift — each label's mean/min cosine to
+    the GLOBAL centroid, the monitor that catches a source or class
+    drifting away from the corpus (and the relational complement of
+    q162's per-label centroids). Shape: the centroid is a dim-sized
+    aggregate (posexplode → one (pos) partial-agg shuffle) broadcast
+    back by position; per-vector dot/norms accumulate in the SAME
+    long-form join (one (vec, label) aggregate, exchange keyed on the
+    id) — no driver matrix, no Python; the label rollup is tiny. The
+    oracle replays position-joined sums in the identical order; cosine
+    rounds at 4 dp."""
+    e = load_table(spark, sf, "embeddings")
+    flat = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v").cast("double").alias("v"),
+    )
+    cent = flat.groupBy("pos").agg(F.avg("v").alias("c"))
+    dots = (
+        flat.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("xy"),
+            F.sum(F.col("v") * F.col("v")).alias("xx"),
+            F.sum(F.col("c") * F.col("c")).alias("cc"),
+        )
+    )
+    cos = dots.select(
+        "label",
+        (F.col("xy") / (F.sqrt("xx") * F.sqrt("cc"))).alias("cs"),
+    )
+    return (
+        cos.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            round_compat(F.avg("cs"), 4).alias("avg_cos"),
+            round_compat(F.min("cs"), 4).alias("min_cos"),
+        )
+        .orderBy("label")
+    )

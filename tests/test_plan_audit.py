@@ -40,6 +40,7 @@ ALLOWED_CARTESIAN = {
     "q166_tfidf_cosine_pairs",  # 1-row doc-count scalar broadcast for idf
     "q169_chi2_keyness",  # 1-row grand-total scalar broadcast for chi2
     "q168_temperature_mix",  # 1-row Σ n^α scalar broadcast for the share
+    "q186_referential_audit",  # four 1-row audit counters crossed into one row
 }
 
 CARTESIAN_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
