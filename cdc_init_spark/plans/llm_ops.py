@@ -1321,3 +1321,111 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q188_readability",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             GREATEST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), 1) AS words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vgroups
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(words AS BIGINT) AS words,
+           CAST(sents AS BIGINT) AS sents,
+           ROUND(206.835 - 1.015 * (words / CAST(sents AS DOUBLE))
+                         - 84.6 * (vgroups / CAST(words AS DOUBLE)), 4)
+             AS flesch
+    FROM t ORDER BY doc_id
+    """,
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    """L4+: Flesch reading-ease per document — the classic readability
+    quality signal (206.835 − 1.015·words/sentence − 84.6·syllables/
+    word), with syllables approximated by vowel-group count (the
+    standard dictionary-free proxy; the FORMULA is the operator under
+    test, the proxy is pinned identically on both sides). Pure column
+    expressions — regexp counts, no explode, no shuffle beyond the
+    final sort: the zero-exchange quality-scoring shape that composes
+    into q122's corpus pipeline. Floors at 1 word/sentence guard empty
+    documents."""
+    d = load_table(spark, sf, "documents")
+    words = F.greatest(
+        F.size(F.split(dedup.normalize_text(F.col("text")), " ")), F.lit(1)
+    )
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    )
+    vgroups = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        words.cast("bigint").alias("words"),
+        sents.cast("bigint").alias("sents"),
+        round_compat(
+            F.lit(206.835)
+            - F.lit(1.015) * (words / sents.cast("double"))
+            - F.lit(84.6) * (vgroups / words.cast("double")),
+            4,
+        ).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q189_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap), 4) AS mean_gap,
+           ROUND(stddev_samp(gap), 4) AS sd_gap,
+           ROUND((stddev_samp(gap) - AVG(gap))
+                 / (stddev_samp(gap) + AVG(gap)), 4) AS burstiness
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY user_id HAVING COUNT(gap) >= 2
+    ORDER BY user_id
+    """,
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT behavioral: per-user burstiness B = (σ−μ)/(σ+μ) of
+    inter-event gaps (Goh & Barabási) — B→−1 periodic, 0 Poisson,
+    →1 bursty; the temporal-pattern signal behind bot detection and
+    engagement modeling. One (user, ts) window produces the gaps (the
+    same exchange q153/q183 use), then a partial-aggregable
+    mean/stddev rollup; sub-second gap precision via the fractional
+    timestamp cast (the q175 lesson)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gaps = e.select(
+        "user_id",
+        (sec - F.lag(sec).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            round_compat(F.avg("gap"), 4).alias("mean_gap"),
+            round_compat(F.stddev_samp("gap"), 4).alias("sd_gap"),
+            round_compat(
+                (F.stddev_samp("gap") - F.avg("gap"))
+                / (F.stddev_samp("gap") + F.avg("gap")),
+                4,
+            ).alias("burstiness"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+        .orderBy("user_id")
+    )
