@@ -1429,3 +1429,56 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_gaps") >= 2)
         .orderBy("user_id")
     )
+
+
+@query(
+    "q190_ks_drift",
+    oracle="""
+    WITH pts AS (
+      SELECT source, n_chars,
+             CUME_DIST() OVER (ORDER BY n_chars) AS f_glob,
+             CUME_DIST() OVER (PARTITION BY source ORDER BY n_chars) AS f_src
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(ABS(f_src - f_glob)), 6) AS ks_d,
+           CAST(MAX(ABS(f_src - f_glob)) > 1.36 / sqrt(COUNT(*)) AS BOOLEAN)
+             AS drifted_95
+    FROM pts GROUP BY source ORDER BY source
+    """,
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    """L4+/EXT drift: one-sample Kolmogorov–Smirnov distance of each
+    source's length distribution from the corpus — D = sup|F̂_src −
+    F̂_glob| over the source's points (both empirical CDFs via the
+    SQL-standard CUME_DIST, so tie handling is identical across
+    engines), flagged at the 95% critical value 1.36/√n. The
+    distribution-level drift gate next to q160's JS divergence
+    (token-level) and q187's cosine drift (embedding-level). The global
+    CUME_DIST is a single ordered window here (values-sized input); at
+    100 TB replace F̂_glob with rank lookups against q132's KLL
+    quantile sketch — same statistic, rank-error-bounded."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf, "documents").select("source", "n_chars")
+    pts = d.select(
+        "source",
+        F.cume_dist().over(Window.orderBy("n_chars")).alias("f_glob"),
+        F.cume_dist()
+        .over(Window.partitionBy("source").orderBy("n_chars"))
+        .alias("f_src"),
+    )
+    diff = F.abs(F.col("f_src") - F.col("f_glob"))
+    return (
+        pts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            round_compat(F.max(diff), 6).alias("ks_d"),
+            (
+                F.max(diff)
+                > F.lit(1.36) / F.sqrt(F.count(F.lit(1)).cast("double"))
+            ).alias("drifted_95"),
+        )
+        .orderBy("source")
+    )
