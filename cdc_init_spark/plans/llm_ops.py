@@ -1482,3 +1482,102 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q191_cross_source_dups",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+      FROM documents
+    ), grp AS (
+      SELECT ch,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             MIN(doc_id) AS keep_id
+      FROM h GROUP BY ch
+    )
+    SELECT keep_id, n_docs, n_sources
+    FROM grp WHERE n_docs > 1 AND n_sources > 1
+    ORDER BY keep_id
+    """,
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    """L1+/governance: cross-source duplicate leakage — content groups
+    whose copies span MORE THAN ONE source (mirror sites, syndication,
+    eval-set leakage through a second channel): exactly the duplicates
+    a per-source dedup pass cannot see. Same normalized-content digest
+    as exact_dedup; one (digest) shuffle carrying (hash, id, source),
+    the two distinct counts fold in the same aggregate. Output: the
+    group representative + copy count + source spread."""
+    d = load_table(spark, sf, "documents")
+    h = d.select(
+        "doc_id",
+        "source",
+        F.md5(dedup.normalize_text(F.col("text"))).alias("ch"),
+    )
+    return (
+        h.groupBy("ch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter((F.col("n_docs") > 1) & (F.col("n_sources") > 1))
+        .select("keep_id", "n_docs", "n_sources")
+        .orderBy("keep_id")
+    )
+
+
+@query(
+    "q192_vocab_richness",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT source, term, COUNT(*) AS c FROM toks
+      WHERE term <> '' GROUP BY source, term
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+    FROM tf GROUP BY source ORDER BY source
+    """,
+)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    """L4+: per-source vocabulary richness — token count, type count,
+    type-token ratio and hapax-legomena share; low richness flags
+    templated/boilerplate sources, abnormal hapax share flags OCR noise
+    or concatenation artifacts. The token stream collapses map-side
+    into the (source, term) frequency relation — ONE corpus shuffle
+    (q169's cell relation reused conceptually) — and the richness
+    rollup is source-sized."""
+    d = load_table(spark, sf, "documents")
+    tf = (
+        d.select("source", F.explode(dedup.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            round_compat(
+                F.count(F.lit(1)) / F.sum("c").cast("double"), 6
+            ).alias("ttr"),
+            round_compat(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )
