@@ -319,3 +319,203 @@ def test_fuzz_window_frames(spark, sf_dir, duck, plan):
     duck_pd = duck.execute(sql).df()
     res = compare_frames("fuzz_frame", spark_pd, duck_pd)
     assert res.ok, f"{plan}: {res}"
+
+
+@st.composite
+def asof_plan(draw):
+    n_left = draw(st.integers(min_value=5, max_value=40))
+    n_right = draw(st.integers(min_value=0, max_value=40))
+    n_keys = draw(st.integers(min_value=1, max_value=4))
+    seed = draw(st.integers(min_value=0, max_value=10_000))
+    return n_left, n_right, n_keys, seed
+
+
+@SETTLE
+@given(plan=asof_plan())
+def test_fuzz_asof_join_vs_duckdb_native(spark, duck, plan):
+    """BOTH as-of physical forms (join+max_by and union+window) vs
+    DuckDB's NATIVE ASOF JOIN on random keyed event/quote streams —
+    including duplicate timestamps, keys with no quotes, and empty
+    right sides. The reference semantics here is an independent engine
+    implementation, not our own SQL emulation."""
+    import random
+
+    n_left, n_right, n_keys, seed = plan
+    rng = random.Random(seed)
+    lrows = [
+        (i, rng.randrange(n_keys), rng.randrange(0, 1000))
+        for i in range(n_left)
+    ]
+    rrows = [
+        (rng.randrange(n_keys), rng.randrange(0, 1000), rng.randrange(0, 10**6))
+        for _ in range(n_right)
+    ]
+    # dedupe right on (key, ts): at-or-before with duplicate quote times
+    # is underdetermined (max_by picks an arbitrary peer) — the operator
+    # documents unique (key, ts) as its contract
+    seen = {}
+    for k, t, v in rrows:
+        seen[(k, t)] = v
+    rrows = [(k, t, v) for (k, t), v in sorted(seen.items())]
+
+    from cdc_init_spark.operators.asof import asof_join, asof_join_union
+
+    left = spark.createDataFrame(lrows, "event_id long, k long, ts long")
+    right = spark.createDataFrame(rrows, "k long, ts long, quote long")
+    got_join = {
+        (r["event_id"], r["asof_quote"])
+        for r in asof_join(
+            left, right, "k", "k", "ts", "ts", ["quote"]
+        ).collect()
+    }
+    got_union = {
+        (r["event_id"], r["asof_quote"])
+        for r in asof_join_union(
+            left, right, "k", "k", "ts", "ts", ["quote"]
+        ).collect()
+    }
+
+    duck.execute("CREATE OR REPLACE TABLE _al AS SELECT * FROM (VALUES (NULL::BIGINT, NULL::BIGINT, NULL::BIGINT)) t(event_id, k, ts) WHERE FALSE")
+    duck.execute("CREATE OR REPLACE TABLE _ar AS SELECT * FROM (VALUES (NULL::BIGINT, NULL::BIGINT, NULL::BIGINT)) t(k, ts, quote) WHERE FALSE")
+    if lrows:
+        duck.executemany("INSERT INTO _al VALUES (?, ?, ?)", lrows)
+    if rrows:
+        duck.executemany("INSERT INTO _ar VALUES (?, ?, ?)", rrows)
+    want = {
+        (r[0], r[1])
+        for r in duck.execute(
+            """
+            SELECT l.event_id, r.quote
+            FROM _al l ASOF LEFT JOIN _ar r
+              ON l.k = r.k AND l.ts >= r.ts
+            """
+        ).fetchall()
+    }
+    assert got_join == want, f"join+max_by diverged: {plan}"
+    assert got_union == want, f"union+window diverged: {plan}"
+
+
+@st.composite
+def corpus_plan(draw):
+    n_docs = draw(st.integers(min_value=2, max_value=25))
+    vocab = draw(st.integers(min_value=2, max_value=8))
+    max_len = draw(st.integers(min_value=1, max_value=30))
+    dup_every = draw(st.integers(min_value=2, max_value=5))
+    seed = draw(st.integers(min_value=0, max_value=10_000))
+    return n_docs, vocab, max_len, dup_every, seed
+
+
+def _rand_corpus(plan):
+    import random
+
+    n_docs, vocab, max_len, dup_every, seed = plan
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    docs = []
+    for i in range(n_docs):
+        if i % dup_every == 0 and docs:
+            docs.append((i, docs[rng.randrange(len(docs))][1]))  # forced dup
+        else:
+            docs.append(
+                (
+                    i,
+                    " ".join(
+                        rng.choice(words) for _ in range(rng.randrange(1, max_len + 1))
+                    ),
+                )
+            )
+    return docs
+
+
+@SETTLE
+@given(plan=corpus_plan())
+def test_fuzz_dedup_laws_random_corpora(spark, plan):
+    """Dedup operators vs EXACT pure-Python reference implementations on
+    RANDOM corpora (duplicate-heavy, tiny vocabulary — the adversarial
+    regime for shingling):
+    - exact_dedup keeps exactly the min-id doc per distinct normalized
+      content, and is idempotent;
+    - substring_dedup reproduces the ExactSubstr policy position for
+      position (k-windows occurring ≥2 times keep only the
+      min-(doc, pos) occurrence; covered positions drop; reassembly in
+      order);
+    - chunk_dedup reproduces the C4 policy (cross-document repeated
+      chunks survive only in the min-id document)."""
+    import re
+
+    from cdc_init_spark.operators.dedup import (
+        chunk_dedup,
+        exact_dedup,
+        substring_dedup,
+    )
+
+    docs = _rand_corpus(plan)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    norm = {
+        did: re.sub(r"\s+", " ", txt.lower()).strip() for did, txt in docs
+    }
+    toks = {did: [t for t in n.split(" ") if t] for did, n in norm.items()}
+
+    # --- exact dedup ---
+    kept_rows = {r["doc_id"] for r in exact_dedup(df).collect()}
+    by_content: dict = {}
+    for did, n in norm.items():
+        by_content.setdefault(n, []).append(did)
+    assert kept_rows == {min(v) for v in by_content.values()}
+
+    # --- ExactSubstr reference (k=3) ---
+    K = 3
+    occ = [
+        (did, p, " ".join(ts[p : p + K]))
+        for did, ts in toks.items()
+        for p in range(len(ts) - K + 1)
+    ]
+    by_gram: dict = {}
+    for did, p, g in occ:
+        by_gram.setdefault(g, []).append((did, p))
+    covered: set = set()
+    for g, places in by_gram.items():
+        if len(places) >= 2:
+            first = min(places)
+            for did, p in places:
+                if (did, p) != first:
+                    covered.update((did, q) for q in range(p, p + K))
+    want_sub = {
+        did: " ".join(
+            t for q, t in enumerate(ts) if (did, q) not in covered
+        )
+        for did, ts in toks.items()
+    }
+    got_sub = {
+        r["doc_id"]: r["clean_text"]
+        for r in substring_dedup(df, k=K).collect()
+    }
+    assert got_sub == want_sub, f"ExactSubstr diverged: {plan}"
+
+    # --- C4 chunk reference (m=3) ---
+    M = 3
+    chunks = {
+        did: [
+            " ".join(ts[i : i + M]) for i in range(0, len(ts), M)
+        ]
+        for did, ts in toks.items()
+        if ts
+    }
+    owner: dict = {}
+    docs_with: dict = {}
+    for did, cs in chunks.items():
+        for c in set(cs):
+            owner[c] = min(owner.get(c, did), did)
+            docs_with.setdefault(c, set()).add(did)
+    want_chunk = {
+        did: " ".join(
+            c
+            for c in cs
+            if not (len(docs_with[c]) > 1 and owner[c] != did)
+        )
+        for did, cs in chunks.items()
+    }
+    got_chunk = {
+        r["doc_id"]: r["clean_text"] for r in chunk_dedup(df, m=M).collect()
+    }
+    assert got_chunk == want_chunk, f"C4 chunk policy diverged: {plan}"
