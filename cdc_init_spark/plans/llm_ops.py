@@ -1581,3 +1581,126 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q193_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM toks WHERE term <> '' GROUP BY source, term
+    ), ranked AS (
+      SELECT source, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY c DESC, term) AS DOUBLE) AS rk
+      FROM tf
+    ), m AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(ln(rk)) AS sx, SUM(ln(c)) AS sy,
+             SUM(ln(rk) * ln(rk)) AS sxx, SUM(ln(c) * ln(c)) AS syy,
+             SUM(ln(rk) * ln(c)) AS sxy
+      FROM ranked GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_types,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           ROUND(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM m ORDER BY source
+    """,
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    """L4+: Zipf-law fit per source — the log-log slope of term
+    frequency vs rank (natural text sits near −1; templated/synthetic
+    sources deviate, making the slope a corpus-provenance signal).
+    Reuses q175's numeric discipline: explicit closed-form moments in
+    IDENTICAL operation order on both sides, deterministic rank
+    (count desc, term asc). One corpus token shuffle into (source,
+    term) counts; the rank window and the fit both run on the
+    vocabulary-sized relation."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf, "documents")
+    tf = (
+        d.select("source", F.explode(dedup.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("c").desc(), "term")
+    ranked = tf.select(
+        "source",
+        "c",
+        F.row_number().over(wr).cast("double").alias("rk"),
+    )
+    lx, ly = F.log("rk"), F.log("c")
+    m = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(ly * ly).alias("syy"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_types"),
+        round_compat(num / dx, 4).alias("zipf_slope"),
+        round_compat(F.pow(num, F.lit(2.0)) / (dx * dy), 4).alias("r2"),
+    ).orderBy("source")
+
+
+@query(
+    "q194_activity_gini",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, user_id) AS BIGINT) AS i
+      FROM cnt
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           ROUND(2.0 * SUM(i * c) / (COUNT(*) * CAST(SUM(c) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT behavioral: Gini coefficient of per-user event activity —
+    the engagement-inequality scalar (0 = uniform, →1 = a few users
+    generate everything) behind abuse triage and cohort weighting.
+    G = 2·Σ i·xᵢ/(n·Σ xᵢ) − (n+1)/n over ascending-sorted counts; the
+    only corpus-sized work is the per-user count aggregate — the rank
+    window and the closing sums run on the users-sized relation, and
+    every intermediate until the final division is an exact integer
+    (engine-portable by construction)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf, "events")
+    cnt = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ranked = cnt.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy("c", "user_id"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        round_compat(
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("c"))
+            / (F.count(F.lit(1)) * F.sum("c").cast("double"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
