@@ -519,3 +519,67 @@ def test_fuzz_dedup_laws_random_corpora(spark, plan):
         r["doc_id"]: r["clean_text"] for r in chunk_dedup(df, m=M).collect()
     }
     assert got_chunk == want_chunk, f"C4 chunk policy diverged: {plan}"
+
+
+@st.composite
+def cdc_plan(draw):
+    n_base = draw(st.integers(min_value=0, max_value=15))
+    n_changes = draw(st.integers(min_value=0, max_value=40))
+    n_keys = draw(st.integers(min_value=1, max_value=10))
+    seed = draw(st.integers(min_value=0, max_value=10_000))
+    return n_base, n_changes, n_keys, seed
+
+
+@SETTLE
+@given(plan=cdc_plan())
+def test_fuzz_cdc_apply_vs_dict_replay(spark, plan):
+    """apply_changes and state_at vs a dict-based reference replay over
+    RANDOM keyed insert/update/delete logs — delete-then-resurrect,
+    update-without-base, empty base/log, and every horizon prefix must
+    agree with sequential per-key replay (the reference's compacted
+    latest-state semantics, topic_store.clj:15)."""
+    import random
+
+    from cdc_init_spark.streaming.apply import apply_changes, state_at
+
+    n_base, n_changes, n_keys, seed = plan
+    rng = random.Random(seed)
+    base_rows = [(k, f"v{k}") for k in rng.sample(range(n_keys), min(n_base, n_keys))]
+    log_rows = [
+        (
+            t + 1,
+            rng.randrange(n_keys),
+            rng.choice(["insert", "update", "delete"]),
+            f"p{t}",
+        )
+        for t in range(n_changes)
+    ]
+
+    def replay(horizon):
+        state = dict(base_rows)
+        for ts, k, op, payload in log_rows:
+            if ts > horizon:
+                continue
+            if op == "delete":
+                state.pop(k, None)
+            else:
+                state[k] = payload
+        return {(k, v) for k, v in state.items()}
+
+    base = spark.createDataFrame(base_rows, "pk long, val string")
+    changes = spark.createDataFrame(
+        [(k, v, ts, op) for ts, k, op, v in log_rows],
+        "pk long, val string, ts long, type string",
+    )
+    got_final = {
+        (r["pk"], r["val"])
+        for r in apply_changes(base, changes, ["pk"]).collect()
+    }
+    assert got_final == replay(n_changes + 1), f"final state: {plan}"
+    # spot-check two horizons: empty prefix and a random midpoint
+    for horizon in {0, rng.randrange(n_changes + 1)}:
+        got = {
+            (r["pk"], r["val"])
+            for r in state_at(base, changes, ["pk"], horizon).collect()
+        }
+        assert got == replay(horizon), f"horizon {horizon}: {plan}"
