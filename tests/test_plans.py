@@ -252,3 +252,37 @@ def test_q150_salted_join_no_cartesian(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q150_salted_join")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
+
+
+def test_triangles_adjacency_broadcasts_and_intersects(spark, sf_dir):
+    """q158's fast path: the adjacency relation must broadcast (no
+    shuffle of the per-edge intersect stream) and the per-edge triangle
+    count must be the codegen array_intersect, not a wedge join."""
+    p = plan_of(spark, sf_dir, "q158_triangle_count")
+    assert "BroadcastHashJoin" in p
+    assert "array_intersect" in p
+
+
+def test_sliding_distinct_is_sharded_not_global_window(spark, sf_dir):
+    """q179 must run as the bucket-sharded Arrow sweep — a grouped-map
+    (FlatMapGroupsInPandas), with NO Window operator anywhere (the
+    single-sort global RANGE window is exactly what the operator
+    replaces)."""
+    p = plan_of(spark, sf_dir, "q179_sliding_distinct")
+    assert "FlatMapGroupsInPandas" in p
+    assert "Window" not in p
+
+
+def test_temperature_mix_is_narrow_broadcast(spark, sf_dir):
+    """q168: membership must be a broadcast-joined filter — no
+    SortMergeJoin/shuffle of the document stream."""
+    p = plan_of(spark, sf_dir, "q168_temperature_mix")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sparse_cosine_pairs_partial_aggregates(spark, sf_dir):
+    """q166: the (doc_a, doc_b) dot-product aggregate must be partial
+    (map-side combine before the pair exchange)."""
+    p = plan_of(spark, sf_dir, "q166_tfidf_cosine_pairs")
+    assert "partial_sum" in p
