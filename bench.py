@@ -157,35 +157,37 @@ def main() -> None:
     )
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
-    # The stdout line must survive the driver's bounded tail capture
-    # (round 1's 3.5 KB line was truncated and recorded as parsed:null —
-    # VERDICT.md "What's wrong" item 3). Shortest-unique query keys
-    # (qNN prefix, extended only on collision) + 2-decimal timings +
-    # minimal separators keep the line under ~2 KB; the key->name map is
-    # BENCH.json's "queries" (full names) and BASELINE.md.
-    compact = dict(result)
-    compact["queries"] = {
-        k: round(v, 2) for k, v in zip(_short_keys(list(timings)), timings.values())
+    # The stdout line must survive the driver's bounded tail capture of
+    # 2000 chars (rounds 1 AND 2 both overflowed it and were recorded as
+    # parsed:null — VERDICT.md r2 "What's wrong" item 1). Emit a
+    # SIZE-GUARDED final line: summary fields + only the slowest queries,
+    # adding entries while the serialized line stays under 1600 chars.
+    # Full per-query detail (all entries, full names, 3 decimals) lives in
+    # BENCH.json, which the "detail" field points at.
+    print(json.dumps(_compact_line(result, timings), separators=(",", ":")))
+
+
+def _compact_line(result: dict, timings: dict[str, float], limit: int = 1600) -> dict:
+    """Summary + top-slowest queries, trimmed so the JSON line fits ``limit``."""
+    base = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "detail": "BENCH.json",
+        "queries": {},
     }
-    print(json.dumps(compact, separators=(",", ":")))
-
-
-def _short_keys(names: list[str]) -> list[str]:
-    """Shortest-unique prefix-by-token per name, stable across runs."""
-    out: list[str] = []
-    for name in names:
-        toks = name.split("_")
-        for i in range(1, len(toks) + 1):
-            cand = "_".join(toks[:i])
-            clash = any(
-                o != name and "_".join(o.split("_")[:i]) == cand for o in names
-            )
-            if not clash:
-                out.append(cand)
-                break
-        else:
-            out.append(name)
-    return out
+    by_cost = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    for name, dt in by_cost:
+        candidate = dict(base["queries"])
+        candidate[name] = round(dt, 2)
+        trial = dict(base)
+        trial["queries"] = candidate
+        if len(json.dumps(trial, separators=(",", ":"))) >= limit:
+            break
+        base["queries"] = candidate
+    return base
 
 
 if __name__ == "__main__":

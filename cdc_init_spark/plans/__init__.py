@@ -37,12 +37,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Importing the corpus modules populates the registry. ORDER MATTERS:
-# the driver's correctness pass walks the registry in insertion order under
-# a budget, so the cheap/core relational surface loads first (round-1
-# coverage stopped 4 entries into relational because the LLM surface was
-# imported first — VERDICT.md round 1, "Next round" item 1) and the
-# expensive LSH/dedup pipelines load last.
+# Importing the corpus modules populates the registry.
 from cdc_init_spark.plans import relational as _relational  # noqa: E402,F401
 from cdc_init_spark.plans import tpch as _tpch  # noqa: E402,F401
 from cdc_init_spark.plans import windows as _windows  # noqa: E402,F401
@@ -57,3 +52,47 @@ from cdc_init_spark.plans import llm_ops as _llm_ops  # noqa: E402,F401
 from cdc_init_spark.plans import corpus_ops as _corpus_ops  # noqa: E402,F401
 from cdc_init_spark.plans import pipeline as _pipeline  # noqa: E402,F401
 from cdc_init_spark.plans import graph as _graph  # noqa: E402,F401
+
+# REGISTRY ORDER MATTERS: the driver's correctness pass walks the registry
+# in insertion order under a ~50-query/round budget. Rounds 1-2 exhausted
+# that budget on relational+tpch+functions+llm (union: 96 green rows), so
+# the rotation below front-loads the families with NO driver CORRECTNESS
+# row in any round (VERDICT.md r2 "Next round" item 2): windows W1-W5
+# (q30-q34), temporal T2-T4 (q55-q57), stats, reshape, sketches, analytics,
+# graph — ~50 entries before the already-verified surface repeats.
+# Relative order WITHIN a module is preserved. New queries append to the
+# end of their module, keeping earlier rounds' artifacts comparable.
+_MODULE_PRIORITY = [
+    "windows",
+    "temporal",
+    "stats",
+    "reshape",
+    "sketches",
+    "analytics",
+    "graph",
+    "pipeline",
+    "corpus_ops",
+    "llm_ops",
+    "llm",
+    "functions",
+    "relational",
+    "tpch",
+]
+
+
+def _rotate() -> None:
+    rank = {m: i for i, m in enumerate(_MODULE_PRIORITY)}
+    order = sorted(
+        range(len(QUERIES)),
+        key=lambda i: rank.get(
+            list(QUERIES.values())[i].__module__.rsplit(".", 1)[-1],
+            len(_MODULE_PRIORITY),
+        ),
+    )
+    names = list(QUERIES)
+    rotated = {names[i]: QUERIES[names[i]] for i in order}
+    QUERIES.clear()
+    QUERIES.update(rotated)
+
+
+_rotate()
