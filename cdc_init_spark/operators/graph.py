@@ -318,12 +318,15 @@ def khop_distances(
             .distinct()
             .withColumn("hops", F.lit(i))
         )
+        prev = dist
         dist = (
             dist.unionByName(reached)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
             .persist()
         )
+        if prev.is_cached:
+            prev.unpersist()
         frontier = dist.filter(F.col("hops") == i)
     return dist
 
@@ -364,12 +367,17 @@ def bellman_ford(
                 (F.col("dist") + F.col(weight)).cast("bigint").alias("dist"),
             )
         )
+        prev = dist
         dist = (
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .persist()
         )
+        # drop the superseded round's cache marker (bpe_train discipline)
+        # — otherwise k rounds pin k DataFrames in executor storage
+        if prev.is_cached:
+            prev.unpersist()
     return dist
 
 
@@ -413,6 +421,7 @@ def label_propagation(
                 "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
             ).alias("new_label")
         )
+        prev = labels
         labels = (
             labels.join(best, "node", "left")
             .select(
@@ -421,4 +430,6 @@ def label_propagation(
             )
             .persist()
         )
+        if prev.is_cached:
+            prev.unpersist()
     return labels

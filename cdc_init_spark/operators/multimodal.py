@@ -233,6 +233,12 @@ def sample_frames(
                 blob = bytes(content) if content is not None else b""
                 if codecs.is_fpng(blob):
                     n, frame_ms, _ = codecs.fpng_info(blob)
+                    if n == 0:
+                        # zero-frame container: nothing to sample — the
+                        # dur=0 loop would otherwise run once with
+                        # i = min(0, -1) = -1 and IndexError the whole
+                        # Arrow task (ADVICE r2)
+                        continue
                     dur = n * frame_ms
                     seen: set[int] = set()
                     for t in range(0, max(dur, 1), every_ms):

@@ -277,9 +277,10 @@ def sliding_distinct(
     its anchors can see. One shuffle on bucket id, then an Arrow
     grouped-map runs the classic two-pointer + occurrence-map sweep —
     O(bucket rows), not O(rows × window) — and emits only the bucket's
-    OWN anchors. 2× replication buys full parallelism and locality;
-    determinism is inherited from the data (no ties: the sweep is by
-    (ts, id))."""
+    OWN anchors. 2× replication buys full parallelism and locality.
+    Timestamp ties are handled per the (t − w, t] contract: the sweep
+    ingests the WHOLE tie group sharing an anchor's timestamp before
+    emitting any of the group's anchors, so same-ts peers count."""
     from cdc_init_spark.functions.parallelism import widen_by
 
     w = int(window_us)
@@ -312,20 +313,32 @@ def sliding_distinct(
         distinct = 0
         lo = 0
         out_ids, out_n = [], []
-        for hi in range(len(ts)):
-            v = vals[hi]
-            if counts[v] == 0:
-                distinct += 1
-            counts[v] += 1
-            while ts[lo] <= ts[hi] - w:
+        n = len(ts)
+        hi = 0
+        while hi < n:
+            # Ingest the ENTIRE group of rows sharing this timestamp
+            # before emitting any anchor in it: the (t − w, t] window
+            # includes same-ts peers regardless of id order, so an
+            # anchor's count must not depend on the (ts, id) tiebreak.
+            t = ts[hi]
+            j = hi
+            while j < n and ts[j] == t:
+                v = vals[j]
+                if counts[v] == 0:
+                    distinct += 1
+                counts[v] += 1
+                j += 1
+            while ts[lo] <= t - w:
                 u = vals[lo]
                 counts[u] -= 1
                 if counts[u] == 0:
                     distinct -= 1
                 lo += 1
-            if anchors[hi]:
-                out_ids.append(ids[hi])
-                out_n.append(distinct)
+            for k in range(hi, j):
+                if anchors[k]:
+                    out_ids.append(ids[k])
+                    out_n.append(distinct)
+            hi = j
         return pd.DataFrame({"_id": out_ids, "uniq": out_n})
 
     return (

@@ -160,15 +160,31 @@ def compact_small_files(
     target is hit regardless of schema; ``repartition(n)`` round-robins
     rows evenly across output files, an optional within-file sort
     restores min/max skipping. Rewrite-to-new-path + swap is the
-    idempotent deployment pattern (never compact in place)."""
-    import math
-    import os
+    idempotent deployment pattern (never compact in place).
 
+    Byte sizing goes through the Hadoop FileSystem API, so any URI the
+    Spark session can read (file://, s3a://, hdfs://, …) sizes correctly
+    — an os.walk over the path string would silently report 0 bytes for
+    remote URIs and compact everything into one file (ADVICE r2). A path
+    with no data bytes raises instead of defaulting to n_files=1."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)  # recursive; data files only
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, fn))
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        # skip commit-protocol metadata (_SUCCESS, ._committed, .crc)
+        if not name.startswith(("_", ".")):
+            total += st.getLen()
+    if total == 0:
+        raise ValueError(
+            f"compact_small_files: no data bytes found under {path!r} — "
+            "refusing to guess an output file count"
+        )
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     out = df.repartition(n_files)

@@ -270,6 +270,50 @@ def test_sliding_distinct_sharded_matches_global_window(spark, sf_dir):
     assert got == want
 
 
+def test_sliding_distinct_timestamp_ties(spark):
+    """Regression (ADVICE r2): rows sharing a timestamp are same-window
+    peers under the (t − w, t] contract — an anchor's count must include
+    tied rows with LARGER ids, which the pre-fix sweep emitted before
+    ingesting. Fixture events are µs-unique so only a synthetic frame
+    exercises this; ties sit mid-bucket, on bucket boundaries, and at the
+    eviction edge (ts == anchor − w is OUTSIDE the half-open window)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cdc_init_spark.operators.timeseries import sliding_distinct
+
+    W = 100
+    rows = [
+        # (_id, _ts, _v): three rows tied at t=50 with distinct values
+        (1, 50, "a"),
+        (2, 50, "b"),
+        (3, 50, "c"),
+        # tie group straddling a bucket boundary (ts == 100 = bucket edge)
+        (4, 100, "a"),
+        (5, 100, "d"),
+        # eviction edge: anchors at 150 see (50, 150] — the t=50 group is out
+        (6, 150, "e"),
+        (7, 150, "e"),
+        # far row in the next bucket, window reaches back across buckets
+        (8, 249, "f"),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts long, v string")
+    got = {
+        r["id"]: r["uniq"]
+        for r in sliding_distinct(df, "ts", "id", "v", W).collect()
+    }
+    w = Window.orderBy("ts").rangeBetween(-(W - 1), 0)
+    want = {
+        r["id"]: r["u"]
+        for r in df.withColumn(
+            "u", F.size(F.collect_set("v").over(w)).cast("bigint")
+        ).collect()
+    }
+    assert got == want
+    # the tied anchors must all see the full tie group, id order aside
+    assert got[1] == got[2] == got[3] == 3
+
+
 def test_table_checksum_detects_single_cell_change(spark, sf_dir):
     """q181's checksum law: identical tables agree bucket-for-bucket; a
     single changed cell flips exactly the changed row's bucket."""

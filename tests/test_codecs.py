@@ -226,3 +226,26 @@ def test_fpng_container_roundtrip_and_frame_sampling(spark):
     for r in got:
         px = codecs.decode_png(bytes(r["frame"]))
         np.testing.assert_array_equal(px, frames_px[r["frame_idx"]])
+
+
+def test_fpng_zero_frame_container_yields_no_rows(spark):
+    """Regression (ADVICE r2): a zero-frame FPNG container must sample to
+    zero rows, not IndexError the Arrow task (dur=0 used to force one
+    loop pass with frame index −1). Mixed batch: the empty container's
+    sibling still samples normally."""
+    import numpy as np
+
+    from cdc_init_spark.operators import codecs
+    from cdc_init_spark.operators.multimodal import sample_frames
+
+    empty = codecs.encode_fpng([], frame_ms=500)
+    n, ms, _ = codecs.fpng_info(empty)
+    assert n == 0
+    png = codecs.encode_png(np.full((2, 2, 3), 7, dtype=np.uint8))
+    one = codecs.encode_fpng([png], frame_ms=500)
+    df = spark.createDataFrame(
+        [(1, bytearray(empty)), (2, bytearray(one))],
+        "media_id long, content binary",
+    )
+    got = sample_frames(df, every_ms=1000).collect()
+    assert [(r["media_id"], r["frame_idx"]) for r in got] == [(2, 0)]

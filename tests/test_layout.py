@@ -157,3 +157,17 @@ def test_compact_small_files(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 20_000
     assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_compact_small_files_refuses_unsized_path(spark, tmp_path):
+    """Regression (ADVICE r2): a path with no sizable data bytes must
+    raise, not silently compute total=0 and rewrite everything into one
+    file regardless of target_file_mb."""
+    import pytest
+
+    from cdc_init_spark.sources.layout import compact_small_files
+
+    empty = tmp_path / "nothing_here"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no data bytes"):
+        compact_small_files(spark, str(empty), str(tmp_path / "out"))
