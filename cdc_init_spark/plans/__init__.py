@@ -79,17 +79,30 @@ _MODULE_PRIORITY = [
     "tpch",
 ]
 
+# Queries added AFTER the round-2 artifacts go to the very END of the
+# registry regardless of their module, so they never displace a
+# never-driver-checked query out of the budget window (VERDICT r2 "Next
+# round" item 4: additions must raise the coverage ratio, not dilute it).
+_APPEND_LAST = [
+    "q182_approx",
+]
+
 
 def _rotate() -> None:
     rank = {m: i for i, m in enumerate(_MODULE_PRIORITY)}
+    tail = {n: i for i, n in enumerate(_APPEND_LAST)}
+    names = list(QUERIES)
     order = sorted(
-        range(len(QUERIES)),
-        key=lambda i: rank.get(
-            list(QUERIES.values())[i].__module__.rsplit(".", 1)[-1],
-            len(_MODULE_PRIORITY),
+        range(len(names)),
+        key=lambda i: (
+            names[i] in tail,
+            tail.get(names[i], 0),
+            rank.get(
+                QUERIES[names[i]].__module__.rsplit(".", 1)[-1],
+                len(_MODULE_PRIORITY),
+            ),
         ),
     )
-    names = list(QUERIES)
     rotated = {names[i]: QUERIES[names[i]] for i in order}
     QUERIES.clear()
     QUERIES.update(rotated)

@@ -782,6 +782,73 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("q182_approx")  # rows-only: KLL sketch values are engine-specific
+def q182a(spark: SparkSession, sf: str) -> DataFrame:
+    """q182's 100 TB scale path (VERDICT r2 "What's wrong" item 3):
+    quantile normalization with the GLOBAL order-statistic relation —
+    a corpus-sized global sort in the exact form — replaced by a KLL
+    quantile sketch (q132's machinery, `operators/datasketches.py`).
+
+    The corpus is touched once by a partial-aggregable sketch aggregate
+    (bytes-sized state, map-side combine, no global sort). The sketch's
+    per-row lookup rank must be foldable, so the global distribution is
+    materialized as a G-point quantile GRID (one 1-row select with G+1
+    literal-rank lookups), broadcast as a scalar, and each row linearly
+    interpolates its within-source percent rank into the grid — pure
+    codegen arithmetic, zero extra shuffles. Error = KLL rank error
+    (k=800 → ~0.6%) + grid resolution (1/G of rank); the tolerance vs
+    the exact q182 is pinned in tests/test_stats_scale.py, mirroring
+    q74/q74_approx."""
+    from pyspark.sql.window import Window
+
+    G = 1024
+    d = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    wsrc = Window.partitionBy("source").orderBy("n_chars")
+    wcnt = Window.partitionBy("source")
+    pr = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.count(F.lit(1)).over(wcnt) == 1, F.lit(0.0))
+        .otherwise(
+            (F.rank().over(wsrc).cast("double") - 1)
+            / (F.count(F.lit(1)).over(wcnt) - 1)
+        )
+        .alias("r"),
+    )
+    sk = d.agg(
+        F.kll_sketch_agg_double(
+            F.col("n_chars").cast("double"), F.lit(800)
+        ).alias("_sk")
+    )
+    grid = sk.select(
+        F.array(
+            *[
+                F.kll_sketch_get_quantile_double("_sk", F.lit(i / G))
+                for i in range(G + 1)
+            ]
+        ).alias("_grid")
+    )
+    p = F.col("r") * F.lit(float(G))
+    lo = F.floor(p).cast("int")
+    vlo = F.element_at("_grid", lo + 1)
+    vhi = F.element_at("_grid", lo + 2)
+    return (
+        pr.join(F.broadcast(grid))  # 1-row scalar broadcast
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            round_compat(
+                F.when(F.col("r") >= 1.0, F.element_at("_grid", G + 1))
+                .otherwise(vlo + (p - lo.cast("double")) * (vhi - vlo)),
+                4,
+            ).alias("normalized"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q183_event_transitions",
     oracle="""

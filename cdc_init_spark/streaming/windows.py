@@ -310,6 +310,43 @@ def running_totals_per_key(
     )
 
 
+def running_totals_per_key_applystate(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``running_totals_per_key``'s protobuf-free twin on the
+    ``applyInPandasWithState`` API (Arrow wire protocol, no
+    google.protobuf dependency) — byte-identical semantics: one updated
+    ``(key, n, total)`` row per key per micro-batch, (count, sum) state
+    carried across batches. This is the form testable in containers
+    without protobuf (the TWS variant gates itself and is exercised
+    where the wheel exists); at cluster scale both store one tiny state
+    row per key in the shuffle-partitioned state store."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            vals = pdf[value_col].dropna()
+            n += int(len(vals))
+            total += float(vals.sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} bigint, n bigint, total double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",

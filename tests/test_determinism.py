@@ -29,6 +29,8 @@ NONDETERMINISTIC_OK = {
     # tolerance-tested in tests/test_sketches.py)
     "q185_ivfpq_topk",  # k-means training (sample + float partials) is
     # partitioning-sensitive like q154/q165; recall laws pytest-gated
+    "q182_approx",  # KLL-backed quantile grid inherits q132's merge-order
+    # sensitivity; tolerance vs exact q182 pinned in test_stats_scale.py
 }
 
 
