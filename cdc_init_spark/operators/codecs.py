@@ -12,6 +12,10 @@ Scope (documented contract, not a hidden limitation):
 - PNG: 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
   non-interlaced — the overwhelmingly common subset. Palette (type 3),
   16-bit and Adam7 raise ``ValueError`` (callers fall back per policy).
+- JPEG: baseline sequential (SOF0), 8-bit, gray or YCbCr with sampling
+  factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), restart markers honored —
+  the dominant interchange subset. Progressive/arithmetic/12-bit raise
+  ``ValueError``.
 - WAV: integer PCM (8/16/32-bit), any channel count (channels are
   averaged to mono int16 — the ASR-pipeline convention).
 
@@ -236,3 +240,563 @@ def decode_fpng_frame(content: bytes, idx: int) -> bytes:
     a = struct.unpack_from("<Q", content, base + 8 * idx)[0]
     b = struct.unpack_from("<Q", content, base + 8 * (idx + 1))[0]
     return content[start + a : start + b]
+
+
+# --- Baseline JPEG (ITU-T T.81) — stdlib + numpy, no Pillow ---------------
+#
+# Decode: marker walk (DQT/SOF0/DHT/DRI/SOS), Huffman entropy decode with
+# byte destuffing and RSTn restart handling, dequantize, inverse zigzag,
+# orthonormal-matrix IDCT, nearest-neighbor chroma upsampling for any
+# 1-2 × 1-2 sampling factors (covers 4:4:4, 4:2:2, 4:2:0), JFIF BT.601
+# YCbCr→RGB. Encode twin for the round-trip tests: 4:4:4 or 4:2:0, IJG
+# quality scaling of the Annex K quantization tables, the four standard
+# Annex K Huffman tables.
+#
+# Scope (documented contract, PNG-decoder style): baseline sequential
+# (SOF0) only — progressive (SOF2), arithmetic coding, 12-bit precision
+# and >2 sampling factors raise ValueError and callers fall back per
+# policy. Huffman decoding is a per-bit Python loop: correct and adequate
+# for the dHash/feature path's thumbnails inside Arrow batches; a real
+# cluster deployment swaps in libjpeg-turbo via DECODERS at the same
+# call sites (operators/multimodal.py).
+
+# Annex K.1/K.2 base quantization tables (luminance, chrominance).
+_JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_JPEG_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Zigzag scan order: _ZIGZAG[i] = raster index of the i-th zigzag element.
+def _zigzag_order() -> np.ndarray:
+    order = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[1] if (rc[0] + rc[1]) % 2 else rc[0],
+        ),
+    )
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Annex K.3 standard Huffman tables: (bits[1..16], values).
+_STD_DC_L = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_C = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_STD_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * n + 1) * k * np.pi / 16)
+    c[0] *= 1 / np.sqrt(2)
+    return c * 0.5  # orthonormal: F = C @ B @ C.T, B = C.T @ F @ C
+
+
+_DCT = _dct_matrix()
+
+
+def _huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: value -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: (length, code) -> value."""
+    return {
+        (length, code): v
+        for v, (code, length) in _huff_codes(bits, values).items()
+    }
+
+
+def _scale_q(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of a base quantization table."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def is_jpeg(content: bytes) -> bool:
+    return len(content) >= 3 and content[:3] == b"\xff\xd8\xff"
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad(self) -> None:
+        """Byte-align with 1-fill (before a restart marker)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+    def raw(self, data: bytes) -> None:
+        """Append marker bytes verbatim (no stuffing); requires alignment."""
+        assert self.nbits == 0
+        self.buf += data
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.buf)
+
+
+def _encode_block(
+    w: _BitWriter,
+    block: np.ndarray,
+    qtab: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+) -> int:
+    coef = _DCT @ (block.astype(np.float64) - 128.0) @ _DCT.T
+    q = np.round(coef.reshape(64) / qtab).astype(np.int64)[_ZIGZAG]
+    # DC
+    diff = int(q[0]) - pred
+    mag = abs(diff)
+    size = mag.bit_length()
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        bits = diff if diff > 0 else diff + (1 << size) - 1
+        w.write(bits, size)
+    # AC
+    run = 0
+    for i in range(1, 64):
+        v = int(q[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]
+            w.write(zc, zl)
+            run -= 16
+        size = abs(v).bit_length()
+        code, length = ac_codes[(run << 4) | size]
+        w.write(code, length)
+        bits = v if v > 0 else v + (1 << size) - 1
+        w.write(bits, size)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]
+        w.write(ec, el)
+    return int(q[0])
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:2:0",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JFIF JPEG.
+    4:2:0 (2×2-averaged chroma, the web default) or 4:4:4.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (what camera/scanner encoders do for error
+    resilience) — also exercises the decoder's restart path."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ql = _scale_q(_JPEG_QL, quality)
+    qc = _scale_q(_JPEG_QC, quality)
+    if gray:
+        planes = [a.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        if subsampling == "4:2:0":
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "4:4:4":
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    prepped = []
+    for (hi, vi), plane in zip(samp, planes):
+        if (hi, vi) != (hmax, vmax):  # downsample chroma by box average
+            fy, fx = vmax // vi, hmax // hi
+            ph = -plane.shape[0] % fy
+            px = -plane.shape[1] % fx
+            p = np.pad(plane, ((0, ph), (0, px)), mode="edge")
+            plane = p.reshape(
+                p.shape[0] // fy, fy, p.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        # pad so the plane covers a whole number of MCUs
+        mh = 8 * vi * -(-h // (8 * vmax)) if not gray else 8 * -(-h // 8)
+        mw = 8 * hi * -(-w // (8 * hmax)) if not gray else 8 * -(-w // 8)
+        plane = np.pad(
+            plane,
+            ((0, mh - plane.shape[0]), (0, mw - plane.shape[1])),
+            mode="edge",
+        )
+        prepped.append(plane)
+
+    dc_l, ac_l = _huff_codes(*_STD_DC_L), _huff_codes(*_STD_AC_L)
+    dc_c, ac_c = _huff_codes(*_STD_DC_C), _huff_codes(*_STD_AC_C)
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    mcus_y = -(-h // (8 * vmax))
+    mcus_x = -(-w // (8 * hmax))
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                writer.pad()
+                writer.raw(
+                    bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
+                )
+                preds = [0] * len(planes)
+            mcu_i += 1
+            for ci, ((hi, vi), plane) in enumerate(zip(samp, prepped)):
+                qtab = ql if qsel[ci] == 0 else qc
+                dct_c = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_block(
+                            writer, block, qtab, dct_c[0], dct_c[1], preds[ci]
+                        )
+    scan = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(ql[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(qc[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, qsel[ci]])
+    out += seg(0xFFC0, sof)
+    for cls, tid, (bits, vals) in (
+        (0, 0, _STD_DC_L),
+        (1, 0, _STD_AC_L),
+        (0, 1, _STD_DC_C),
+        (1, 1, _STD_AC_C),
+    ):
+        if gray and tid == 1:
+            continue
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over the destuffed entropy stream; stops at
+    markers (0xFF followed by non-zero), exposing RSTn to the caller."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) | 0
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:  # stuffed FF
+                    self.pos += 2
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                # marker: feed zero-pad bits, leave pos at the marker
+                self.acc = self.acc << 8
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("bad JPEG Huffman code")
+
+    def restart(self) -> None:
+        """Align to byte boundary and consume an RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected JPEG restart marker")
+
+
+def _receive_extend(r: _BitReader, size: int) -> int:
+    if size == 0:
+        return 0
+    v = r.bits(size)
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB."""
+    if not is_jpeg(content):
+        raise ValueError("not a JPEG (bad signature)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    h = w = None
+    comps: list[dict] = []
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", content, pos)
+        payload = content[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                prec, tid = payload[p] >> 4, payload[p] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quantization not supported")
+                tab = np.frombuffer(
+                    payload, dtype=np.uint8, count=64, offset=p + 1
+                ).astype(np.int64)
+                qtabs[tid] = tab[_UNZIGZAG]  # store raster-order
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                htabs[(cls, tid)] = _huff_decode_map(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, sf, tq = payload[6 + 3 * i : 9 + 3 * i]
+                hi, vi = sf >> 4, sf & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError(f"unsupported sampling factors {hi}x{vi}")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            for i in range(ns):
+                cid, tsel = payload[1 + 2 * i], payload[2 + 2 * i]
+                for c in comps:
+                    if c["id"] == cid:
+                        c["dc"] = htabs[(0, tsel >> 4)]
+                        c["ac"] = htabs[(1, tsel & 0xF)]
+            break
+        # APPn/COM and others: skipped via the length walk
+    if h is None or not comps:
+        raise ValueError("JPEG missing SOF before SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["plane"] = np.zeros(
+            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
+        )
+        c["pred"] = 0
+
+    reader = _BitReader(content, pos)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                for c in comps:
+                    c["pred"] = 0
+            mcu_count += 1
+            for c in comps:
+                qtab = qtabs[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        size = reader.huff(c["dc"])
+                        c["pred"] += _receive_extend(reader, size)
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(c["ac"])
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _receive_extend(reader, size)
+                            k += 1
+                        # zz is zigzag-ordered, qtab raster-ordered:
+                        # un-zigzag FIRST, then dequantize elementwise
+                        coef = (zz[_UNZIGZAG] * qtab).reshape(8, 8)
+                        block = _DCT.T @ coef @ _DCT + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
+
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        return np.clip(planes[0], 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(planes)}")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)

@@ -84,33 +84,38 @@ def _fake_decode_image(content: bytes) -> np.ndarray:
 
 
 def _real_decode_image(content: bytes) -> np.ndarray:
-    """Real image decode. PNG is handled by the stdlib-only decoder in
-    operators/codecs.py (zlib + struct — no Pillow needed); other
-    formats use Pillow when available."""
+    """Real image decode. PNG and baseline JPEG are handled by the
+    stdlib+numpy decoders in operators/codecs.py (no Pillow needed);
+    other formats use Pillow when available."""
     from cdc_init_spark.operators import codecs
 
     if codecs.is_png(content):
         return codecs.decode_png(content)
+    if codecs.is_jpeg(content):
+        return codecs.decode_jpeg(content)
     try:
         import io
 
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG image decoding requires Pillow, which is not installed "
-            "in this environment"
+            "non-PNG/JPEG image decoding requires Pillow, which is not "
+            "installed in this environment"
         ) from e
     return np.asarray(Image.open(io.BytesIO(content)))
 
 
 def _decode_image(content: bytes) -> np.ndarray:
-    """Default image decoder: REAL decode for recognized formats (PNG via
-    the dependency-free codec), deterministic fake for everything else —
-    so synthetic fixtures keep working while real blobs decode for real."""
+    """Default image decoder: REAL decode for recognized formats (PNG and
+    baseline JPEG via the dependency-free codecs), deterministic fake for
+    everything else — so synthetic fixtures keep working while real blobs
+    decode for real."""
     from cdc_init_spark.operators import codecs
 
     if codecs.is_png(content or b""):
         return codecs.decode_png(content)
+    if codecs.is_jpeg(content or b""):
+        return codecs.decode_jpeg(content)
     return _fake_decode_image(content)
 
 

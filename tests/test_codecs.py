@@ -197,6 +197,102 @@ def test_image_dhash_perceptual_laws(spark):
     assert ham(h[1], h[4]) >= 16  # unrelated → many bits differ
 
 
+# --- JPEG (baseline, stdlib+numpy — VERDICT r2 "Next round" item 6) ------
+
+
+def _gradient_rgb(h=37, w=53):
+    xx, yy = np.meshgrid(np.linspace(0, 255, w), np.linspace(0, 255, h))
+    return np.stack([xx, yy, (xx + yy) / 2], axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+def test_jpeg_roundtrip_tolerance(subsampling):
+    """decode(encode(img)) within lossy-codec tolerance on smooth content
+    (the regime JPEG is built for): q95 under 1 mean-abs level for 4:4:4,
+    2.5 with chroma subsampling; shape and dtype preserved exactly."""
+    img = _gradient_rgb()
+    back = codecs.decode_jpeg(
+        codecs.encode_jpeg(img, quality=95, subsampling=subsampling)
+    )
+    assert back.shape == img.shape and back.dtype == np.uint8
+    err = np.abs(back.astype(int) - img.astype(int)).mean()
+    limit = 1.0 if subsampling == "4:4:4" else 2.5
+    assert err < limit, err
+
+
+def test_jpeg_grayscale_and_known_pixels():
+    """Grayscale round-trip; a flat-color image must decode to within
+    ±2 of the exact value everywhere (DC-only blocks quantize to ~the
+    mean), and high-frequency noise must stay bounded at q95."""
+    g = _gradient_rgb()[..., 0]
+    back = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=90))
+    assert back.shape == g.shape
+    assert np.abs(back.astype(int) - g.astype(int)).mean() < 1.0
+
+    flat = np.full((16, 16, 3), 130, np.uint8)
+    back = codecs.decode_jpeg(codecs.encode_jpeg(flat, quality=90))
+    assert np.abs(back.astype(int) - 130).max() <= 2
+
+    noise = _rng(7).integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    back = codecs.decode_jpeg(
+        codecs.encode_jpeg(noise, quality=95, subsampling="4:4:4")
+    )
+    assert np.abs(back.astype(int) - noise.astype(int)).mean() < 6.0
+
+
+@pytest.mark.parametrize(
+    "shape", [(1, 1, 3), (8, 8, 3), (9, 17, 3), (1, 40, 3), (40, 1, 3)]
+)
+def test_jpeg_odd_sizes(shape):
+    """Non-multiple-of-MCU dimensions pad with edge replication and crop
+    back — output shape is always the input shape."""
+    a = _rng(11).integers(0, 256, shape, dtype=np.uint8)
+    back = codecs.decode_jpeg(codecs.encode_jpeg(a, quality=90))
+    assert back.shape == a.shape
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI + RSTn path: an interval-2 encode must decode identically to
+    the unrestarted stream (restarts reset DC predictors on both sides)."""
+    img = _gradient_rgb(24, 40)
+    plain = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    rst_blob = codecs.encode_jpeg(img, quality=90, restart_interval=2)
+    assert b"\xff\xdd" in rst_blob  # DRI present
+    np.testing.assert_array_equal(codecs.decode_jpeg(rst_blob), plain)
+
+
+def test_jpeg_rejects_unsupported():
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"definitely not a jpeg")
+    # progressive (SOF2) is out of the baseline contract
+    blob = bytearray(codecs.encode_jpeg(_gradient_rgb(8, 8), quality=90))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        codecs.decode_jpeg(bytes(blob))
+
+
+def test_image_dhash_stable_across_png_and_jpeg(spark):
+    """q143's perceptual contract through the real JPEG path: the dHash
+    of a JPEG-compressed image stays within a few bits of the PNG
+    (lossless) hash of the same pixels — lossy compression must not move
+    an image out of its own near-dup bucket."""
+    from cdc_init_spark.operators.multimodal import image_dhash
+
+    # smooth content (dHash compares neighbor means; JPEG preserves those)
+    base = _gradient_rgb(32, 32)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(codecs.encode_png(base))),
+            (2, bytearray(codecs.encode_jpeg(base, quality=90))),
+        ],
+        "media_id long, content binary",
+    )
+    h = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    ham = bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 4, ham
+
+
 def test_fpng_container_roundtrip_and_frame_sampling(spark):
     """FPNG: real PNG frames packed with an offset index; sample_frames
     extracts the timestamp-sampled frames as byte-exact PNG blobs whose
