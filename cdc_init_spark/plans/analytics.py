@@ -821,12 +821,11 @@ def q182a(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_chars").cast("double"), F.lit(800)
         ).alias("_sk")
     )
+    # one array-rank lookup → the whole grid in a single sketch
+    # deserialization (1025 scalar calls would re-read the sketch each)
     grid = sk.select(
-        F.array(
-            *[
-                F.kll_sketch_get_quantile_double("_sk", F.lit(i / G))
-                for i in range(G + 1)
-            ]
+        F.kll_sketch_get_quantile_double(
+            "_sk", F.lit([i / G for i in range(G + 1)])
         ).alias("_grid")
     )
     p = F.col("r") * F.lit(float(G))
