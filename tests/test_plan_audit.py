@@ -41,6 +41,7 @@ ALLOWED_CARTESIAN = {
     "q169_chi2_keyness",  # 1-row grand-total scalar broadcast for chi2
     "q168_temperature_mix",  # 1-row Σ n^α scalar broadcast for the share
     "q186_referential_audit",  # four 1-row audit counters crossed into one row
+    "q182_approx",  # 1-row KLL quantile-grid frame broadcast-crossed in
 }
 
 CARTESIAN_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
