@@ -100,7 +100,9 @@ def decode_png(content: bytes) -> np.ndarray:
             row += prev
         elif ftype == 1:  # Sub
             for x in range(ch, stride):
-                row[x] += row[x - ch]
+                # mod-256 by contract; int math avoids numpy's uint8
+                # overflow RuntimeWarning
+                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
         elif ftype == 3:  # Average
             for x in range(stride):
                 left = int(row[x - ch]) if x >= ch else 0

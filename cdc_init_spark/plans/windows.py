@@ -99,7 +99,13 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
 def q33(spark: SparkSession, sf: str) -> DataFrame:
     """W4: ntile/percent_rank/cume_dist. ntile ordering carries a p_partkey
     tiebreaker (ntile assignment under ties is otherwise order-dependent);
-    percent_rank/cume_dist are tie-stable by definition."""
+    percent_rank/cume_dist are tie-stable by definition.
+
+    Scale note: a GLOBAL ntile/percent_rank is a global total order by
+    definition — one sort task however big the input. This is the exact,
+    oracle-checkable member of the family; at 100 TB the same question is
+    answered by the rank/quantile sketches (q74_approx_percentiles,
+    q182_approx's KLL grid), trading exactness for a bounded rank error."""
     p = load_table(spark, sf, "part")
     w_tb = Window.orderBy("p_retailprice", "p_partkey")
     w = Window.orderBy("p_retailprice")

@@ -286,3 +286,35 @@ def test_sparse_cosine_pairs_partial_aggregates(spark, sf_dir):
     (map-side combine before the pair exchange)."""
     p = plan_of(spark, sf_dir, "q166_tfidf_cosine_pairs")
     assert "partial_sum" in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q30_rank", "q31_lag_lead", "q32_running_sum", "q34_range_frame"],
+)
+def test_window_family_is_hash_partitioned(spark, sf_dir, name):
+    """W1-W3/W5 (first driver-checked in round 3): every window must run
+    over a hash-partitioned exchange on its PARTITION BY key — a window
+    with an empty partition spec forces all rows through ONE sort task
+    (the q182-exact shape), which is exactly what these operators must
+    not do at 100 TB. (W4 q33 is excluded: global ntile/percent_rank/
+    cume_dist IS a global total order by definition — its documented
+    scale path is the rank/quantile sketch, q74_approx/q182_approx.)"""
+    p = plan_of(spark, sf_dir, name)
+    assert "Window" in p
+    assert "hashpartitioning" in p
+    assert "SinglePartition" not in p, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q55_tumbling_window", "q56_sliding_window", "q57_session_window"],
+)
+def test_temporal_windows_shuffle_on_window_key(spark, sf_dir, name):
+    """T2-T4 batch twins (first driver-checked in round 3): the windowed
+    aggregate must exchange on the (window/session, key) grouping — never
+    a global single-partition plan; session windows may sort within the
+    user partition only."""
+    p = plan_of(spark, sf_dir, name)
+    assert "hashpartitioning" in p
+    assert "SinglePartition" not in p, name
