@@ -274,6 +274,14 @@ def hits(edges: DataFrame, iters: int = 2, broadcast_state: bool = False) -> Dat
     hub = nodes.withColumn("hub", F.lit(1.0))
     auth = nodes.withColumn("auth", F.lit(1.0))
     maybe_b = F.broadcast if broadcast_state else (lambda df: df)
+    # Persist each round's state: hub(i) feeds auth(i+1) AND the final
+    # hub ⋈ auth, so without the pin the plan tree doubles per iteration
+    # (auth(i) is embedded in hub(i) and referenced again downstream).
+    # State frames are |nodes| rows — cheap to cache; measured at sf0.1
+    # (q163): 6.1 s → 5.0 s. Deliberately NOT caching the edge input in
+    # khop/bellman_ford/label_propagation: measured clean A/B shows
+    # caching there regresses them (LPA 4.3 s → 14.2 s — the cache
+    # blocks AQE/broadcast planning on the cached side).
     for _ in range(iters):
         auth = (
             nodes.join(
@@ -285,6 +293,7 @@ def hits(edges: DataFrame, iters: int = 2, broadcast_state: bool = False) -> Dat
                 "left",
             )
             .select("node", F.coalesce("_a", F.lit(0.0)).alias("auth"))
+            .persist()
         )
         hub = (
             nodes.join(
@@ -296,6 +305,7 @@ def hits(edges: DataFrame, iters: int = 2, broadcast_state: bool = False) -> Dat
                 "left",
             )
             .select("node", F.coalesce("_h", F.lit(0.0)).alias("hub"))
+            .persist()
         )
     return hub.join(auth, "node")
 
