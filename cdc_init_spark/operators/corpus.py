@@ -580,3 +580,61 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count bigint"
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a TRAINED merge table — the inference
+    half of ``bpe_train`` (sizing a corpus in tokens is the step every
+    training-data pipeline runs after tokenizer training). ``merges`` is
+    the ordered ``(left, right, merged)`` list from the trainer (small:
+    one row per merge — driver-side by contract, like a real tokenizer's
+    vocab file).
+
+    Returns ``(id, n_words, n_bpe_tokens)``. Scale factoring mirrors the
+    trainer's: the corpus is shuffled ONCE into per-(doc, word)
+    occurrence counts; the merge folds — the expensive part — run over
+    the DISTINCT-WORD vocabulary only (one codegen
+    ``F.aggregate`` fold per merge, greedy left-to-right, identical
+    semantics to the trainer's application step), then a vocabulary join
+    prices every occurrence. Encoding cost is therefore
+    O(|vocab| × merges), corpus-size-independent after the first
+    aggregate — the same memoize-by-word trick real BPE encoders use."""
+    words = (
+        df.select(F.col(id_col), F.explode(dedup.tokens(F.col(text_col))).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    def _merge_fold(seq: Column, left: str, right: str, merged: str) -> Column:
+        la, lb, lm = F.lit(left), F.lit(right), F.lit(merged)
+        return F.aggregate(
+            seq,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(lm),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    syms = F.split(F.col("_w"), "")
+    for left, right, merged in merges:
+        syms = _merge_fold(syms, left, right, merged)
+    vocab = words.select("_w").distinct().select(F.col("_w"), F.size(syms).alias("_wt"))
+    return (
+        words.join(vocab, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_occ").cast("bigint").alias("n_words"),
+            F.sum(F.col("_occ") * F.col("_wt")).cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

@@ -379,7 +379,7 @@ def ngram_jaccard_neighbors(
     )
 
 
-def minhash_portable_pairs(
+def minhash_portable_buckets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -387,14 +387,12 @@ def minhash_portable_pairs(
     k: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs in a fully oracle-portable hash family:
-    permutation i is ``min(md5(gram || ':i'))`` over the gram STRINGS —
-    md5, string min, and concat have identical semantics in ANSI
-    SQL/DuckDB, so this variant's output is hash-match verifiable end to
-    end (the production ``minhash_candidate_pairs`` keeps xxhash64 on
-    8-byte shingle hashes: ~5-10× cheaper, but Spark-specific). Same
-    operator shape: per-doc signature via map-side-combined min
-    aggregates, band buckets, bucket self-join, distinct a<b pairs."""
+    """(id, band, bucket) LSH band-bucket rows in the oracle-portable
+    md5-over-gram-strings hash family — the shared signature/banding
+    stage behind ``minhash_portable_pairs`` (batch self-join dedup) and
+    ``minhash_incremental_candidates`` (new-batch-vs-corpus ingestion).
+    Per-doc signature via map-side-combined min aggregates; one row per
+    (doc, band)."""
     r = k // bands
     g = ngram_rows(df, text_col, id_col, n)
     sig = g.groupBy(id_col).agg(
@@ -414,11 +412,68 @@ def minhash_portable_pairs(
             for b in range(bands)
         ]
     )
-    bk = (
+    return (
         sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
         .select(id_col, "bb.band", "bb.bucket")
-        .persist()
     )
+
+
+def minhash_incremental_candidates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental-ingestion near-dup check: which documents of a NEW
+    batch collide (share any LSH band bucket) with the EXISTING corpus.
+    Returns distinct ``(new_id, corpus_id)`` candidate edges.
+
+    This is the production shape for growing a deduplicated corpus: the
+    corpus side's ``(id, band, bucket)`` relation is an INDEX — at 100 TB
+    it is computed once at ingestion time, stored partitioned by
+    (band, bucket), and only re-read here (this operator recomputes it
+    from text so the whole pipeline stays oracle-verifiable; swap
+    ``minhash_portable_buckets(corpus)`` for the stored index in
+    production). The join is batch-sized on one side: probe rows =
+    |batch| × bands, so ingesting a 1 GB batch against a 100 TB corpus
+    moves ~|batch| rows plus the matched buckets, never the corpus.
+    Skewed (stop-gram) buckets are an AQE skew-join case, same as
+    ``minhash_candidate_pairs``."""
+    idx = minhash_portable_buckets(
+        corpus, text_col=text_col, id_col=id_col, n=n, k=k, bands=bands
+    ).withColumnRenamed(id_col, "corpus_id")
+    probe = minhash_portable_buckets(
+        batch, text_col=text_col, id_col=id_col, n=n, k=k, bands=bands
+    ).withColumnRenamed(id_col, "new_id")
+    return (
+        probe.join(idx, on=["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs in a fully oracle-portable hash family:
+    permutation i is ``min(md5(gram || ':i'))`` over the gram STRINGS —
+    md5, string min, and concat have identical semantics in ANSI
+    SQL/DuckDB, so this variant's output is hash-match verifiable end to
+    end (the production ``minhash_candidate_pairs`` keeps xxhash64 on
+    8-byte shingle hashes: ~5-10× cheaper, but Spark-specific). Same
+    operator shape: per-doc signature via map-side-combined min
+    aggregates, band buckets, bucket self-join, distinct a<b pairs."""
+    bk = minhash_portable_buckets(
+        df, text_col=text_col, id_col=id_col, n=n, k=k, bands=bands
+    ).persist()
     a = bk.select(F.col(id_col).alias("a"), "band", "bucket")
     b = bk.select(F.col(id_col).alias("b"), "band", "bucket")
     return (

@@ -85,6 +85,9 @@ _MODULE_PRIORITY = [
 # round" item 4: additions must raise the coverage ratio, not dilute it).
 _APPEND_LAST = [
     "q182_approx",
+    "q195_bpe_apply",
+    "q196_incremental_minhash_ingest",
+    "q197_quality_classifier",
 ]
 
 

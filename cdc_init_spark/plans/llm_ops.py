@@ -1704,3 +1704,109 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q196_incremental_minhash_ingest",
+    oracle=f"""
+    WITH {_GRAMS_CTE}, grams AS (
+      SELECT doc_id, unnest(g) AS g FROM gram_sets
+    ), sig AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5(g || ':{i}')) AS m{i}" for i in range(16))}
+      FROM grams GROUP BY doc_id
+    ), bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, "
+          f"{'||'.join(f'm{i}' for i in range(b * 4, b * 4 + 4))} AS bucket "
+          "FROM sig"
+          for b in range(4)
+      )}
+    )
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n JOIN bands c
+      ON n.band = c.band AND n.bucket = c.bucket
+    WHERE n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+    ORDER BY new_id, corpus_id
+    """,
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 incremental ingestion: near-dup candidates of a NEW batch
+    (doc_id % 7 = 0, ~14% of the corpus — a deterministic stand-in for
+    today's crawl increment) against the EXISTING corpus (the rest),
+    via operators.dedup.minhash_incremental_candidates in the portable
+    md5 hash family (q102's). The production shape for growing a
+    deduplicated corpus WITHOUT re-deduplicating it: the corpus side is
+    a stored (id, band, bucket) index at scale, and the LSH join is
+    batch-sized on the probe side — the oracle replays signature,
+    banding, and the asymmetric bucket join term-for-term in DuckDB."""
+    d = load_table(spark, sf, "documents")
+    batch = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    return dedup.minhash_incremental_candidates(corpus, batch).orderBy(
+        "new_id", "corpus_id"
+    )
+
+
+@query(
+    "q197_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t,
+             greatest(length(text), 1) AS nc, text
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             CAST(len(list_filter(t, x -> list_contains({_STOPLISTS["en"]}, x))) AS DOUBLE)
+               / greatest(len(t), 1) AS stopword_ratio,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / nc
+               AS alpha_ratio,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / nc
+               AS digit_ratio,
+             CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1)
+               AS distinct_token_ratio
+      FROM toks
+    ), scored AS (
+      SELECT doc_id,
+             -2.0 + 3.0 * stopword_ratio + 2.0 * alpha_ratio
+                  + 1.5 * distinct_token_ratio - 4.0 * digit_ratio
+                  + 0.3 * ln(1.0 + n_tokens) AS logit
+      FROM feat
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-logit)), 4) AS quality_prob,
+           CAST(1.0 / (1.0 + exp(-logit)) >= 0.5 AS BOOLEAN) AS keep
+    FROM scored ORDER BY doc_id
+    """,
+)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    """L4 quality-model inference: a fastText-style linear quality
+    classifier (fixed published weights over interpretable text
+    features: en-stopword ratio, alpha/digit ratios, token diversity,
+    log length) scored as sigmoid(w·x + b) per document — the
+    keep/drop gate production pipelines run after heuristic filtering.
+    Pure codegen column algebra over ONE corpus scan, zero shuffles
+    (a narrow map — the cheapest possible 100 TB pass); the oracle
+    replays features, logit, and sigmoid term-for-term in DuckDB, so
+    the model's decision boundary itself is hash-verified."""
+    d = load_table(spark, sf, "documents")
+    feats = text.quality_features(d)
+    logit = (
+        F.lit(-2.0)
+        + F.lit(3.0) * F.col("stopword_ratio")
+        + F.lit(2.0) * F.col("alpha_ratio")
+        + F.lit(1.5) * F.col("distinct_token_ratio")
+        - F.lit(4.0) * F.col("digit_ratio")
+        + F.lit(0.3) * F.log(F.lit(1.0) + F.col("n_tokens"))
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return (
+        feats.select(
+            "doc_id",
+            round_compat(prob, 4).alias("quality_prob"),
+            (prob >= 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

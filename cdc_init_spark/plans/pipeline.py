@@ -519,3 +519,27 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     return bpe_train(d, n_merges=8).orderBy("step")
+
+
+@query("q195_bpe_apply")  # rows-only, same contract as q167: the merge
+# table it applies comes from the inherently-sequential training loop,
+# so no static SQL oracle can exist; tokenization is pinned
+# token-for-token against a pure-Python BPE encoder at sf0.001
+# (tests/test_corpus_ops.py::test_bpe_apply_matches_python_reference)
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT tokenizer inference (operators.corpus.bpe_apply): size the
+    corpus in tokens with the q167-trained merge table — the step every
+    training-data pipeline runs after tokenizer training (token budgets,
+    mixture weights, and packing are all denominated in tokens, not
+    bytes). The merge table crosses the driver once (8 rows — a
+    tokenizer vocab file by contract); encoding then costs one corpus
+    shuffle into (doc, word) occurrence counts plus merge folds over the
+    DISTINCT-WORD vocabulary only — the memoize-by-word factoring real
+    BPE encoders use, corpus-size-independent after the first
+    aggregate."""
+    from cdc_init_spark.operators.corpus import bpe_apply, bpe_train
+
+    d = load_table(spark, sf, "documents")
+    merge_rows = bpe_train(d, n_merges=8).orderBy("step").collect()
+    merges = [(r["left"], r["right"], r["merged"]) for r in merge_rows]
+    return bpe_apply(d, merges).orderBy("doc_id")

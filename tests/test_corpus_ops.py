@@ -458,6 +458,59 @@ def test_bpe_train_matches_python_reference(spark):
     assert len(got) == 8  # corpus is rich enough that no early stop fired
 
 
+def test_bpe_apply_matches_python_reference(spark):
+    """bpe_apply tokenizes with a trained merge table exactly as the
+    classic sequential encoder: per word, each merge applied greedily
+    left-to-right in training order (the aaa edge case pins the
+    non-overlapping scan), token counts priced per occurrence."""
+    import re
+
+    from cdc_init_spark.operators.corpus import bpe_apply, bpe_train
+
+    texts = [
+        "low low low low low lower lower newest newest",
+        "newest newest newest newest widest widest widest",
+        "aaa aaa baab",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in bpe_train(df, n_merges=8).orderBy("step").collect()
+    ]
+    assert len(merges) == 8
+
+    expected = {}
+    for doc_id, t in enumerate(texts):
+        words = [
+            w for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w
+        ]
+        ntok = 0
+        for w in words:
+            syms = list(w)
+            for l, r, m in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        res.append(m)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            ntok += len(syms)
+        if words:
+            expected[doc_id] = (len(words), ntok)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_apply(df, merges).collect()
+    }
+    assert got == expected  # the empty doc yields no row, like the ref
+
+
 def test_temperature_mix_laws(spark):
     """temperature_mix: α=0 targets equal per-group quotas, α=1 is
     proportional (uniform keep-fraction across groups), membership is
