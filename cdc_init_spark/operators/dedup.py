@@ -419,13 +419,15 @@ def minhash_portable_buckets(
 
 
 def minhash_incremental_candidates(
-    corpus: DataFrame,
-    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    batch: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     k: int = 16,
     bands: int = 4,
+    corpus_buckets: DataFrame | None = None,
+    batch_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingestion near-dup check: which documents of a NEW
     batch collide (share any LSH band bucket) with the EXISTING corpus.
@@ -441,12 +443,26 @@ def minhash_incremental_candidates(
     |batch| × bands, so ingesting a 1 GB batch against a 100 TB corpus
     moves ~|batch| rows plus the matched buckets, never the corpus.
     Skewed (stop-gram) buckets are an AQE skew-join case, same as
-    ``minhash_candidate_pairs``."""
-    idx = minhash_portable_buckets(
-        corpus, text_col=text_col, id_col=id_col, n=n, k=k, bands=bands
+    ``minhash_candidate_pairs``.
+
+    ``corpus_buckets`` / ``batch_buckets``: pass precomputed
+    ``(id, band, bucket)`` relations (``minhash_portable_buckets``
+    output, or the stored index) instead of raw text frames — the
+    production call shape, where the corpus index already exists and
+    only the probe side is fresh."""
+    idx = (
+        corpus_buckets
+        if corpus_buckets is not None
+        else minhash_portable_buckets(
+            corpus, text_col=text_col, id_col=id_col, n=n, k=k, bands=bands
+        )
     ).withColumnRenamed(id_col, "corpus_id")
-    probe = minhash_portable_buckets(
-        batch, text_col=text_col, id_col=id_col, n=n, k=k, bands=bands
+    probe = (
+        batch_buckets
+        if batch_buckets is not None
+        else minhash_portable_buckets(
+            batch, text_col=text_col, id_col=id_col, n=n, k=k, bands=bands
+        )
     ).withColumnRenamed(id_col, "new_id")
     return (
         probe.join(idx, on=["band", "bucket"])

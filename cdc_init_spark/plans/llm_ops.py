@@ -1741,11 +1741,15 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
     batch-sized on the probe side — the oracle replays signature,
     banding, and the asymmetric bucket join term-for-term in DuckDB."""
     d = load_table(spark, sf, "documents")
-    batch = d.filter(F.col("doc_id") % 7 == 0)
-    corpus = d.filter(F.col("doc_id") % 7 != 0)
-    return dedup.minhash_incremental_candidates(corpus, batch).orderBy(
-        "new_id", "corpus_id"
-    )
+    # One gram/signature scan for both roles (both derive from the same
+    # fixture table): bucketize once, persist (the q102 discipline), and
+    # hand the operator precomputed bucket relations — exactly its
+    # production call shape, where the corpus index is already stored.
+    bk = dedup.minhash_portable_buckets(d).persist()
+    is_new = F.col("doc_id") % 7 == 0
+    return dedup.minhash_incremental_candidates(
+        corpus_buckets=bk.filter(~is_new), batch_buckets=bk.filter(is_new)
+    ).orderBy("new_id", "corpus_id")
 
 
 @query(
