@@ -638,3 +638,52 @@ def bpe_apply(
             F.sum(F.col("_occ") * F.col("_wt")).cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping fixed-token-window chunks — the RAG/retrieval prep
+    step (split documents into context-window-sized passages whose
+    ``window - stride`` token overlap preserves cross-boundary answer
+    spans), complementing ``dedup.chunk_rows`` (non-overlapping C4
+    spans).
+
+    Returns ``(id, chunk_id, n_chunk_tokens, chunk_md5)``. A doc with
+    n ≤ window tokens yields one chunk; otherwise
+    1 + ceil((n − window)/stride), the last one clamped short. Zero
+    exchanges: tokenization, the chunk-index sequence, and the array
+    slices are all intra-row codegen (no posexplode/lead window — the
+    token array never leaves its row until the chunk-sized explode), so
+    a 100 TB pass is a pure narrow map that AQE never has to touch."""
+    toks = dedup.tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= window, F.lit(1))
+        .otherwise(
+            F.floor(
+                (n - window + stride - 1) / F.lit(float(stride))
+            ).cast("int")
+            + 1
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.slice(toks, i * stride + 1, window).alias("_ct"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_id"),
+            F.size("_c._ct").cast("bigint").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.col("_c._ct"))).alias("chunk_md5"),
+        )
+    )

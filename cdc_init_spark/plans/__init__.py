@@ -88,6 +88,7 @@ _APPEND_LAST = [
     "q195_bpe_apply",
     "q196_incremental_minhash_ingest",
     "q197_quality_classifier",
+    "q198_rag_chunks",
 ]
 
 

@@ -700,3 +700,45 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
     return sampling.temperature_mix(
         d, "source", "doc_id", alpha=0.5, target_total=300, salt="temp1"
     ).orderBy("doc_id")
+
+
+@query(
+    "q198_rag_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) <= 32 THEN 1
+                  ELSE CAST(floor((len(t) - 32 + 23) / 24.0) AS INTEGER) + 1
+             END AS n_chunks
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, n_chunks),
+                    i -> struct_pack(chunk_id := CAST(i AS INTEGER),
+                                     ct := t[i*24+1 : i*24+32]))) AS c
+      FROM sized
+    )
+    SELECT doc_id,
+           c.chunk_id AS chunk_id,
+           CAST(len(c.ct) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(c.ct, ' ')) AS chunk_md5
+    FROM chunks ORDER BY doc_id, chunk_id
+    """,
+)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT retrieval prep (operators.corpus.sliding_chunks): 32-token
+    passages at stride 24 (8-token overlap keeps answer spans that
+    straddle a boundary) — the RAG chunking pass upstream of embedding
+    and indexing, complementing q117's non-overlapping C4 spans. Zero
+    exchanges: tokenize, chunk-count arithmetic, and array slices are
+    intra-row codegen; the only row growth is the chunk explode. The
+    oracle replays tokenization, the ceil arithmetic, 1-based inclusive
+    list slices, and the md5 of each joined chunk term-for-term."""
+    from cdc_init_spark.operators.corpus import sliding_chunks
+
+    d = load_table(spark, sf, "documents")
+    return sliding_chunks(d).orderBy("doc_id", "chunk_id")
