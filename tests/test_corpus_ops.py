@@ -548,3 +548,70 @@ def test_temperature_mix_laws(spark):
         df.repartition(13), "source", "doc_id", alpha=0.0, target_total=120
     ).collect()
     assert {r["doc_id"] for r in re} == {d for s in flat.values() for d in s}
+
+
+def test_sliding_chunks_laws(spark):
+    """sliding_chunks invariants over varied document lengths: chunk
+    count matches the ceil formula, every chunk but the last is exactly
+    `window` tokens, consecutive chunks overlap by window - stride
+    positions, and concatenating each chunk's fresh (post-overlap) slice
+    reconstructs the document."""
+    from cdc_init_spark.operators.corpus import sliding_chunks
+
+    W, S = 8, 5
+    texts = {
+        0: " ".join(f"t{i}" for i in range(1)),     # single token
+        1: " ".join(f"t{i}" for i in range(W)),     # exactly one window
+        2: " ".join(f"t{i}" for i in range(W + 1)), # one past the window
+        3: " ".join(f"t{i}" for i in range(37)),    # several chunks + runt
+        4: " ".join(f"t{i}" for i in range(2 * S + W)),  # exact fit, no runt
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    out = sliding_chunks(df, window=W, stride=S).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in texts.items():
+        n = len(text.split(" "))
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        expect_chunks = 1 if n <= W else 1 + -(-(n - W) // S)
+        assert len(rows) == expect_chunks, (doc_id, n)
+        assert [r["chunk_id"] for r in rows] == list(range(expect_chunks))
+        # every chunk except possibly the last is full-width; the last
+        # covers exactly the remaining tokens
+        for r in rows[:-1]:
+            assert r["n_chunk_tokens"] == W
+        assert rows[-1]["n_chunk_tokens"] == n - (len(rows) - 1) * S
+        # coverage: last chunk reaches the end
+        assert (len(rows) - 1) * S + rows[-1]["n_chunk_tokens"] == n
+
+
+def test_incremental_minhash_is_filtered_pair_set(spark):
+    """minhash_incremental_candidates over a batch/corpus split of one
+    relation equals the cross-(batch, corpus) subset of the symmetric
+    minhash_portable_pairs output on the full relation — the ingestion
+    operator finds exactly the pairs a full re-dedup would, restricted
+    to new-vs-existing."""
+    from cdc_init_spark.operators.dedup import (
+        minhash_incremental_candidates,
+        minhash_portable_pairs,
+    )
+    from cdc_init_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    inc = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_incremental_candidates(corpus, batch).collect()
+    }
+    full = {
+        (r["a"], r["b"]) for r in minhash_portable_pairs(d).collect()
+    }
+    cross = {
+        (a, b) if a % 7 == 0 else (b, a)
+        for a, b in full
+        if (a % 7 == 0) != (b % 7 == 0)
+    }
+    assert inc == cross
+    assert all(a % 7 == 0 and b % 7 != 0 for a, b in inc)
