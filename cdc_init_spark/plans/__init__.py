@@ -89,6 +89,7 @@ _APPEND_LAST = [
     "q196_incremental_minhash_ingest",
     "q197_quality_classifier",
     "q198_rag_chunks",
+    "q199_hard_negatives",
 ]
 
 

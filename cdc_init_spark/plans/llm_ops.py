@@ -1814,3 +1814,78 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q199_hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlabel,
+             CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id % 25 = 0
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+             (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(q.qe, q.qe))) AS s
+      FROM embeddings e, q
+      WHERE e.label <> q.qlabel
+    ), banded AS (
+      SELECT query_id, vec_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, vec_id) AS rnk
+      FROM scored WHERE s >= 0.15 AND s < 0.35
+    )
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id AS neg_id,
+           ROUND(s, 4) AS score
+    FROM banded WHERE rnk <= 3 ORDER BY query_id, rnk
+    """,
+)
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    """L3 retrieval-training prep: hard-negative mining — for each query
+    vector (vec_id % 25 = 0, a dimension-bounded query set by the ANN
+    contract), the top-3 OTHER-label vectors inside the similarity band
+    [0.15, 0.35): similar enough to be hard for a contrastive/reranker
+    loss, below the false-negative zone. The bounded query matrix
+    broadcast-crosses the corpus scan (the q61 pattern widened to a
+    query SET — build side is |queries| rows, so the plan is one corpus
+    pass at any scale); cosine is the exact array-order codegen
+    expression, so the band edges and ranks hash-match DuckDB. The
+    banded per-query top-k folds through one partial row_number window
+    keyed by query_id. Production pools with larger bands swap the
+    brute-force scan for the IVF/PQ shortlist (similarity.ivfpq_topk)
+    and keep this exact ranking stage."""
+    from cdc_init_spark.functions.vectors import cosine_similarity
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qe"),
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qe")).alias("_s"),
+        )
+        .filter((F.col("_s") >= 0.15) & (F.col("_s") < 0.35))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_s").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            "rnk",
+            F.col("vec_id").alias("neg_id"),
+            round_compat(F.col("_s"), 4).alias("score"),
+        )
+        .orderBy("query_id", "rnk")
+    )

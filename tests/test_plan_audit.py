@@ -42,6 +42,8 @@ ALLOWED_CARTESIAN = {
     "q168_temperature_mix",  # 1-row Σ n^α scalar broadcast for the share
     "q186_referential_audit",  # four 1-row audit counters crossed into one row
     "q182_approx",  # 1-row KLL quantile-grid frame broadcast-crossed in
+    "q199_hard_negatives",  # bounded query SET × embeddings (ANN contract;
+    #   build side is the |queries|-row broadcast matrix, one corpus pass)
 }
 
 CARTESIAN_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
