@@ -379,6 +379,60 @@ def ngram_jaccard_neighbors(
     )
 
 
+def minhash_portable_buckets_stateless(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-ROW twin of ``minhash_portable_buckets``: the gram array and
+    every permutation's min are intra-row expressions (sequence/slice →
+    ``array_min`` over ``transform``), so the whole signature is
+    STATELESS — no groupBy, no window — and therefore legal in a
+    Structured Streaming micro-batch (streaming aggregation state never
+    enters the picture; the ingestion join downstream is a plain
+    stream-static join). Emits the same (id, band, bucket) rows,
+    pinned equal to the batch path in tests.
+
+    Use for streaming ingestion and small per-row frames only: the
+    higher-order lambdas evaluate interpreted (the ``shingle_hashes``
+    caveat; measured ~5× slower than the codegen explode+groupBy path in
+    bulk), which is irrelevant at micro-batch row counts."""
+    r = k // bands
+    toks = tokens(F.col(text_col))
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # NB: the inner lambda must take exactly one parameter (PySpark
+    # introspects the signature); F.transform consumes it synchronously,
+    # so capturing the loop's f-string literal is safe without a default.
+    mins = [
+        F.array_min(
+            F.transform(grams, lambda g: F.md5(F.concat(g, F.lit(f":{i}"))))
+        ).alias(f"_m{i}")
+        for i in range(k)
+    ]
+    sig = df.select(F.col(id_col), F.struct(*mins).alias("_sig"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"_sig._m{i}") for i in range(b * r, (b + 1) * r)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
+    )
+
+
 def minhash_portable_buckets(
     df: DataFrame,
     text_col: str = "text",

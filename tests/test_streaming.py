@@ -498,3 +498,46 @@ def test_streaming_exact_dedup_by_content(spark, tmp_path):
     )
     rows = sorted((r["doc_id"]) for r in result.collect())
     assert rows == [1, 3]  # 2 is a content-duplicate of 1 despite new id/ts
+
+
+def test_streaming_lsh_ingestion_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming near-dup ingestion (the q196 shape as a stream): new
+    documents arrive as a file stream, get per-row STATELESS LSH band
+    buckets (minhash_portable_buckets_stateless — no streaming
+    aggregation state), and stream-static join the existing corpus's
+    bucket index. The appended candidate set must equal the batch
+    operator's output exactly — pinning stateless signature semantics
+    to the codegen batch path AND the ingestion join to its batch twin."""
+    from cdc_init_spark.operators.dedup import (
+        minhash_incremental_candidates,
+        minhash_portable_buckets,
+        minhash_portable_buckets_stateless,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_docs = d.filter(F.col("doc_id") % 7 == 0)
+    corpus_docs = d.filter(F.col("doc_id") % 7 != 0)
+
+    expected = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_incremental_candidates(corpus_docs, batch_docs).collect()
+    }
+
+    src = str(tmp_path / "incoming_docs")
+    batch_docs.coalesce(2).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    idx = (
+        minhash_portable_buckets(corpus_docs)
+        .withColumnRenamed("doc_id", "corpus_id")
+    )
+    probe = minhash_portable_buckets_stateless(stream).withColumnRenamed(
+        "doc_id", "new_id"
+    )
+    candidates = (
+        W.stream_static_join(probe, idx, on=["band", "bucket"])
+        .filter(F.col("corpus_id").isNotNull())  # collisions only
+        .select("new_id", "corpus_id")
+    )
+    result = _run_stream(spark, candidates, "lsh_ingest", mode="append")
+    got = {(r["new_id"], r["corpus_id"]) for r in result.distinct().collect()}
+    assert got == expected and len(got) > 0
