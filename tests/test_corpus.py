@@ -64,7 +64,7 @@ def test_scale_differential_fast_subset_at_sf01(spark):
     __import__("os").environ.get("SPARK_GRAFT_SCALE_DIFF") != "1",
     reason="10x-scale FULL differential is opt-in (SPARK_GRAFT_SCALE_DIFF=1); "
     "the sub-second subset runs by default above; full sweep verified green "
-    "at sf0.1 (153/153 oracle queries) on 2026-08-14",
+    "at sf0.1 (171/171 oracle queries) on 2026-08-14",
 )
 def test_full_differential_at_sf01(spark):
     """Scale-sensitivity check: the whole oracle corpus must hash-match
