@@ -583,3 +583,108 @@ def test_fuzz_cdc_apply_vs_dict_replay(spark, plan):
             for r in state_at(base, changes, ["pk"], horizon).collect()
         }
         assert got == replay(horizon), f"horizon {horizon}: {plan}"
+
+
+# --- BPE train+apply vs the sequential reference --------------------------
+
+_BPE_SETTLE = settings(
+    max_examples=8,  # each example is two full Spark pipelines
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+
+def _bpe_ref_train_apply(texts, n_merges, min_count=2):
+    """Sequential Sennrich BPE: train merges, then tokenize each doc.
+    Returns (merges, {doc_id: (n_words, n_tokens)})."""
+    import re
+    from collections import Counter
+
+    def words_of(t):
+        return [w for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w]
+
+    words = Counter(w for t in texts for w in words_of(t))
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_count:
+            break
+        merges.append((a, b, a + b))
+        nxt = {}
+        for syms, cnt in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nxt[tuple(res)] = nxt.get(tuple(res), 0) + cnt
+        vocab = nxt
+
+    def encode(w):
+        syms = list(w)
+        for a, b, m in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(m)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    per_doc = {}
+    for doc_id, t in enumerate(texts):
+        ws = words_of(t)
+        if ws:
+            per_doc[doc_id] = (len(ws), sum(len(encode(w)) for w in ws))
+    return merges, per_doc
+
+
+@_BPE_SETTLE
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_fuzz_bpe_train_apply_vs_reference(spark, texts):
+    """Random tiny corpora over a 3-letter alphabet maximize merge
+    collisions (aa/ab/aaa chains) — the adversarial regime for greedy
+    non-overlapping merge application. Distributed train + apply must
+    match the sequential reference merge-for-merge and token-for-token."""
+    from cdc_init_spark.operators.corpus import bpe_apply, bpe_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got_merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in bpe_train(df, n_merges=5).orderBy("step").collect()
+    ]
+    exp_merges, exp_docs = _bpe_ref_train_apply(texts, 5)
+    assert got_merges == exp_merges
+    got_docs = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_apply(df, got_merges).collect()
+    }
+    assert got_docs == exp_docs
