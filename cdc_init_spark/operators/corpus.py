@@ -524,7 +524,14 @@ def bpe_train(
             F.col("_n"),
         )
     )
-    vocab = words.persist()
+    # The vocabulary frame is ≪ corpus (distinct words) but inherits the
+    # word-count aggregate's full shuffle width; persisted frames never
+    # get AQE re-coalescing, so every one of the n_merges iteration jobs
+    # would schedule all those near-empty tasks. Coalesce to a quarter
+    # of the cores first (still cluster-proportional for a 100M-word
+    # vocab; measured ~12% off q167 at sf0.1).
+    par = max(2, df.sparkSession.sparkContext.defaultParallelism // 4)
+    vocab = words.coalesce(par).persist()
     spark = df.sparkSession
     merges: list[tuple[int, str, str, str, int]] = []
     try:
