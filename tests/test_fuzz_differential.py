@@ -688,3 +688,84 @@ def test_fuzz_bpe_train_apply_vs_reference(spark, texts):
         for r in bpe_apply(df, got_merges).collect()
     }
     assert got_docs == exp_docs
+
+
+# --- sliding chunks vs a sequential reference -----------------------------
+
+_CHUNK_SETTLE = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+
+@_CHUNK_SETTLE
+@given(
+    data=st.data(),
+    window=st.integers(min_value=2, max_value=9),
+)
+def test_fuzz_sliding_chunks_vs_reference(spark, data, window):
+    """Random (window, stride, doc length) triples against a sequential
+    chunker: identical chunk ids, widths, and md5s — the ceil arithmetic
+    and clamped final slice have off-by-one regimes (exact fit, runt,
+    sub-window doc) that fixed cases undersample."""
+    import hashlib
+
+    from cdc_init_spark.operators.corpus import sliding_chunks
+
+    stride = data.draw(st.integers(min_value=1, max_value=window))
+    lengths = data.draw(
+        st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=5)
+    )
+    texts = {i: " ".join(f"w{j}" for j in range(n)) for i, n in enumerate(lengths)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_md5"])
+        for r in sliding_chunks(df, window=window, stride=stride).collect()
+    }
+    exp = {}
+    for doc_id, text in texts.items():
+        toks = text.split(" ")
+        n = len(toks)
+        n_chunks = 1 if n <= window else 1 + -(-(n - window) // stride)
+        for c in range(n_chunks):
+            ct = toks[c * stride : c * stride + window]
+            exp[(doc_id, c)] = (
+                len(ct),
+                hashlib.md5(" ".join(ct).encode()).hexdigest(),
+            )
+    assert got == exp
+
+
+def test_stateless_buckets_equal_batch_path(spark):
+    """minhash_portable_buckets_stateless emits the SAME (id, band,
+    bucket) rows as the codegen batch path on adversarial token shapes
+    (sub-gram docs, repeated tokens, empty text) — pinning the intra-row
+    gram construction (sequence/slice/concat_ws) to the
+    posexplode+lead-window form it replaces in streaming."""
+    from cdc_init_spark.operators.dedup import (
+        minhash_portable_buckets,
+        minhash_portable_buckets_stateless,
+    )
+
+    texts = [
+        (0, "one"),                      # sub-gram: whole text is the gram
+        (1, "two words"),                # still sub-gram for n=3
+        (2, "a b c d e f g"),            # normal
+        (3, "x x x x x x"),              # repeated tokens (multiset = set for min)
+        (4, ""),                         # empty → [""] token
+        (5, "  spaced   out\ttokens "),  # normalization path
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    batch = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in minhash_portable_buckets(df).collect()
+    }
+    stateless = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in minhash_portable_buckets_stateless(df).collect()
+    }
+    assert stateless == batch
