@@ -90,6 +90,7 @@ _APPEND_LAST = [
     "q197_quality_classifier",
     "q198_rag_chunks",
     "q199_hard_negatives",
+    "q200_char_entropy",
 ]
 
 

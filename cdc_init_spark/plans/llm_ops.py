@@ -1889,3 +1889,54 @@ def q199(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "q200_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+      FROM ch GROUP BY doc_id, c
+    ), agg AS (
+      SELECT doc_id, sum(k) AS n, sum(k * ln(k)) AS s
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars,
+           ROUND(ln(n) - s / n, 4) AS char_entropy
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    """L4 quality signal: per-document Shannon entropy of the character
+    distribution — the gibberish/OCR-noise/base64-blob detector quality
+    pipelines run next to length and repetition cuts (natural language
+    sits in a narrow entropy band; encrypted or binary-pasted text sits
+    high, repeated-character spam sits low). H = ln(n) − Σ k·ln k / n
+    over per-char counts, so every aggregate is partial (map-side
+    combined) and the only exchange is keyed by (doc, char) — bounded
+    fan-out per doc (alphabet-sized), never a corpus-wide relation. The
+    oracle replays the char explode, the count, and the identical
+    log-sum algebra (q175 lesson: same operation order both engines)."""
+    d = load_table(spark, sf, "documents")
+    ch = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+        .filter(F.col("c") != "")
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("double").alias("k")
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("k").alias("n"),
+        F.sum(F.col("k") * F.log(F.col("k"))).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        round_compat(F.log(F.col("n")) - F.col("s") / F.col("n"), 4).alias(
+            "char_entropy"
+        ),
+    ).orderBy("doc_id")
