@@ -52,6 +52,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int | None = None,
     broadcast_state: bool = False,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list ``(src, dst)``.
 
@@ -74,7 +75,12 @@ def pagerank(
     # (q157): 6.2 s → 4.7 s. The other iterative operators deliberately
     # do NOT cache their edge input: caching blocks AQE coalescing /
     # broadcast planning on the cached side and measurably hurt them.
-    e = edges.select("src", "dst").distinct().persist()
+    e = edges.select("src", "dst")
+    if dedupe:
+        # callers that already emit a distinct edge list pass
+        # dedupe=False and skip this full-width shuffle
+        e = e.distinct()
+    e = e.persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("_outdeg"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -251,7 +257,12 @@ def triangles_adjacency(
     )
 
 
-def hits(edges: DataFrame, iters: int = 2, broadcast_state: bool = False) -> DataFrame:
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    broadcast_state: bool = False,
+    dedupe: bool = True,
+) -> DataFrame:
     """HITS hub/authority scores (Kleinberg, JACM'99) over a directed
     edge list ``(src, dst)``, un-normalized power iteration — callers
     normalize once at the end (one scalar each), which avoids a 1-row
@@ -264,7 +275,11 @@ def hits(edges: DataFrame, iters: int = 2, broadcast_state: bool = False) -> Dat
     sum, the same minimal edge-centric movement as ``pagerank``. Nodes
     with no in-edges get auth 0; no out-edges, hub 0.
     """
-    e = edges.select("src", "dst").distinct().persist()
+    e = edges.select("src", "dst")
+    if dedupe:
+        # same contract as pagerank: pre-deduped callers skip the shuffle
+        e = e.distinct()
+    e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -98,7 +98,8 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("dst"),
         )
     )
-    pr = graph.pagerank(edges, iters=_PR_ITERS, damping=_DAMP)
+    # edge list above is already DISTINCT — skip the operator's dedup shuffle
+    pr = graph.pagerank(edges, iters=_PR_ITERS, damping=_DAMP, dedupe=False)
     return pr.select("node", round_compat(F.col("pr"), 8).alias("pr")).orderBy("node")
 
 
@@ -251,7 +252,8 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    hs = graph.hits(edges, iters=2)
+    # edge list above is already DISTINCT — skip the operator's dedup shuffle
+    hs = graph.hits(edges, iters=2, dedupe=False)
     return hs.select(
         "node",
         F.col("hub").cast("bigint").alias("hub"),
