@@ -19,6 +19,16 @@ from cdc_init_spark.plans import query
 from cdc_init_spark.tables import load_table
 
 
+_STOPLISTS = {
+    "de": "['der','die','und','das','ist','nicht','ein','mit','von','zu']",
+    "en": "['the','and','of','to','in','is','that','it','for','was']",
+    "es": "['el','la','de','que','los','una','por','con','para','es']",
+    "fr": "['le','la','et','les','des','est','pas','que','une','dans']",
+    "it": "['il','la','di','che','per','una','con','del','non','sono']",
+}
+_GREATEST5 = "greatest(s_de, s_en, s_es, s_fr, s_it)"
+
+
 @query(
     "q63_token_counts",
     oracle="""
@@ -99,9 +109,61 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("q67_text_profile")  # rows-only: heuristic lang-id + quality model
+@query(
+    "q67_text_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t,
+             greatest(length(text), 1) AS nc
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+               / greatest(len(t), 1) AS mean_word_len,
+             {", ".join(
+                 f"CAST(len(list_filter(t, x -> list_contains({lst}, x))) AS DOUBLE)"
+                 f" / greatest(len(t), 1) AS s_{lg}"
+                 for lg, lst in _STOPLISTS.items()
+             )},
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / nc
+               AS alpha_ratio,
+             CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1)
+               AS distinct_token_ratio,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]{{1,4}}|[0-9]{{1,3}}|[^\\sA-Za-z0-9]')) AS bpe
+      FROM toks
+    ), scored AS (
+      SELECT doc_id, bpe,
+             CASE WHEN {_GREATEST5} >= 0.02 THEN
+               CASE {" ".join(
+                   f"WHEN s_{lg} = {_GREATEST5} THEN '{lg}'"
+                   for lg in _STOPLISTS
+               )} ELSE 'und' END
+             ELSE 'und' END AS detected_lang,
+             least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2
+               + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                      THEN 1.0 ELSE 0.0 END * 0.2
+               + least(s_en * 5, 1.0) * 0.2
+               + alpha_ratio * 0.2
+               + distinct_token_ratio * 0.2 AS q
+      FROM feat
+    )
+    SELECT detected_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           ROUND(avg(q), 4) AS avg_quality,
+           ROUND(avg(CAST(bpe AS DOUBLE)), 2) AS avg_bpe_tokens
+    FROM scored GROUP BY detected_lang ORDER BY detected_lang
+    """,
+)
 def q67(spark: SparkSession, sf: str) -> DataFrame:
-    """L4: full text-analysis profile aggregated per detected language."""
+    """L4: full text-analysis profile aggregated per detected language —
+    UPGRADED from rows-only to oracle-paired in round 3: every input
+    (q104's lang-id + quality features, the BPE-ish regexp token proxy)
+    is term-replayable in DuckDB, so the per-language rollup hash-checks
+    end to end. Single corpus scan, one alphabet-bounded (lang) shuffle
+    with partial avg/count aggregates."""
     d = load_table(spark, sf, "documents")
     prof = text.text_profile(d)
     return (
@@ -411,16 +473,6 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
     the production 64-bit xxhash64 form, rows-only)."""
     d = load_table(spark, sf, "documents")
     return dedup.simhash_portable_pairs(d).orderBy("a", "b")
-
-
-_STOPLISTS = {
-    "de": "['der','die','und','das','ist','nicht','ein','mit','von','zu']",
-    "en": "['the','and','of','to','in','is','that','it','for','was']",
-    "es": "['el','la','de','que','los','una','por','con','para','es']",
-    "fr": "['le','la','et','les','des','est','pas','que','une','dans']",
-    "it": "['il','la','di','che','per','una','con','del','non','sono']",
-}
-_GREATEST5 = "greatest(s_de, s_en, s_es, s_fr, s_it)"
 
 
 @query(
