@@ -667,6 +667,11 @@ def sliding_chunks(
     slices are all intra-row codegen (no posexplode/lead window — the
     token array never leaves its row until the chunk-sized explode), so
     a 100 TB pass is a pure narrow map that AQE never has to touch."""
+    if not (1 <= stride <= window):
+        raise ValueError(
+            f"stride must be in [1, window]; got stride={stride}, "
+            f"window={window} (stride > window would silently drop tokens)"
+        )
     toks = dedup.tokens(F.col(text_col))
     n = F.size(toks)
     n_chunks = (

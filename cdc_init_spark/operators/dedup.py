@@ -504,6 +504,10 @@ def minhash_incremental_candidates(
     output, or the stored index) instead of raw text frames — the
     production call shape, where the corpus index already exists and
     only the probe side is fresh."""
+    if corpus is None and corpus_buckets is None:
+        raise ValueError("pass either corpus or corpus_buckets")
+    if batch is None and batch_buckets is None:
+        raise ValueError("pass either batch or batch_buckets")
     idx = (
         corpus_buckets
         if corpus_buckets is not None

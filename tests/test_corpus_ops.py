@@ -615,3 +615,23 @@ def test_incremental_minhash_is_filtered_pair_set(spark):
     }
     assert inc == cross
     assert all(a % 7 == 0 and b % 7 != 0 for a, b in inc)
+
+
+def test_new_operator_guards(spark):
+    """sliding_chunks rejects token-dropping strides; the incremental
+    LSH operator rejects calls with neither frame nor buckets for a
+    side."""
+    import pytest as _pytest
+
+    from cdc_init_spark.operators.corpus import sliding_chunks
+    from cdc_init_spark.operators.dedup import minhash_incremental_candidates
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id int, text string")
+    with _pytest.raises(ValueError, match="stride"):
+        sliding_chunks(df, window=4, stride=5)
+    with _pytest.raises(ValueError, match="stride"):
+        sliding_chunks(df, window=4, stride=0)
+    with _pytest.raises(ValueError, match="corpus"):
+        minhash_incremental_candidates(batch=df)
+    with _pytest.raises(ValueError, match="batch"):
+        minhash_incremental_candidates(corpus=df)
