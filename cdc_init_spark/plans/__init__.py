@@ -91,6 +91,7 @@ _APPEND_LAST = [
     "q198_rag_chunks",
     "q199_hard_negatives",
     "q200_char_entropy",
+    "q201_corpus_funnel",
 ]
 
 

@@ -1992,3 +1992,138 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
             "char_entropy"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "q201_corpus_funnel",
+    oracle="""
+    WITH RECURSIVE qt AS (
+      SELECT doc_id, text,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t,
+             greatest(length(text), 1) AS nc
+      FROM documents
+    ), qf AS (
+      SELECT doc_id, text,
+             len(t) AS n_tokens,
+             CAST(len(list_filter(t, x -> list_contains(
+               ['the','and','of','to','in','is','that','it','for','was'], x)))
+               AS DOUBLE) / greatest(len(t), 1) AS stopword_ratio,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / nc
+               AS alpha_ratio,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / nc
+               AS digit_ratio,
+             CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1)
+               AS distinct_token_ratio
+      FROM qt
+    ), kept1 AS (
+      SELECT doc_id, text FROM qf
+      WHERE 1.0 / (1.0 + exp(-(-2.0 + 3.0 * stopword_ratio
+            + 2.0 * alpha_ratio + 1.5 * distinct_token_ratio
+            - 4.0 * digit_ratio + 0.3 * ln(1.0 + n_tokens)))) >= 0.5
+    ), norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+      FROM kept1
+    ), reps AS (
+      SELECT min(doc_id) AS doc_id FROM norm GROUP BY ntext
+    ), docs2 AS (
+      SELECT n.doc_id, n.text FROM norm n JOIN reps r USING (doc_id)
+    ), toks2 AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM docs2
+    ), gram_sets2 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+      FROM toks2
+    ), jac AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+             (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+      FROM gram_sets2 a JOIN gram_sets2 b
+        ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
+    ), edges AS (
+      SELECT a AS x, b AS y FROM jac WHERE j >= 0.02
+      UNION SELECT b, a FROM jac WHERE j >= 0.02
+    ), reach(id, r) AS (
+      SELECT x, x FROM edges
+      UNION
+      SELECT e.x, reach.r FROM edges e JOIN reach ON reach.id = e.y
+    ), comp AS (
+      SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT * FROM (
+      SELECT '0_input' AS stage,
+             CAST((SELECT count(*) FROM documents) AS BIGINT) AS docs_kept
+      UNION ALL
+      SELECT '1_quality',
+             CAST((SELECT count(*) FROM kept1) AS BIGINT)
+      UNION ALL
+      SELECT '2_exact_dedup',
+             CAST((SELECT count(*) FROM docs2) AS BIGINT)
+      UNION ALL
+      SELECT '3_near_dedup',
+             CAST((SELECT count(*) FROM docs2)
+                  - (SELECT count(*) FROM comp)
+                  + (SELECT count(DISTINCT cluster_id) FROM comp) AS BIGINT)
+    ) ORDER BY stage
+    """,
+)
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT capstone: the corpus-build FUNNEL — quality gate (q197's
+    sigmoid classifier) → exact dedup on normalized content, min-id
+    representative (q60's contract) → near-dup cluster collapse over
+    q103's deterministic blocked-Jaccard edges — reporting survivors per
+    stage, the governance scorecard every corpus release ships with.
+    Every stage is an already-oracle-verified fragment, so the composed
+    pipeline hash-checks end to end: the judge of each piece is the
+    judge of the whole. Physical shape: one feature scan (narrow map,
+    q197), one digest-keyed aggregate + semi-join (q60/L1), one gram
+    window + blocked pair join + closure (q101/q103) — each stage's
+    input is the previous stage's survivor set, so per-stage cost
+    SHRINKS down the funnel; stage counts are 1-row aggregates
+    unioned (no scalar cross joins)."""
+    from cdc_init_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_neighbors,
+        normalize_text,
+    )
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    feats = text.quality_features(d)
+    logit = (
+        F.lit(-2.0)
+        + F.lit(3.0) * F.col("stopword_ratio")
+        + F.lit(2.0) * F.col("alpha_ratio")
+        + F.lit(1.5) * F.col("distinct_token_ratio")
+        - F.lit(4.0) * F.col("digit_ratio")
+        + F.lit(0.3) * F.log(F.lit(1.0) + F.col("n_tokens"))
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    kept1 = feats.filter(prob >= 0.5).select("doc_id", "text")
+    reps = (
+        kept1.groupBy(normalize_text(F.col("text")).alias("_n"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs2 = kept1.join(reps, "doc_id", "left_semi").persist()
+    edges = ngram_jaccard_neighbors(docs2, max_gap=50, threshold=0.02)
+    comp = dedup_clusters(edges)
+    n_cluster_nodes = comp.agg(
+        F.count(F.lit(1)).alias("a"),
+        F.count_distinct("cluster_id").alias("b"),
+    )
+    stage = lambda name, df_agg: df_agg.select(  # noqa: E731
+        F.lit(name).alias("stage"), F.col("n").cast("bigint").alias("docs_kept")
+    )
+    s0 = stage("0_input", d.agg(F.count(F.lit(1)).alias("n")))
+    s1 = stage("1_quality", kept1.agg(F.count(F.lit(1)).alias("n")))
+    s2 = stage("2_exact_dedup", docs2.agg(F.count(F.lit(1)).alias("n")))
+    s3 = stage(
+        "3_near_dedup",
+        docs2.agg(F.count(F.lit(1)).alias("_n2"))
+        .crossJoin(n_cluster_nodes)
+        .select((F.col("_n2") - F.col("a") + F.col("b")).alias("n")),
+    )
+    return s0.unionByName(s1).unionByName(s2).unionByName(s3).orderBy("stage")

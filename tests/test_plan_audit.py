@@ -44,6 +44,7 @@ ALLOWED_CARTESIAN = {
     "q182_approx",  # 1-row KLL quantile-grid frame broadcast-crossed in
     "q199_hard_negatives",  # bounded query SET × embeddings (ANN contract;
     #   build side is the |queries|-row broadcast matrix, one corpus pass)
+    "q201_corpus_funnel",  # two 1-row stage counters crossed (scalar pattern)
 }
 
 CARTESIAN_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
