@@ -92,6 +92,7 @@ _APPEND_LAST = [
     "q199_hard_negatives",
     "q200_char_entropy",
     "q201_corpus_funnel",
+    "q202_kneser_ney_ppl",
 ]
 
 

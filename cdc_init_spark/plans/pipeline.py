@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_init_spark.functions.compat import round_compat
 from cdc_init_spark.operators import sampling, text
 from cdc_init_spark.operators.dedup import tokens
 from cdc_init_spark.plans import query
@@ -543,3 +544,107 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
     merge_rows = bpe_train(d, n_merges=8).orderBy("step").collect()
     merges = [(r["left"], r["right"], r["merged"]) for r in merge_rows]
     return bpe_apply(d, merges).orderBy("doc_id")
+
+
+@query(
+    "q202_kneser_ney_ppl",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+      FROM toks WHERE len(t) >= 2
+    ), occ AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg
+    ), c12 AS (
+      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c FROM occ GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, sum(c) AS c1, CAST(count(*) AS DOUBLE) AS n1fw
+      FROM c12 GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(count(*) AS DOUBLE) AS n1bw FROM c12 GROUP BY w2
+    ), total AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n1all FROM c12
+    ), scored AS (
+      SELECT o.doc_id,
+             ln(greatest(c12.c - 0.75, 0.0) / c1.c1
+                + ((0.75 * c1.n1fw) / c1.c1) * (cont.n1bw / total.n1all))
+               AS lp
+      FROM occ o
+      JOIN c12 ON o.w1 = c12.w1 AND o.w2 = c12.w2
+      JOIN c1 ON o.w1 = c1.w1
+      JOIN cont ON o.w2 = cont.w2
+      CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(exp(-avg(lp)), 4) AS ppl
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q202(spark: SparkSession, sf: str) -> DataFrame:
+    """EXT quality filter, the real one: per-document PERPLEXITY under an
+    interpolated Kneser-Ney bigram model (Kneser & Ney, ICASSP'95;
+    d = 0.75) trained on the corpus itself — the CCNet/KenLM-style
+    perplexity gate production pipelines rank documents with, upgrading
+    q155/q156's add-k proxies to the actual smoothing algebra
+    (absolute discounting + continuation probability, so P mass follows
+    how many CONTEXTS a word appears in, not raw frequency).
+    Self-scoring keeps every bigram in-vocabulary, making the score a
+    pure function of integer count relations. Physical shape: the
+    bigram stream shuffles once keyed by doc (the shared lead-window
+    idiom); all model relations (bigram types, unigram contexts,
+    continuation counts) are vocabulary-sized partial aggregates that
+    AQE-broadcasts back onto the stream; the type-count total is ONE
+    scalar. The oracle replays counts, discount algebra (identical
+    parenthesization), ln, and the closing exp(-avg) term-for-term."""
+    from cdc_init_spark.operators.dedup import ngram_rows
+
+    d = load_table(spark, sf, "documents")
+    occ = (
+        ngram_rows(d, n=2, distinct=False)
+        .select(
+            "doc_id",
+            F.element_at(F.split(F.col("_g"), " "), 1).alias("w1"),
+            F.element_at(F.split(F.col("_g"), " "), 2).alias("w2"),
+        )
+        # ngram_rows emits whole-text grams for sub-width docs; a doc of
+        # one token yields a 1-word gram with no w2 — drop it (the
+        # oracle's len(t) >= 2 gate)
+        .filter(F.size(F.split(F.col("_g"), " ")) >= 2)
+    )
+    c12 = occ.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n1fw"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n1bw")
+    )
+    total = c12.agg(F.count(F.lit(1)).cast("double").alias("n1all"))
+    lp = F.log(
+        F.greatest(F.col("c") - F.lit(0.75), F.lit(0.0)) / F.col("c1")
+        + ((F.lit(0.75) * F.col("n1fw")) / F.col("c1"))
+        * (F.col("n1bw") / F.col("n1all"))
+    )
+    scored = (
+        occ.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(total)
+        .select("doc_id", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            round_compat(F.exp(-F.avg("lp")), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

@@ -45,6 +45,7 @@ ALLOWED_CARTESIAN = {
     "q199_hard_negatives",  # bounded query SET × embeddings (ANN contract;
     #   build side is the |queries|-row broadcast matrix, one corpus pass)
     "q201_corpus_funnel",  # two 1-row stage counters crossed (scalar pattern)
+    "q202_kneser_ney_ppl",  # 1-row bigram-type total crossed in (scalar pattern)
 }
 
 CARTESIAN_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
