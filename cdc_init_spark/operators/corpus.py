@@ -165,15 +165,21 @@ def contamination_report(
     ``n_shared_grams`` counts the corpus document's *distinct* grams that
     occur anywhere in the eval set. The eval side is reduced to a distinct
     gram relation and broadcast — eval sets are small by construction, so
-    the train side never wide-shuffles against it."""
-    corpus_grams = dedup.ngram_rows(corpus, text_col, id_col, n=n)
-    eval_grams = dedup.ngram_rows(evalset, text_col, id_col, n=n).select(
-        "_g"
-    ).distinct()
+    the train side never wide-shuffles against it. The broadcast join runs
+    on the RAW corpus gram stream (map-side filter), and the dedup happens
+    inside the grouped ``count_distinct`` — so the only corpus-wide
+    exchange carries eval-matching grams, not every distinct corpus gram
+    (at 100 TB that pre-join dedup would be the dominant shuffle)."""
+    corpus_grams = dedup.ngram_rows(corpus, text_col, id_col, n=n, distinct=False)
+    eval_grams = (
+        dedup.ngram_rows(evalset, text_col, id_col, n=n, distinct=False)
+        .select("_g")
+        .distinct()
+    )
     return (
         corpus_grams.join(F.broadcast(eval_grams), "_g")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .agg(F.count_distinct("_g").alias("n_shared_grams"))
     )
 
 

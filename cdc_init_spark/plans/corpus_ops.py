@@ -583,13 +583,25 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
     train = split.filter(F.col("split") == "train").drop("split")
     evalset = split.filter(F.col("split") == "test").drop("split")
     # persist: eg feeds the eager bitmask fold AND the verify join —
-    # without it the eval gram window runs twice
-    eg = dedup.ngram_rows(evalset, n=7).select("_g").distinct().persist()
+    # without it the eval gram window runs twice. distinct=False: only the
+    # gram VALUE set matters here, so one distinct on _g replaces the
+    # wider per-(id, gram) dedup inside ngram_rows.
+    eg = (
+        dedup.ngram_rows(evalset, n=7, distinct=False)
+        .select("_g")
+        .distinct()
+        .persist()
+    )
     bits = sketch.bloom_bits(eg, "_g", m=_BLOOM_M, k=2, salt="blm")
-    tg = dedup.ngram_rows(train, n=7)
+    # Bloom-filter FIRST, dedup after: the membership test is a codegen
+    # expression, so running it on the raw gram stream means the
+    # (doc_id, _g) dedup exchange carries only the ~|eval∩train|+FP
+    # survivors instead of every distinct train gram. At 100 TB the
+    # pre-filter dedup is the dominant shuffle; this removes it.
+    tg = dedup.ngram_rows(train, n=7, distinct=False)
     cand = tg.filter(
         sketch.bloom_might_contain(F.col("_g"), bits, _BLOOM_M, 2, "blm")
-    )
+    ).dropDuplicates(["doc_id", "_g"])
     hit = eg.withColumn("_hit", F.lit(1))
     return (
         cand.join(F.broadcast(hit), "_g", "left")

@@ -2101,7 +2101,9 @@ def q201(spark: SparkSession, sf: str) -> DataFrame:
         + F.lit(0.3) * F.log(F.lit(1.0) + F.col("n_tokens"))
     )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
-    kept1 = feats.filter(prob >= 0.5).select("doc_id", "text")
+    # persist: the regex-heavy feature scan otherwise re-runs for the
+    # stage-1 count, the reps groupBy, AND the semi-join probe side
+    kept1 = feats.filter(prob >= 0.5).select("doc_id", "text").persist()
     reps = (
         kept1.groupBy(normalize_text(F.col("text")).alias("_n"))
         .agg(F.min("doc_id").alias("doc_id"))
