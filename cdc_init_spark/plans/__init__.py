@@ -54,64 +54,54 @@ from cdc_init_spark.plans import pipeline as _pipeline  # noqa: E402,F401
 from cdc_init_spark.plans import graph as _graph  # noqa: E402,F401
 
 # REGISTRY ORDER MATTERS: the driver's correctness pass walks the registry
-# in insertion order under a ~50-query/round budget. Rounds 1-2 exhausted
-# that budget on relational+tpch+functions+llm (union: 96 green rows), so
-# the rotation below front-loads the families with NO driver CORRECTNESS
-# row in any round (VERDICT.md r2 "Next round" item 2): windows W1-W5
-# (q30-q34), temporal T2-T4 (q55-q57), stats, reshape, sketches, analytics,
-# graph — ~50 entries before the already-verified surface repeats.
-# Relative order WITHIN a module is preserved. New queries append to the
-# end of their module, keeping earlier rounds' artifacts comparable.
-_MODULE_PRIORITY = [
-    "windows",
-    "temporal",
-    "stats",
-    "reshape",
-    "sketches",
-    "analytics",
-    "graph",
-    "pipeline",
-    "corpus_ops",
-    "llm_ops",
-    "llm",
-    "functions",
-    "relational",
-    "tpch",
-]
+# in insertion order under a ~50-query/round budget. The order is DERIVED
+# from the CORRECTNESS_r*.json artifacts the driver leaves in the repo root
+# (VERDICT r3 "Next round" item 2 — no hand-maintained name list to forget):
+# entries with no driver row in ANY prior round sort first, then verified
+# entries oldest-round-first so spare budget re-confirms the stalest rows.
 
-# Queries added AFTER the round-2 artifacts go to the very END of the
-# registry regardless of their module, so they never displace a
-# never-driver-checked query out of the budget window (VERDICT r2 "Next
-# round" item 4: additions must raise the coverage ratio, not dilute it).
-_APPEND_LAST = [
-    "q182_approx",
-    "q195_bpe_apply",
-    "q196_incremental_minhash_ingest",
-    "q197_quality_classifier",
-    "q198_rag_chunks",
-    "q199_hard_negatives",
-    "q200_char_entropy",
-    "q201_corpus_funnel",
-    "q202_kneser_ney_ppl",
-]
+
+def _driver_verified(root: str | None = None) -> dict[str, int]:
+    """name -> earliest round with a driver CORRECTNESS row, parsed from
+    ``CORRECTNESS_r*.json`` in the repo root (or ``root`` for tests)."""
+    import glob
+    import json
+    import os
+    import re
+
+    if root is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    earliest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            if name not in earliest or rnd < earliest[name]:
+                earliest[name] = rnd
+    return earliest
+
+
+def _registry_order(names: list[str], verified: dict[str, int]) -> list[str]:
+    """Never-driver-verified entries first (stable insertion order among
+    themselves), then verified entries oldest-artifact-round first."""
+    pos = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (n in verified, verified.get(n, 0), pos[n]))
 
 
 def _rotate() -> None:
-    rank = {m: i for i, m in enumerate(_MODULE_PRIORITY)}
-    tail = {n: i for i, n in enumerate(_APPEND_LAST)}
-    names = list(QUERIES)
-    order = sorted(
-        range(len(names)),
-        key=lambda i: (
-            names[i] in tail,
-            tail.get(names[i], 0),
-            rank.get(
-                QUERIES[names[i]].__module__.rsplit(".", 1)[-1],
-                len(_MODULE_PRIORITY),
-            ),
-        ),
-    )
-    rotated = {names[i]: QUERIES[names[i]] for i in order}
+    order = _registry_order(list(QUERIES), _driver_verified())
+    rotated = {n: QUERIES[n] for n in order}
     QUERIES.clear()
     QUERIES.update(rotated)
 

@@ -522,10 +522,73 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train(d, n_merges=8).orderBy("step")
 
 
-@query("q195_bpe_apply")  # rows-only, same contract as q167: the merge
-# table it applies comes from the inherently-sequential training loop,
-# so no static SQL oracle can exist; tokenization is pinned
-# token-for-token against a pure-Python BPE encoder at sf0.001
+def _bpe_oracle_sql(n_merges: int = 8, min_count: int = 2) -> str:
+    """DuckDB replay of bpe_train + bpe_apply (VERDICT r3 "Next round"
+    item 6): the sequential merge loop UNROLLS into ``n_merges`` static
+    CTE stages. Each stage's vocabulary carries a wrapped-symbol string
+    (chr(1)·sym·chr(2) per symbol, both absent from the corpus —
+    asserted in tests), so applying one merge is ONE non-overlapping
+    left-to-right ``replace()``: because merged = left||right can never
+    equal left (right is non-empty), a fresh merge output can never
+    re-match within the same pass, which is exactly the Spark fold's
+    greedy contract (operators/corpus.py::bpe_train). The argmax is
+    ORDER BY count DESC, pair ASC LIMIT 1 — the trainer's deterministic
+    tiebreak — and the HAVING >= min_count guard reproduces the early
+    stop (an empty 1-row CTE LEFT-JOINs as a no-op merge)."""
+    s1, s2 = "chr(1)", "chr(2)"
+    syms = f"string_split(trim(s, {s1} || {s2}), {s2} || {s1})"
+    parts = [
+        f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(t) AS w FROM toks)
+      WHERE w <> '' GROUP BY w
+    ), v0 AS (
+      SELECT w, n, regexp_replace(w, '(.)', {s1} || '\\1' || {s2}, 'g') AS s FROM wc
+    )"""
+    ]
+    for t in range(n_merges):
+        parts.append(
+            f""", p{t} AS (
+      SELECT l, r FROM (
+        SELECT y[i] AS l, y[i + 1] AS r, n FROM (
+          SELECT {syms} AS y, n, unnest(range(1, len({syms}))) AS i
+          FROM v{t}
+        )
+      ) GROUP BY l, r HAVING CAST(sum(n) AS BIGINT) >= {min_count}
+      ORDER BY sum(n) DESC, l, r LIMIT 1
+    ), v{t + 1} AS (
+      SELECT w, n, CASE WHEN p.l IS NULL THEN s ELSE
+        replace(s, {s1} || p.l || {s2} || {s1} || p.r || {s2},
+                   {s1} || p.l || p.r || {s2}) END AS s
+      FROM v{t} LEFT JOIN p{t} p ON TRUE
+    )"""
+        )
+    parts.append(
+        f""", dw AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS occ
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+      WHERE w <> '' GROUP BY doc_id, w
+    ), widths AS (
+      SELECT w, len({syms}) AS wt FROM v{n_merges}
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.occ) AS BIGINT) AS n_words,
+           CAST(sum(d.occ * widths.wt) AS BIGINT) AS n_bpe_tokens
+    FROM dw d JOIN widths ON d.w = widths.w
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+    )
+    return "".join(parts)
+
+
+@query("q195_bpe_apply", oracle=_bpe_oracle_sql())  # oracle-gated since
+# round 4: the training loop unrolls into 8 static CTE stages (see
+# _bpe_oracle_sql); tokenization additionally stays pinned
+# token-for-token against a pure-Python BPE encoder
 # (tests/test_corpus_ops.py::test_bpe_apply_matches_python_reference)
 def q195(spark: SparkSession, sf: str) -> DataFrame:
     """EXT tokenizer inference (operators.corpus.bpe_apply): size the
