@@ -255,9 +255,19 @@ def decode_fpng_frame(content: bytes, idx: int) -> bytes:
 # Annex K Huffman tables.
 #
 # Scope (documented contract, PNG-decoder style): baseline sequential
-# (SOF0) only — progressive (SOF2), arithmetic coding, 12-bit precision
-# and >2 sampling factors raise ValueError and callers fall back per
-# policy. Huffman decoding is a per-bit Python loop: correct and adequate
+# (SOF0/1) AND progressive (SOF2, round 4: spectral selection +
+# successive approximation per T.81 Annex G — DC first/refine,
+# AC first with EOB runs, AC refinement with buffered correction bits,
+# non-interleaved single-component scans, restart markers). Arithmetic
+# coding, lossless/hierarchical (SOF3+), 12-bit precision and >2
+# sampling factors raise ValueError and callers fall back per policy.
+# The progressive encode twin (encode_jpeg_progressive, the classic
+# 10-scan libjpeg script) exists so round-trip tests can pin the decoder
+# bit-exactly against the baseline path: both organizations carry the
+# SAME quantized coefficients, so decode(progressive) must equal
+# decode(baseline) pixel-for-pixel — entropy layers differ completely,
+# making a mirrored encoder/decoder bug essentially unable to hide.
+# Huffman decoding is a per-bit Python loop: correct and adequate
 # for the dHash/feature path's thumbnails inside Arrow batches; a real
 # cluster deployment swaps in libjpeg-turbo via DECODERS at the same
 # call sites (operators/multimodal.py).
@@ -594,6 +604,312 @@ def encode_jpeg(
     return bytes(out)
 
 
+# Fixed Huffman table for progressive AC scans: the Annex K AC tables
+# lack the EOBn symbols (r<<4 for r=1..14) progressive EOB runs need, so
+# use a flat table — every needed symbol at 8 bits (176 symbols ≤ 256
+# slots, Kraft-complete, all-ones code unassigned as T.81 requires).
+_PROG_AC_VALS = sorted(
+    [r << 4 for r in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _quantized_comps(
+    arr: np.ndarray, quality: int, subsampling: str
+) -> tuple[list[dict], int, int, int, int]:
+    """Color-convert, subsample, pad and forward-DCT-quantize: the shared
+    front half of both JPEG encoders. Returns per-component dicts with
+    zigzag-ordered int coefficient grids (by, bx, 64) over the padded MCU
+    grid, plus (h, w, hmax, vmax)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ql = _scale_q(_JPEG_QL, quality)
+    qc = _scale_q(_JPEG_QC, quality)
+    if gray:
+        planes, samp, qsel = [a.astype(np.float64)], [(1, 1)], [0]
+    else:
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        if subsampling == "4:2:0":
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "4:4:4":
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        planes, qsel = [y, cb, cr], [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_y, mcus_x = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    comps: list[dict] = []
+    for ci, ((hi, vi), plane) in enumerate(zip(samp, planes)):
+        if (hi, vi) != (hmax, vmax):
+            fy, fx = vmax // vi, hmax // hi
+            p = np.pad(
+                plane,
+                ((0, -plane.shape[0] % fy), (0, -plane.shape[1] % fx)),
+                mode="edge",
+            )
+            plane = p.reshape(
+                p.shape[0] // fy, fy, p.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        by, bx = mcus_y * vi, mcus_x * hi
+        plane = np.pad(
+            plane,
+            ((0, by * 8 - plane.shape[0]), (0, bx * 8 - plane.shape[1])),
+            mode="edge",
+        )
+        qtab = ql if qsel[ci] == 0 else qc
+        blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+        # same associativity as the baseline per-block _DCT @ b @ _DCT.T
+        # so np.round sees bit-identical floats in both encoders
+        coef = (_DCT @ blocks) @ _DCT.T
+        q = np.round(coef.reshape(by, bx, 64) / qtab).astype(np.int64)
+        comps.append(
+            {
+                "id": ci + 1,
+                "h": hi,
+                "v": vi,
+                "tq": qsel[ci],
+                "qtab": qtab,
+                "coefs": q[:, :, _ZIGZAG],  # zigzag-ordered per block
+            }
+        )
+    return comps, h, w, hmax, vmax
+
+
+class _ProgAcState:
+    """Per-scan AC entropy state: the EOB run and the correction bits
+    buffered behind it (T.81 G.1.2.2-3)."""
+
+    __slots__ = ("eobrun", "buffered")
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.buffered: list[int] = []
+
+    def flush(self, w: _BitWriter, ac_codes: dict, first: bool) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = ac_codes[nbits << 4]
+            w.write(code, length)
+            if nbits:
+                w.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        if not first:
+            for bit in self.buffered:
+                w.write(bit, 1)
+            self.buffered.clear()
+
+
+def _enc_dc_prog(w: _BitWriter, dc_codes: dict, val: int, pred: int, al: int) -> int:
+    """DC first scan: encode (val >> Al) - pred as a baseline DC diff."""
+    # DC point transform is an arithmetic shift right (T.81 G.1.2.1)
+    t = val >> al
+    diff = t - pred
+    mag = abs(diff)
+    size = mag.bit_length()
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    return t
+
+
+def _enc_ac_first(
+    w: _BitWriter,
+    ac_codes: dict,
+    st: _ProgAcState,
+    coefs: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """AC first scan for one block (T.81 G.1.2.2): magnitudes shifted by
+    Al, zero runs, EOB-run accumulation across blocks."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(coefs[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        st.flush(w, ac_codes, first=True)
+        while run > 15:
+            zc, zl = ac_codes[0xF0]
+            w.write(zc, zl)
+            run -= 16
+        size = t.bit_length()
+        code, length = ac_codes[(run << 4) | size]
+        w.write(code, length)
+        w.write(t if v > 0 else t + (1 << size) - 1, size)
+        run = 0
+    if run > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush(w, ac_codes, first=True)
+
+
+def _enc_ac_refine(
+    w: _BitWriter,
+    ac_codes: dict,
+    st: _ProgAcState,
+    coefs: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """AC refinement scan for one block (T.81 G.1.2.3): newly-significant
+    coefficients as run/size-1 symbols with sign bits; correction bits for
+    already-significant ones, buffered behind ZRL/EOB codes."""
+    absv = [0] * (se + 1)
+    eob = ss - 1  # index of last newly-significant coefficient
+    for k in range(ss, se + 1):
+        t = abs(int(coefs[k])) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k
+    run = 0
+    pending: list[int] = []  # correction bits since the last emitted code
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            run += 1
+            continue
+        if t > 1:  # already significant: correction bit, run unaffected
+            pending.append(t & 1)
+            continue
+        while run > 15 and k <= eob:
+            st.flush(w, ac_codes, first=False)
+            zc, zl = ac_codes[0xF0]
+            w.write(zc, zl)
+            run -= 16
+            for bit in pending:
+                w.write(bit, 1)
+            pending.clear()
+        st.flush(w, ac_codes, first=False)
+        code, length = ac_codes[(run << 4) | 1]
+        w.write(code, length)
+        w.write(1 if int(coefs[k]) > 0 else 0, 1)
+        for bit in pending:
+            w.write(bit, 1)
+        pending.clear()
+        run = 0
+    if run > 0 or pending:
+        st.eobrun += 1
+        st.buffered.extend(pending)
+        if st.eobrun == 0x7FFF or len(st.buffered) > 900:
+            st.flush(w, ac_codes, first=False)
+
+
+# The classic libjpeg 10-scan progressive script: (comp-or-None for the
+# interleaved DC scans, Ss, Se, Ah, Al).
+_PROG_SCRIPT = [
+    (None, 0, 0, 0, 1),
+    (0, 1, 5, 0, 2),
+    (1, 1, 63, 0, 1),
+    (2, 1, 63, 0, 1),
+    (0, 6, 63, 0, 2),
+    (0, 1, 63, 2, 1),
+    (None, 0, 0, 1, 0),
+    (2, 1, 63, 1, 0),
+    (1, 1, 63, 1, 0),
+    (0, 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:2:0",
+) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → progressive (SOF2) JFIF
+    JPEG using the classic 10-scan spectral-selection + successive-
+    approximation script. Carries exactly the same quantized coefficients
+    as ``encode_jpeg`` at the same quality/subsampling, so the two decode
+    pixel-identically — the round-trip tests' cross-check."""
+    comps, h, w, hmax, vmax = _quantized_comps(arr, quality, subsampling)
+    gray = len(comps) == 1
+    mcus_y, mcus_x = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    dc_l, dc_c = _huff_codes(*_STD_DC_L), _huff_codes(*_STD_DC_C)
+    ac_p = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(_scale_q(_JPEG_QL, quality)[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xFFDB, b"\x01" + bytes(_scale_q(_JPEG_QC, quality)[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT, Huffman
+    for cls, tid, (bits, vals) in (
+        (0, 0, _STD_DC_L),
+        (0, 1, _STD_DC_C),
+        (1, 0, (_PROG_AC_BITS, _PROG_AC_VALS)),
+    ):
+        if gray and tid == 1:
+            continue
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    for comp_sel, ss, se, ah, al in _PROG_SCRIPT:
+        if gray and comp_sel not in (None, 0):
+            continue
+        writer = _BitWriter()
+        if ss == 0:  # DC scan, interleaved over all components
+            sos = bytes([len(comps)])
+            for c in comps:
+                tid = 0 if c["id"] == 1 else 1
+                sos += bytes([c["id"], tid << 4])
+            preds = [0] * len(comps)
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, c in enumerate(comps):
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                val = int(
+                                    c["coefs"][my * c["v"] + by, mx * c["h"] + bx, 0]
+                                )
+                                if ah == 0:
+                                    preds[ci] = _enc_dc_prog(
+                                        writer,
+                                        dc_l if ci == 0 else dc_c,
+                                        val,
+                                        preds[ci],
+                                        al,
+                                    )
+                                else:  # DC refinement: one bit per block
+                                    writer.write((val >> al) & 1, 1)
+        else:  # AC scan: non-interleaved, single component
+            c = comps[comp_sel]
+            sos = bytes([1, c["id"], 0x00])  # DC sel unused, AC table 0
+            cw = -(-w * c["h"] // hmax)
+            ch = -(-h * c["v"] // vmax)
+            nbx, nby = -(-cw // 8), -(-ch // 8)
+            st = _ProgAcState()
+            enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+            for iy in range(nby):
+                for ix in range(nbx):
+                    enc(writer, ac_p, st, c["coefs"][iy, ix], ss, se, al)
+            st.flush(writer, ac_p, first=(ah == 0))
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """MSB-first bit reader over the destuffed entropy stream; stops at
     markers (0xFF followed by non-zero), exposing RSTn to the caller."""
@@ -668,8 +984,165 @@ def _receive_extend(r: _BitReader, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _next_marker(content: bytes, pos: int) -> int:
+    """Advance past entropy data to the next non-RST, non-stuffed marker."""
+    n = len(content)
+    while pos + 1 < n:
+        if content[pos] == 0xFF and content[pos + 1] != 0x00 and not (
+            0xD0 <= content[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_prog_scan(
+    content: bytes,
+    pos: int,
+    scan_comps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+    hmax: int,
+    vmax: int,
+    w: int,
+    h: int,
+) -> int:
+    """One progressive scan (T.81 G.2): mutates each component's zigzag
+    coefficient grid in place, returns the stream position of the next
+    marker. DC scans may be interleaved; AC scans are single-component
+    non-interleaved by spec."""
+    reader = _BitReader(content, pos)
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+
+    def refine(coefs: np.ndarray, k: int) -> None:
+        if reader.bits(1) and (int(coefs[k]) & p1) == 0:
+            coefs[k] += p1 if coefs[k] > 0 else m1
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+    elif len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    def dc_block(c: dict, coefs: np.ndarray) -> None:
+        if ah == 0:
+            size = reader.huff(c["dc"])
+            c["pred"] += _receive_extend(reader, size)
+            coefs[0] = c["pred"] << al
+        elif reader.bits(1):
+            coefs[0] |= p1
+
+    def ac_first_block(c: dict, coefs: np.ndarray) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.huff(c["ac"])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += 16  # ZRL
+            else:
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                coefs[k] = _receive_extend(reader, s) << al
+                k += 1
+
+    def ac_refine_block(c: dict, coefs: np.ndarray) -> None:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.huff(c["ac"])
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    # ZRL: 16 zero-history positions, correcting en route
+                elif s == 1:
+                    val = p1 if reader.bits(1) else m1
+                else:
+                    raise ValueError("bad JPEG refinement magnitude")
+                while k <= se:
+                    if coefs[k] != 0:
+                        refine(coefs, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coefs[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if coefs[k] != 0:
+                    refine(coefs, k)
+                k += 1
+            eobrun -= 1
+
+    def block_fn(c: dict, coefs: np.ndarray) -> None:
+        if ss == 0:
+            dc_block(c, coefs)
+        elif ah == 0:
+            ac_first_block(c, coefs)
+        else:
+            ac_refine_block(c, coefs)
+
+    for c in scan_comps:
+        c["pred"] = 0
+    n = 0
+    if len(scan_comps) > 1:  # interleaved MCU walk (DC scans)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n and n % restart_interval == 0:
+                    reader.restart()
+                    eobrun = 0
+                    for c in scan_comps:
+                        c["pred"] = 0
+                n += 1
+                for c in scan_comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            block_fn(
+                                c, c["coefs"][my * c["v"] + by, mx * c["h"] + bx]
+                            )
+    else:  # non-interleaved walk over the component's own block grid
+        c = scan_comps[0]
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        for iy in range(nby):
+            for ix in range(nbx):
+                if restart_interval and n and n % restart_interval == 0:
+                    reader.restart()
+                    eobrun = 0
+                    c["pred"] = 0
+                n += 1
+                block_fn(c, c["coefs"][iy, ix])
+    return _next_marker(content, reader.pos)
+
+
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB."""
+    """JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB. Baseline
+    sequential (SOF0/1) and progressive (SOF2) streams."""
     if not is_jpeg(content):
         raise ValueError("not a JPEG (bad signature)")
     pos = 2
@@ -678,6 +1151,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     restart_interval = 0
     h = w = None
     comps: list[dict] = []
+    progressive = False
+    mcus_x = mcus_y = hmax = vmax = 0
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -708,7 +1183,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + nv])
                 htabs[(cls, tid)] = _huff_decode_map(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -719,28 +1195,57 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise ValueError(f"unsupported sampling factors {hi}x{vi}")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            if progressive:
+                for c in comps:
+                    c["coefs"] = np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64
+                    )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+            raise ValueError(
+                "only baseline (SOF0/1) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS
+            if h is None or not comps:
+                raise ValueError("JPEG missing SOF before SOS")
             ns = payload[0]
+            scan_comps = []
             for i in range(ns):
                 cid, tsel = payload[1 + 2 * i], payload[2 + 2 * i]
                 for c in comps:
                     if c["id"] == cid:
-                        c["dc"] = htabs[(0, tsel >> 4)]
-                        c["ac"] = htabs[(1, tsel & 0xF)]
-            break
+                        c["dc"] = htabs.get((0, tsel >> 4))
+                        c["ac"] = htabs.get((1, tsel & 0xF))
+                        scan_comps.append(c)
+            if not progressive:
+                break
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            a = payload[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                content, pos, scan_comps, ss, se, a >> 4, a & 0xF,
+                restart_interval, mcus_x, mcus_y, hmax, vmax, w, h,
+            )
         # APPn/COM and others: skipped via the length walk
     if h is None or not comps:
         raise ValueError("JPEG missing SOF before SOS")
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
+    if progressive:
+        planes = []
+        for c in comps:
+            qtab = qtabs[c["tq"]]
+            nby, nbx = c["coefs"].shape[:2]
+            raster = c["coefs"][:, :, _UNZIGZAG].astype(np.float64) * qtab
+            blocks = (_DCT.T @ raster.reshape(nby, nbx, 8, 8)) @ _DCT + 128.0
+            c["plane"] = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+            planes.append(c["plane"])
+        return _jpeg_finish(comps, h, w, hmax, vmax)
+
     for c in comps:
         c["plane"] = np.zeros(
             (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
@@ -786,6 +1291,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                         x0 = (mx * c["h"] + bx) * 8
                         c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
 
+    return _jpeg_finish(comps, h, w, hmax, vmax)
+
+
+def _jpeg_finish(
+    comps: list[dict], h: int, w: int, hmax: int, vmax: int
+) -> np.ndarray:
+    """Shared decode tail: chroma upsample, crop, YCbCr→RGB."""
     planes = []
     for c in comps:
         p = c["plane"]
