@@ -750,7 +750,8 @@ def _enc_ac_first(
         size = t.bit_length()
         code, length = ac_codes[(run << 4) | size]
         w.write(code, length)
-        w.write(t if v > 0 else t + (1 << size) - 1, size)
+        vv = t if v > 0 else -t  # signed shifted value
+        w.write(vv if vv > 0 else vv + (1 << size) - 1, size)
         run = 0
     if run > 0:
         st.eobrun += 1
@@ -768,44 +769,56 @@ def _enc_ac_refine(
     al: int,
 ) -> None:
     """AC refinement scan for one block (T.81 G.1.2.3): newly-significant
-    coefficients as run/size-1 symbols with sign bits; correction bits for
-    already-significant ones, buffered behind ZRL/EOB codes."""
+    coefficients as run/size-1 symbols (runs count zero-HISTORY positions
+    only) with sign bits; correction bits for already-significant
+    coefficients emitted in exact decoder-consumption order — after a ZRL
+    only the bits for positions up to that ZRL's 16th zero-history slot
+    (the decoder stops its walk there), after a run/1 code only the bits
+    before the placement position; everything past the last newly-
+    significant index folds into the cross-block EOB run, whose
+    correction bits are buffered until the run is flushed."""
     absv = [0] * (se + 1)
-    eob = ss - 1  # index of last newly-significant coefficient
+    newly: list[int] = []
     for k in range(ss, se + 1):
         t = abs(int(coefs[k])) >> al
         absv[k] = t
         if t == 1:
-            eob = k
-    run = 0
-    pending: list[int] = []  # correction bits since the last emitted code
-    for k in range(ss, se + 1):
-        t = absv[k]
-        if t == 0:
-            run += 1
-            continue
-        if t > 1:  # already significant: correction bit, run unaffected
-            pending.append(t & 1)
-            continue
-        while run > 15 and k <= eob:
+            newly.append(k)
+
+    def corr_bits(lo: int, hi: int) -> None:  # [lo, hi)
+        for t in range(lo, hi):
+            if absv[t] > 1:
+                w.write(absv[t] & 1, 1)
+
+    k = ss  # next unconsumed band position
+    for kn in newly:
+        run = sum(1 for j in range(k, kn) if absv[j] == 0)
+        while run > 15:
             st.flush(w, ac_codes, first=False)
             zc, zl = ac_codes[0xF0]
             w.write(zc, zl)
+            zeros = 0
+            j = k
+            while True:  # find this ZRL's 16th zero-history position
+                if absv[j] == 0:
+                    zeros += 1
+                    if zeros == 16:
+                        break
+                j += 1
+            corr_bits(k, j)  # absv[j] == 0, so the bound is exclusive-safe
+            k = j + 1
             run -= 16
-            for bit in pending:
-                w.write(bit, 1)
-            pending.clear()
         st.flush(w, ac_codes, first=False)
         code, length = ac_codes[(run << 4) | 1]
         w.write(code, length)
-        w.write(1 if int(coefs[k]) > 0 else 0, 1)
-        for bit in pending:
-            w.write(bit, 1)
-        pending.clear()
-        run = 0
-    if run > 0 or pending:
+        w.write(1 if int(coefs[kn]) > 0 else 0, 1)
+        corr_bits(k, kn)
+        k = kn + 1
+    if k <= se:  # tail: decoder needs an EOB to consume it
         st.eobrun += 1
-        st.buffered.extend(pending)
+        st.buffered.extend(
+            absv[t] & 1 for t in range(k, se + 1) if absv[t] > 1
+        )
         if st.eobrun == 0x7FFF or len(st.buffered) > 900:
             st.flush(w, ac_codes, first=False)
 

@@ -84,7 +84,8 @@ def _fake_decode_image(content: bytes) -> np.ndarray:
 
 
 def _real_decode_image(content: bytes) -> np.ndarray:
-    """Real image decode. PNG and baseline JPEG are handled by the
+    """Real image decode. PNG and JPEG (baseline + progressive) are
+    handled by the
     stdlib+numpy decoders in operators/codecs.py (no Pillow needed);
     other formats use Pillow when available."""
     from cdc_init_spark.operators import codecs
@@ -107,7 +108,7 @@ def _real_decode_image(content: bytes) -> np.ndarray:
 
 def _decode_image(content: bytes) -> np.ndarray:
     """Default image decoder: REAL decode for recognized formats (PNG and
-    baseline JPEG via the dependency-free codecs), deterministic fake for
+    baseline/progressive JPEG via the dependency-free codecs), deterministic fake for
     everything else — so synthetic fixtures keep working while real blobs
     decode for real."""
     from cdc_init_spark.operators import codecs

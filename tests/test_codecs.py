@@ -264,12 +264,75 @@ def test_jpeg_restart_markers_roundtrip():
 def test_jpeg_rejects_unsupported():
     with pytest.raises(ValueError):
         codecs.decode_jpeg(b"definitely not a jpeg")
-    # progressive (SOF2) is out of the baseline contract
+    # lossless sequential (SOF3) stays out of contract
     blob = bytearray(codecs.encode_jpeg(_gradient_rgb(8, 8), quality=90))
     i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    blob[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF"):
         codecs.decode_jpeg(bytes(blob))
+    # a baseline stream merely RELABELED as SOF2 is malformed: its single
+    # full-band SOS (Ss=0, Se=63) is illegal for a progressive DC scan
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive DC scan"):
+        codecs.decode_jpeg(bytes(blob))
+
+
+def _noisy_rgb(h, w, seed=11):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            yy * 255 / max(h - 1, 1),
+            xx * 255 / max(w - 1, 1),
+            (yy + xx) * 255 / max(h + w - 2, 1),
+        ],
+        axis=-1,
+    )
+    return np.clip(img + rng.normal(0, 30, (h, w, 3)), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("quality", [30, 85, 95])
+def test_jpeg_progressive_decodes_identically_to_baseline(subsampling, quality):
+    """The SOF2 stream reorganizes the SAME quantized coefficients as the
+    SOF0 stream (shared _quantized_comps front half), so the two must
+    decode pixel-identically — the entropy layers (spectral selection,
+    successive approximation, EOB runs, AC refinement correction bits)
+    differ completely, so a mirrored encoder/decoder bug can't hide."""
+    img = _noisy_rgb(37, 29)
+    base = codecs.decode_jpeg(
+        codecs.encode_jpeg(img, quality=quality, subsampling=subsampling)
+    )
+    prog_blob = codecs.encode_jpeg_progressive(
+        img, quality=quality, subsampling=subsampling
+    )
+    assert b"\xff\xc2" in prog_blob[:200]  # SOF2 marker
+    assert prog_blob.count(b"\xff\xda") == 10  # the 10-scan script
+    np.testing.assert_array_equal(codecs.decode_jpeg(prog_blob), base)
+
+
+def test_jpeg_progressive_grayscale_and_multiblock():
+    """Gray streams use non-interleaved DC scans (ns=1 walks the
+    component grid, not the MCU walk); a 64x64 image spans enough blocks
+    to exercise cross-block EOB runs and buffered correction bits."""
+    rng = np.random.default_rng(3)
+    for shape in [(16, 16), (23, 41), (64, 64)]:
+        img = np.clip(rng.normal(128, 60, shape), 0, 255).astype(np.uint8)
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=85))
+        prog = codecs.encode_jpeg_progressive(img, quality=85)
+        np.testing.assert_array_equal(codecs.decode_jpeg(prog), base)
+
+
+def test_jpeg_progressive_multimodal_entry():
+    """operators/multimodal routes SOF2 blobs through the real decoder."""
+    from cdc_init_spark.operators.multimodal import _decode_image
+
+    img = _noisy_rgb(24, 24, seed=5)
+    blob = codecs.encode_jpeg_progressive(img, quality=90)
+    out = _decode_image(blob)
+    np.testing.assert_array_equal(
+        out, codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    )
 
 
 def test_image_dhash_stable_across_png_and_jpeg(spark):
