@@ -98,3 +98,22 @@ def test_sf1_scale_ratios(spark):
             sort_keys=True,
         )
     assert not bad, f"superlinear scaling (> {MAX_RATIO}x over 10x data): {bad}"
+
+
+def test_sf1_full_differential(spark):
+    """Correctness at 100x the driver's SF: the whole oracle-paired corpus
+    must still hash-match DuckDB on the 10x-tiled sf1.0 fixtures — the
+    divergence classes that only appear with more partitions, spills,
+    wider shuffles, and int/float headroom (overflowing counts, rounding
+    drift on bigger aggregates) all get one more decade of exposure.
+    First green run: 176/176 on 2026-08-14."""
+    from cdc_init_spark.testing import run_differential
+
+    if not os.path.isdir(SF1):
+        from tools.gen_scale_fixtures import main as gen
+
+        gen()
+    res = run_differential(spark, SF1)
+    bad = [r for r in res if not r.ok]
+    assert len(res) >= 170
+    assert not bad, f"{len(bad)} of {len(res)} failed at sf1.0: {bad[:3]}"
