@@ -323,6 +323,39 @@ def test_jpeg_progressive_grayscale_and_multiblock():
         np.testing.assert_array_equal(codecs.decode_jpeg(prog), base)
 
 
+def test_jpeg_progressive_property_fuzz():
+    """Property sweep: for arbitrary content/size/quality/subsampling,
+    decode(progressive) == decode(baseline) bit-exactly (both carry the
+    same quantized coefficients). Sizes straddle MCU boundaries (8/16)
+    to hit padded edge blocks and non-interleaved chroma grids; flat
+    regions maximize EOB runs, noise maximizes refinement traffic."""
+    rng = np.random.default_rng(42)
+    for trial in range(24):
+        h = int(rng.integers(1, 50))
+        w = int(rng.integers(1, 50))
+        gray = bool(rng.integers(0, 2))
+        q = int(rng.integers(10, 100))
+        kind = trial % 3
+        shape = (h, w) if gray else (h, w, 3)
+        if kind == 0:  # flat + few spikes: long EOB runs
+            img = np.full(shape, 130, dtype=np.uint8)
+            img.reshape(-1)[:: max(1, img.size // 7)] = 250
+        elif kind == 1:  # pure noise: dense refinement bits
+            img = rng.integers(0, 256, shape, dtype=np.uint8).astype(np.uint8)
+        else:  # smooth gradient
+            yy, xx = np.mgrid[0:h, 0:w]
+            g = ((yy + xx) * 255 / max(h + w - 2, 1)).astype(np.uint8)
+            img = g if gray else np.stack([g, g.T[:h, :w] if g.T.shape == (h, w) else g, 255 - g], axis=-1)
+        kw = {} if gray else {"subsampling": ["4:2:0", "4:4:4"][trial % 2]}
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q, **kw))
+        prog = codecs.decode_jpeg(
+            codecs.encode_jpeg_progressive(img, quality=q, **kw)
+        )
+        np.testing.assert_array_equal(
+            prog, base, err_msg=f"trial={trial} shape={shape} q={q} kw={kw}"
+        )
+
+
 def test_jpeg_progressive_multimodal_entry():
     """operators/multimodal routes SOF2 blobs through the real decoder."""
     from cdc_init_spark.operators.multimodal import _decode_image
