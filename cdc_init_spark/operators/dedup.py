@@ -964,12 +964,23 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     blocks: int = 4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Hamming blocking: split the 64-bit signature into ``blocks`` equal
     bit-slices; docs sharing any slice value are candidates (catches all
     pairs within Hamming distance blocks-1). Shuffle key = (block, slice).
     The signature table is persisted: both self-join branches derive from
-    it, and unpersisted lineage would run the vote aggregate twice."""
+    it, and unpersisted lineage would run the vote aggregate twice.
+
+    ``max_bucket`` drops degenerate slices the same way the MinHash path
+    does (broadcast anti-join on the partial-agged oversize list): a
+    fixed-width slice collides on RANDOM signatures at a constant
+    2^-width rate, so without the cap the candidate set grows
+    quadratically with the corpus (measured empirically by the 10x
+    scale step: the uncapped 8-bit-slice oracle twin q105 grows ~98x in
+    pairs at 10x docs). At cluster scale also raise ``blocks``' slice
+    width (more signature bits) so the random-collision floor drops with
+    the corpus size."""
     width = 64 // blocks
     sig = (
         simhash_signatures(df, text_col, id_col, n)
@@ -990,6 +1001,15 @@ def simhash_candidate_pairs(
     exploded = sig.select(
         id_col, "_sig", F.explode(block_structs).alias("bs")
     ).select(id_col, "_sig", "bs.block", "bs.slice")
+    heavy = (
+        exploded.groupBy("block", "slice")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("block", "slice")
+    )
+    exploded = exploded.join(
+        F.broadcast(heavy), ["block", "slice"], "left_anti"
+    )
     a = exploded.select(
         F.col(id_col).alias("a"), F.col("_sig").alias("_siga"), "block", "slice"
     )
