@@ -61,19 +61,42 @@ from cdc_init_spark.plans import graph as _graph  # noqa: E402,F401
 # entries oldest-round-first so spare budget re-confirms the stalest rows.
 
 
+def _row_is_green(row: object) -> bool:
+    """A driver row counts as verified ONLY when it reports success:
+    a declared rows-only check (``err == "no_oracle"``) or an oracle row
+    with no hard error and no ``False`` in any match field. A row with
+    ``rows_match: false`` (or a real err) must NOT rotate its query out
+    of the re-check window — that is exactly when it needs re-checking
+    (ADVICE r4, medium)."""
+    if not isinstance(row, dict):
+        return False
+    err = row.get("err")
+    if err not in (None, "no_oracle"):
+        return False
+    return not any(
+        row.get(k) is False for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
 def _driver_verified(root: str | None = None) -> dict[str, int]:
-    """name -> earliest round with a driver CORRECTNESS row, parsed from
-    ``CORRECTNESS_r*.json`` in the repo root (or ``root`` for tests)."""
+    """name -> LATEST round with a green driver CORRECTNESS row, parsed
+    from ``CORRECTNESS_r*.json`` in the repo root (or ``root`` for tests).
+    Latest-round (not earliest) so the spare re-verify budget cycles
+    through ALL cohorts instead of re-checking the r1 cohort forever
+    (VERDICT r4 "What's wrong" item 3). Rounds are walked ascending and
+    the most recent row wins: a later failed row erases an older green
+    one, putting the query back in the unverified (front) cohort."""
     import glob
     import json
     import os
     import re
+    import warnings
 
     if root is None:
         root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-    earliest: dict[str, int] = {}
+    latest_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
         if m is None:
@@ -82,19 +105,32 @@ def _driver_verified(root: str | None = None) -> dict[str, int]:
         try:
             with open(path) as f:
                 rows = json.load(f)
-        except (OSError, ValueError):
+        except (OSError, ValueError) as exc:
+            warnings.warn(
+                f"skipping unreadable driver artifact {path}: {exc} — "
+                "registry rotation will not reflect this round",
+                stacklevel=2,
+            )
             continue
         if not isinstance(rows, dict):
+            warnings.warn(
+                f"skipping malformed driver artifact {path}: expected an "
+                "object of per-query rows",
+                stacklevel=2,
+            )
             continue
-        for name in rows:
-            if name not in earliest or rnd < earliest[name]:
-                earliest[name] = rnd
-    return earliest
+        for name, row in rows.items():
+            if _row_is_green(row):
+                latest_green[name] = rnd
+            else:
+                latest_green.pop(name, None)
+    return latest_green
 
 
 def _registry_order(names: list[str], verified: dict[str, int]) -> list[str]:
-    """Never-driver-verified entries first (stable insertion order among
-    themselves), then verified entries oldest-artifact-round first."""
+    """Never-driver-verified (or last-seen-failed) entries first, in
+    stable insertion order among themselves, then verified entries
+    stalest-first (oldest LATEST green artifact round)."""
     pos = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (n in verified, verified.get(n, 0), pos[n]))
 

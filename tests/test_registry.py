@@ -27,20 +27,69 @@ def test_fake_artifact_unverified_sort_first(tmp_path):
         json.dumps({n: {"rows_match": True} for n in names[2:7]})
     )
     verified = _driver_verified(root=str(tmp_path))
-    assert verified == {**{n: 1 for n in names[:4]}, **{n: 2 for n in names[4:7]}}
+    # LATEST green round wins: names[2:4] were re-verified in r2
+    assert verified == {**{n: 1 for n in names[:2]}, **{n: 2 for n in names[2:7]}}
     order = _registry_order(names, verified)
     # never-verified first, in stable insertion order
     assert order[:3] == names[7:]
-    # then verified, oldest round first
-    assert order[3:7] == names[:4]
-    assert order[7:] == names[4:7]
+    # then verified, stalest (oldest latest-green round) first
+    assert order[3:5] == names[:2]
+    assert order[5:] == names[2:7]
 
 
-def test_driver_verified_ignores_garbage(tmp_path):
+def test_reverification_advances_staleness_cohort(tmp_path):
+    """VERDICT r4 item 4: a re-verified entry must LEAVE the stale cohort
+    (latest-round key), so the spare budget cycles r2/r3/... instead of
+    re-checking the r1 cohort forever."""
+    names = ["qa", "qb", "qc"]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {"rows_match": True} for n in names})
+    )
+    order1 = _registry_order(names, _driver_verified(root=str(tmp_path)))
+    assert order1 == names  # all r1, insertion order
+    # driver re-verifies qa in r2: qa must now sort LAST (freshest)
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"qa": {"rows_match": True}})
+    )
+    order2 = _registry_order(names, _driver_verified(root=str(tmp_path)))
+    assert order2 == ["qb", "qc", "qa"]
+
+
+def test_failed_row_returns_to_front_cohort(tmp_path):
+    """ADVICE r4 (medium): a row with rows_match:false or a hard err is
+    NOT verification — the query must rotate back into the driver's
+    budget window, ahead of green entries."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "q_green": {"rows_match": True, "hash_match": True, "err": None},
+                "q_hashfail": {"rows_match": True, "hash_match": False, "err": None},
+                "q_err": {"rows_match": None, "err": "Py4JJavaError: boom"},
+                "q_rowsonly": {"rows_match": None, "err": "no_oracle"},
+            }
+        )
+    )
+    verified = _driver_verified(root=str(tmp_path))
+    assert verified == {"q_green": 1, "q_rowsonly": 1}
+    # a later FAILED row erases an older green one
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_green": {"rows_match": False, "err": None}})
+    )
+    assert _driver_verified(root=str(tmp_path)) == {"q_rowsonly": 1}
+
+
+def test_driver_verified_warns_on_garbage(tmp_path):
+    import warnings as _w
+
     (tmp_path / "CORRECTNESS_r01.json").write_text("not json {")
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(["a", "b"]))
     (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"qx": {}}))
-    assert _driver_verified(root=str(tmp_path)) == {"qx": 3}
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        assert _driver_verified(root=str(tmp_path)) == {"qx": 3}
+    msgs = [str(c.message) for c in caught]
+    assert any("unreadable" in m for m in msgs), msgs
+    assert any("malformed" in m for m in msgs), msgs
 
 
 def test_live_registry_never_verified_lead():
@@ -65,12 +114,20 @@ def test_corpus_frozen_at_192():
 
 
 def test_corpus_md_in_sync():
-    """CORPUS.md (judge-read inventory) matches the live registry order."""
+    """CORPUS.md (judge-read inventory) matches the live registry AS A
+    SET (VERDICT r4 item 3): the rotation order changes the moment the
+    driver drops a new CORRECTNESS artifact, so snapshotting the ORDER
+    guaranteed a red test after every round. Membership and the
+    oracle/rows-only gate per entry are rotation-independent."""
     path = os.path.join(REPO_ROOT, "CORPUS.md")
     with open(path) as f:
-        rows = [
-            line.split("|")[1].strip()
+        rows = {
+            line.split("|")[1].strip(): line.split("|")[2].strip()
             for line in f
             if line.startswith("| q")
-        ]
-    assert rows == list(QUERIES), "CORPUS.md stale — run python tools/gen_corpus.py"
+        }
+    assert set(rows) == set(QUERIES), "CORPUS.md stale — run python tools/gen_corpus.py"
+    gates = {
+        n: ("oracle" if n in ORACLE else "rows-only") for n in QUERIES
+    }
+    assert rows == gates, "CORPUS.md gate column stale — run python tools/gen_corpus.py"
