@@ -1236,10 +1236,28 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                         c["dc"] = htabs.get((0, tsel >> 4))
                         c["ac"] = htabs.get((1, tsel & 0xF))
                         scan_comps.append(c)
+            # untrusted-bytes contract: malformed headers raise ValueError,
+            # never IndexError/TypeError (ADVICE r4)
+            if not scan_comps:
+                raise ValueError("SOS references undeclared component")
             if not progressive:
+                # sequential decode walks ALL frame components with both
+                # tables; a scan that omits a component or a declared
+                # table slot that was never defined would surface as
+                # reader.huff(None) -> TypeError deep in the MCU walk
+                if len(scan_comps) != len(comps) or any(
+                    c["dc"] is None or c["ac"] is None for c in comps
+                ):
+                    raise ValueError("SOS references missing Huffman table")
                 break
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             a = payload[3 + 2 * ns]
+            if ss == 0 and (a >> 4) == 0 and any(
+                c["dc"] is None for c in scan_comps
+            ):
+                raise ValueError("SOS references missing DC Huffman table")
+            if ss > 0 and any(c["ac"] is None for c in scan_comps):
+                raise ValueError("SOS references missing AC Huffman table")
             pos = _decode_prog_scan(
                 content, pos, scan_comps, ss, se, a >> 4, a & 0xF,
                 restart_interval, mcus_x, mcus_y, hmax, vmax, w, h,

@@ -686,16 +686,42 @@ def simhash_portable_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     blocks: int = 4,
+    max_bucket: int | None = 1000,
+    bucket_cap: int | None = 64,
 ) -> DataFrame:
     """SimHash candidate pairs in a fully oracle-portable form: a 32-bit
     signature built from ``int(md5(gram)[:8], 16)`` per distinct gram —
-    md5, hex-digit arithmetic, bit shifts/ands, and bit_count all have
-    identical semantics in DuckDB, so the complete vote → signature →
-    Hamming-blocking → pair pipeline is hash-match verifiable (the
-    production ``simhash_candidate_pairs`` keeps 64-bit xxhash64:
-    cheaper and twice the signature width, but Spark-specific).
+    md5, hex-digit arithmetic, bit shifts/ands, bit_count, and
+    row_number all have identical semantics in DuckDB, so the complete
+    vote → signature → Hamming-blocking → pair pipeline is hash-match
+    verifiable (the production ``simhash_candidate_pairs`` keeps 64-bit
+    xxhash64: cheaper and twice the signature width, but Spark-specific).
     Returns distinct (a < b) pairs sharing any of the ``blocks`` bit
-    slices, with their full-signature Hamming distance."""
+    slices, with their full-signature Hamming distance.
+
+    Two scale screens, both replayed verbatim in the q105 DuckDB oracle
+    (VERDICT r4 item 1 — this twin was the corpus's last admitted
+    quadratic, ~98x pairs at 10x docs):
+
+    - ``max_bucket`` drops (block, slice) buckets larger than the
+      threshold outright — the production path's degenerate-boilerplate
+      screen (same broadcast anti-join shape).
+    - ``bucket_cap`` then keeps only the first ``cap`` docs per
+      surviving bucket (``row_number`` ordered by ``id_col`` —
+      deterministic: an id appears once per bucket). This is the screen
+      that actually kills the quadratic: with an 8-bit slice, RANDOM
+      signatures collide at a constant 2^-8 rate, so at 10x docs the
+      WHOLE bucket-size distribution shifts up (measured at sf1.0:
+      median 188, max 384 — no bucket crosses a 1000 outlier screen)
+      and pairs grow ~n^2/256. Capping bounds pairs per bucket at
+      C(cap, 2), making output ≤ blocks * 2^width * C(cap, 2) —
+      constant in corpus size — while signature build and ranking stay
+      linear. Recall trade (same class as the production screen): a
+      pair ranked past ``cap`` in EVERY shared bucket is missed; at
+      cluster scale prefer widening the slices (more signature bits) so
+      the random floor drops instead. Pass ``None``/``0`` to disable
+      either screen. Defaults leave sf0.1 (max observed bucket: 51)
+      bit-identical to the uncapped result."""
     bits = 32
     width = bits // blocks
     g = ngram_rows(df, text_col, id_col, n)
@@ -735,6 +761,25 @@ def simhash_portable_pairs(
     exploded = s.select(
         id_col, "_sig", F.explode(block_structs).alias("bs")
     ).select(id_col, "_sig", "bs.block", "bs.slice")
+    if max_bucket:
+        heavy = (
+            exploded.groupBy("block", "slice")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("block", "slice")
+        )
+        exploded = exploded.join(
+            F.broadcast(heavy), ["block", "slice"], "left_anti"
+        )
+    if bucket_cap:
+        # the row_number sort shares the (block, slice) hash partitioning
+        # the self-join below needs — one exchange serves both
+        w = Window.partitionBy("block", "slice").orderBy(id_col)
+        exploded = (
+            exploded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     a = exploded.select(
         F.col(id_col).alias("a"), F.col("_sig").alias("_siga"), "block", "slice"
     )
@@ -964,11 +1009,16 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     blocks: int = 4,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Hamming blocking: split the 64-bit signature into ``blocks`` equal
-    bit-slices; docs sharing any slice value are candidates (catches all
-    pairs within Hamming distance blocks-1). Shuffle key = (block, slice).
+    bit-slices; docs sharing any slice value are candidates. The pigeonhole
+    recall guarantee — every pair within Hamming distance blocks-1 shares
+    at least one slice — holds in full only with the degenerate-slice
+    screen disabled (``max_bucket=None`` or ``0``); at the default it is
+    conditional on the pair sharing at least one NON-degenerate slice
+    (a pair whose only shared slices are boilerplate buckets above
+    ``max_bucket`` is dropped with them). Shuffle key = (block, slice).
     The signature table is persisted: both self-join branches derive from
     it, and unpersisted lineage would run the vote aggregate twice.
 
@@ -1001,15 +1051,16 @@ def simhash_candidate_pairs(
     exploded = sig.select(
         id_col, "_sig", F.explode(block_structs).alias("bs")
     ).select(id_col, "_sig", "bs.block", "bs.slice")
-    heavy = (
-        exploded.groupBy("block", "slice")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_bucket)
-        .select("block", "slice")
-    )
-    exploded = exploded.join(
-        F.broadcast(heavy), ["block", "slice"], "left_anti"
-    )
+    if max_bucket:
+        heavy = (
+            exploded.groupBy("block", "slice")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("block", "slice")
+        )
+        exploded = exploded.join(
+            F.broadcast(heavy), ["block", "slice"], "left_anti"
+        )
     a = exploded.select(
         F.col(id_col).alias("a"), F.col("_sig").alias("_siga"), "block", "slice"
     )

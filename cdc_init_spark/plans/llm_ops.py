@@ -458,10 +458,21 @@ _HEX_TO_INT = " + ".join(
           f"SELECT doc_id, {b} AS block, (s >> {b * 8}) & 255 AS slice, s FROM sig"
           for b in range(4)
       )}
+    ), heavy AS (
+      SELECT block, slice FROM blk GROUP BY block, slice HAVING count(*) > 1000
+    ), kept AS (
+      SELECT blk.* FROM blk ANTI JOIN heavy
+        ON blk.block = heavy.block AND blk.slice = heavy.slice
+    ), capped AS (
+      SELECT doc_id, block, slice, s FROM (
+        SELECT *, row_number() OVER (PARTITION BY block, slice
+                                     ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn <= 64
     )
     SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
            CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
-    FROM blk a JOIN blk b
+    FROM capped a JOIN capped b
       ON a.block = b.block AND a.slice = b.slice AND a.doc_id < b.doc_id
     ORDER BY a, b
     """,
@@ -470,7 +481,11 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
     """L2 oracle-paired: SimHash (32-bit md5-derived signature) vote →
     fold → Hamming-blocking → candidate pairs, every stage replicated in
     DuckDB SQL — the SimHash twin of q102's portable MinHash (q66 keeps
-    the production 64-bit xxhash64 form, rows-only)."""
+    the production 64-bit xxhash64 form, rows-only). Both scale screens
+    (max_bucket=1000 heavy-slice drop + bucket_cap=64 per-bucket
+    row_number cap — VERDICT r4 item 1, the corpus's last quadratic)
+    are replayed verbatim in the oracle: the drop is a HAVING anti-join,
+    the cap a row_number window, both deterministic in both engines."""
     d = load_table(spark, sf, "documents")
     return dedup.simhash_portable_pairs(d).orderBy("a", "b")
 

@@ -137,6 +137,28 @@ def test_image_features_real_png_end_to_end(spark):
     assert row.features == pytest.approx(expected, abs=1e-5)
 
 
+def test_decoders_override_reaches_executors(spark, monkeypatch):
+    """The DECODERS escape hatch (the documented libjpeg-turbo/ffmpeg
+    swap-in at cluster scale): registering an external decoder on the
+    driver must be honored INSIDE the mapInPandas workers — the feature
+    closure captures the registry by value at plan-pickle time, so the
+    override ships with the task, no module re-import race. A constant
+    fake decoder over garbage bytes proves dispatch: the built-in path
+    would raise/fake differently."""
+    from cdc_init_spark.operators import multimodal
+    from cdc_init_spark.operators.multimodal import extract_image_features
+
+    def constant_decoder(content: bytes) -> np.ndarray:
+        return np.full((4, 4), 7, dtype=np.uint8)
+
+    monkeypatch.setitem(multimodal.DECODERS, "image", constant_decoder)
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not any known codec"))], "media_id long, content binary"
+    )
+    row = extract_image_features(df, feat_dim=4).collect()[0]
+    assert row.features == pytest.approx([7.0, 7.0, 7.0, 7.0])
+
+
 def test_audio_features_real_wav_end_to_end(spark):
     """A real WAV flows through extract_audio_features: constant PCM has
     known RMS and zero ZCR — again proving the real decoder ran."""
@@ -275,6 +297,29 @@ def test_jpeg_rejects_unsupported():
     blob[i + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive DC scan"):
         codecs.decode_jpeg(bytes(blob))
+
+
+def test_jpeg_malformed_scan_headers_raise_valueerror():
+    """Untrusted-bytes contract (ADVICE r4): an SOS naming only
+    undeclared components, or referencing a Huffman table slot that was
+    never defined, must raise ValueError — not IndexError/TypeError from
+    deep inside the MCU walk. Exercised on both interchange forms."""
+    for blob0 in (
+        codecs.encode_jpeg(_gradient_rgb(8, 8), quality=90),
+        codecs.encode_jpeg_progressive(_gradient_rgb(8, 8), quality=90),
+    ):
+        i = blob0.find(b"\xff\xda")
+        ns = blob0[i + 4]
+        blob = bytearray(blob0)
+        for j in range(ns):
+            blob[i + 5 + 2 * j] = 0x70 + j  # component ids nobody declared
+        with pytest.raises(ValueError, match="undeclared component"):
+            codecs.decode_jpeg(bytes(blob))
+        blob = bytearray(blob0)
+        for j in range(ns):
+            blob[i + 6 + 2 * j] = 0x33  # table slot 3 never defined
+        with pytest.raises(ValueError, match="Huffman"):
+            codecs.decode_jpeg(bytes(blob))
 
 
 def _noisy_rgb(h, w, seed=11):

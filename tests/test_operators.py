@@ -150,6 +150,37 @@ def test_simhash_portable_finds_dups(spark):
     assert got.get((1, 2)) == 0
 
 
+def test_simhash_portable_bucket_cap_bounds_pairs(spark):
+    """The per-bucket row_number cap (VERDICT r4 item 1): 30 identical
+    docs land the same signature, so every shared (block, slice) bucket
+    holds all 30 ids. bucket_cap=5 must keep exactly the 5 lowest ids
+    per bucket — C(5,2) pairs, deterministically — while the uncapped
+    run yields all C(30,2)."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta " * 3) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {
+        (r["a"], r["b"])
+        for r in dedup.simhash_portable_pairs(df, bucket_cap=5).collect()
+    }
+    assert capped == {(a, b) for a in range(1, 6) for b in range(a + 1, 6)}
+    full = {
+        (r["a"], r["b"])
+        for r in dedup.simhash_portable_pairs(
+            df, bucket_cap=None, max_bucket=None
+        ).collect()
+    }
+    assert len(full) == 30 * 29 // 2 and capped <= full
+
+
+def test_simhash_portable_max_bucket_drops_degenerate(spark):
+    """The heavy-slice screen: with every bucket holding all 30
+    identical docs, max_bucket=20 classifies them all as degenerate
+    boilerplate and the pair set is empty."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta " * 3) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert dedup.simhash_portable_pairs(df, max_bucket=20).count() == 0
+
+
 @pytest.mark.parametrize("driver_threshold", [5_000_000, 0])
 def test_dedup_clusters_transitive(spark, driver_threshold):
     """Chains collapse to one component (the closure near_dedup's one-hop

@@ -85,32 +85,111 @@ def test_sf1_scale_ratios(spark):
         if ratio > MAX_RATIO:
             bad.append((name, ratio))
     out = os.path.join(REPO, "tools", "scale_ratios.json")
+    merged = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f)  # keep the lsh_pair_counts section
+    merged.update(
+        {
+            "tiles": 10,
+            "floor_sec": FLOOR_SEC,
+            "max_ratio": MAX_RATIO,
+            "queries": rows,
+        }
+    )
     with open(out, "w") as f:
-        json.dump(
-            {
-                "tiles": 10,
-                "floor_sec": FLOOR_SEC,
-                "max_ratio": MAX_RATIO,
-                "queries": rows,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+        json.dump(merged, f, indent=1, sort_keys=True)
     assert not bad, f"superlinear scaling (> {MAX_RATIO}x over 10x data): {bad}"
 
 
-# The differential materializes BOTH engines' full results into pandas —
-# fine for every linear-output query (worst is the 6M-row full-lineitem
-# projections), but q105's SimHash candidate set grows ~n^2 BY DESIGN at
-# fixed signature width (16-bit blocks collide at a constant random rate,
-# so 10x docs -> ~98x pairs = 20M rows -> a two-engine pandas abort).
-# That is a property of fixed-width SimHash banding, not a plan defect —
-# production widens blocks with corpus size (operators/dedup.py) — and
-# the OPERATOR itself is covered at sf1.0 by the distributed-noop ratio
-# gate above (5.2x wall clock at 10x data) and by the driver oracle at
-# sf0.01. Excluded here with that justification.
-SF1_PANDAS_EXCLUDE = {"q105_simhash_portable"}
+# --- LSH candidate-pair-count gate (VERDICT r4 item 2) ---------------------
+# Wall time LAGS pair growth: the uncapped q105 twin grew ~98x in PAIRS at
+# 10x docs but only ~5x in seconds, so the <=12x TIME gate above cannot
+# catch the next quadratic. Gate the LSH family on the pair-count ratio
+# itself. With linear content growth, true near-dup pairs grow ~linearly
+# (~10x); the 15x bound leaves room for tile-boundary noise while any
+# random-collision floor (~100x) blows through it.
+MAX_PAIR_RATIO = 15.0
+# below this sf0.1 pair count, ratios are small-number noise
+FLOOR_PAIRS = 1_000
+
+
+def _lsh_pair_relations():
+    """name -> (spark, sf_dir) -> the query's candidate-PAIR relation
+    (pre any downstream filter/verify, post the scale screens)."""
+    from pyspark.sql import functions as F
+
+    from cdc_init_spark.operators import dedup
+    from cdc_init_spark.tables import load_table
+
+    def docs(spark, sf):
+        return load_table(spark, sf, "documents")
+
+    def q196_rel(spark, sf):
+        bk = dedup.minhash_portable_buckets(docs(spark, sf)).persist()
+        is_new = F.col("doc_id") % 7 == 0
+        return dedup.minhash_incremental_candidates(
+            corpus_buckets=bk.filter(~is_new), batch_buckets=bk.filter(is_new)
+        )
+
+    return {
+        # q65's near_dedup_minhash inlines the same banding + heavy-bucket
+        # screen at k=64/16; the standalone candidate op is the gated proxy
+        "q65_minhash_neardup": lambda s, sf: dedup.minhash_candidate_pairs(
+            docs(s, sf)
+        ),
+        "q66_simhash_candidates": lambda s, sf: dedup.simhash_candidate_pairs(
+            docs(s, sf)
+        ),
+        "q102_minhash_portable": lambda s, sf: dedup.minhash_portable_pairs(
+            docs(s, sf)
+        ),
+        "q105_simhash_portable": lambda s, sf: dedup.simhash_portable_pairs(
+            docs(s, sf)
+        ),
+        "q196_incremental_minhash_ingest": q196_rel,
+    }
+
+
+def test_sf1_lsh_pair_count_ratios(spark):
+    if not os.path.isdir(SF1):
+        from tools.gen_scale_fixtures import main as gen
+
+        gen()
+    rows, bad = {}, []
+    for name, rel in _lsh_pair_relations().items():
+        n01 = rel(spark, SF01).count()
+        n1 = rel(spark, SF1).count()
+        ratio = round(n1 / max(n01, FLOOR_PAIRS), 2)
+        rows[name] = {"sf0.1_pairs": n01, "sf1.0_pairs": n1, "ratio": ratio}
+        print(f"{name}: {n01} -> {n1} pairs ({ratio}x)")
+        if ratio > MAX_PAIR_RATIO:
+            bad.append((name, ratio))
+    out = os.path.join(REPO, "tools", "scale_ratios.json")
+    merged = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f)
+    merged["lsh_pair_counts"] = {
+        "floor_pairs": FLOOR_PAIRS,
+        "max_ratio": MAX_PAIR_RATIO,
+        "queries": rows,
+    }
+    with open(out, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    assert not bad, (
+        f"candidate-pair growth > {MAX_PAIR_RATIO}x over 10x data "
+        f"(quadratic collision floor): {bad}"
+    )
+
+
+# r4 excluded q105 here: its UNCAPPED candidate set grew ~98x at 10x docs
+# (20M rows -> two-engine pandas abort). r5 capped the twin (max_bucket
+# heavy-slice drop + per-bucket row_number cap, replayed in the DuckDB
+# oracle), bounding output at blocks * 2^width * C(cap, 2) ~ 2M rows —
+# back inside pandas range, so the exclusion is retired and q105 is
+# differential-checked at sf1.0 like everything else.
+SF1_PANDAS_EXCLUDE: set[str] = set()
 
 
 def test_sf1_full_differential(spark):
