@@ -136,6 +136,28 @@ def main() -> None:
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
+    # Retime the slowest entries once more at the END of the run: min-of-2
+    # back-to-back runs both sit inside the same host-contention window
+    # (round 4's driver measured q121 at 5x its quiet-host cost despite
+    # min-of-2), so the heavy tail gets one more sample spread ~minutes
+    # away in time. Plans are already warm; cost is ~the sum of the tail.
+    retime = sorted(
+        (n for n, dt in timings.items() if dt > 1.5),
+        key=lambda n: -timings[n],
+    )[:15]
+    for name in retime:
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        try:
+            materialize(QUERIES[name](spark, sf_dir))
+        except Exception:  # noqa: BLE001 — keep the earlier timing
+            continue
+        dt = round(time.perf_counter() - t0, 3)
+        if dt < timings[name]:
+            total -= timings[name] - dt
+            timings[name] = dt
+
     for name, dt in pipeline_benches(spark, sf_dir, warm_dir).items():
         timings[name] = dt
         total += dt

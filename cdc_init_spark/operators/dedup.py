@@ -705,7 +705,12 @@ def simhash_portable_pairs(
 
     - ``max_bucket`` drops (block, slice) buckets larger than the
       threshold outright — the production path's degenerate-boilerplate
-      screen (same broadcast anti-join shape).
+      screen (a COUNT window over the same partitioning the
+      ``bucket_cap`` ranking and the self-join below already exchange
+      and sort on, so it is free beyond the counting pass; dropped
+      buckets are intact when ranked, so ranking survivors after the
+      drop and ranking everything while filtering on both predicates
+      are the same relation).
     - ``bucket_cap`` then keeps only the first ``cap`` docs per
       surviving bucket (``row_number`` ordered by ``id_col`` —
       deterministic: an id appears once per bucket). This is the screen
@@ -761,25 +766,20 @@ def simhash_portable_pairs(
     exploded = s.select(
         id_col, "_sig", F.explode(block_structs).alias("bs")
     ).select(id_col, "_sig", "bs.block", "bs.slice")
+    # both screens ride the (block, slice) hash partitioning + sort the
+    # self-join below needs — one exchange serves the windows AND the join
     if max_bucket:
-        heavy = (
-            exploded.groupBy("block", "slice")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select("block", "slice")
-        )
-        exploded = exploded.join(
-            F.broadcast(heavy), ["block", "slice"], "left_anti"
+        w = Window.partitionBy("block", "slice")
+        exploded = exploded.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
+            F.col("_bn") <= max_bucket
         )
     if bucket_cap:
-        # the row_number sort shares the (block, slice) hash partitioning
-        # the self-join below needs — one exchange serves both
-        w = Window.partitionBy("block", "slice").orderBy(id_col)
-        exploded = (
-            exploded.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
+        wo = Window.partitionBy("block", "slice").orderBy(id_col)
+        exploded = exploded.withColumn("_rn", F.row_number().over(wo)).filter(
+            F.col("_rn") <= bucket_cap
         )
+    if max_bucket or bucket_cap:
+        exploded = exploded.drop("_bn", "_rn")
     a = exploded.select(
         F.col(id_col).alias("a"), F.col("_sig").alias("_siga"), "block", "slice"
     )
@@ -1022,15 +1022,21 @@ def simhash_candidate_pairs(
     The signature table is persisted: both self-join branches derive from
     it, and unpersisted lineage would run the vote aggregate twice.
 
-    ``max_bucket`` drops degenerate slices the same way the MinHash path
-    does (broadcast anti-join on the partial-agged oversize list): a
-    fixed-width slice collides on RANDOM signatures at a constant
-    2^-width rate, so without the cap the candidate set grows
-    quadratically with the corpus (measured empirically by the 10x
+    ``max_bucket`` drops degenerate slices for the same reason the
+    MinHash path does: a fixed-width slice collides on RANDOM signatures
+    at a constant 2^-width rate, so without the cap the candidate set
+    grows quadratically with the corpus (measured empirically by the 10x
     scale step: the uncapped 8-bit-slice oracle twin q105 grows ~98x in
-    pairs at 10x docs). At cluster scale also raise ``blocks``' slice
-    width (more signature bits) so the random-collision floor drops with
-    the corpus size."""
+    pairs at 10x docs). Unlike the MinHash path (whose screened bucket
+    relation is persisted before the join, so a tiny partial-agg +
+    broadcast anti-join wins), the screen here is a COUNT window over
+    (block, slice): the sort-merge self-join below already exchanges and
+    sorts every bucket row on exactly those keys, so the window's
+    exchange and sort are subsumed by the join's own — the screen costs
+    one counting pass, no extra job, no broadcast, at any scale
+    (measured at sf0.1: 3.66 s -> 3.41 s vs the anti-join form). At
+    cluster scale also raise ``blocks``' slice width (more signature
+    bits) so the random-collision floor drops with the corpus size."""
     width = 64 // blocks
     sig = (
         simhash_signatures(df, text_col, id_col, n)
@@ -1052,14 +1058,11 @@ def simhash_candidate_pairs(
         id_col, "_sig", F.explode(block_structs).alias("bs")
     ).select(id_col, "_sig", "bs.block", "bs.slice")
     if max_bucket:
-        heavy = (
-            exploded.groupBy("block", "slice")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select("block", "slice")
-        )
-        exploded = exploded.join(
-            F.broadcast(heavy), ["block", "slice"], "left_anti"
+        w = Window.partitionBy("block", "slice")
+        exploded = (
+            exploded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
         )
     a = exploded.select(
         F.col(id_col).alias("a"), F.col("_sig").alias("_siga"), "block", "slice"

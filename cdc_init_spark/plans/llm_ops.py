@@ -484,8 +484,10 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
     the production 64-bit xxhash64 form, rows-only). Both scale screens
     (max_bucket=1000 heavy-slice drop + bucket_cap=64 per-bucket
     row_number cap — VERDICT r4 item 1, the corpus's last quadratic)
-    are replayed verbatim in the oracle: the drop is a HAVING anti-join,
-    the cap a row_number window, both deterministic in both engines."""
+    are replayed in the oracle: the drop as a HAVING anti-join, the cap
+    as a row_number window (Spark computes the drop as a COUNT window
+    riding the self-join's own exchange — same relation, one less pass;
+    both forms deterministic in both engines)."""
     d = load_table(spark, sf, "documents")
     return dedup.simhash_portable_pairs(d).orderBy("a", "b")
 
