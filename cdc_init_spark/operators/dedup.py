@@ -1010,6 +1010,7 @@ def simhash_candidate_pairs(
     n: int = 3,
     blocks: int = 4,
     max_bucket: int | None = 1000,
+    hamming_max: int | None = None,
 ) -> DataFrame:
     """Hamming blocking: split the 64-bit signature into ``blocks`` equal
     bit-slices; docs sharing any slice value are candidates. The pigeonhole
@@ -1021,6 +1022,21 @@ def simhash_candidate_pairs(
     ``max_bucket`` is dropped with them). Shuffle key = (block, slice).
     The signature table is persisted: both self-join branches derive from
     it, and unpersisted lineage would run the vote aggregate twice.
+
+    ``hamming_max`` filters emitted pairs to full-signature Hamming
+    distance ≤ the threshold, INSIDE the self-join stage (before the
+    dedup exchange). This is the scale lever against the random-collision
+    floor: two UNRELATED signatures still share one fixed-width slice at
+    a constant 2^-width rate, so the raw candidate relation carries a
+    ~n²·blocks/2^(width+1) noise term that no bucket screen can catch
+    (the colliding buckets are size-2) — measured on the 10x scale step:
+    guarantee-zone pairs (≤ blocks-1) grew 8.7x while the raw relation
+    grew 80x, all of it hamming > 3 noise. With the filter the noise
+    costs one xor+popcount per collision inside the join task and is
+    never shuffled, stored, or emitted. Set it to blocks-1 (the
+    guarantee zone) unless you deliberately want opportunistic far
+    pairs; raising ``blocks`` both widens the guaranteed distance and
+    (with more signature bits) drops the collision floor.
 
     ``max_bucket`` drops degenerate slices for the same reason the
     MinHash path does: a fixed-width slice collides on RANDOM signatures
@@ -1070,7 +1086,7 @@ def simhash_candidate_pairs(
     b = exploded.select(
         F.col(id_col).alias("b"), F.col("_sig").alias("_sigb"), "block", "slice"
     )
-    return (
+    pairs = (
         a.join(b, on=["block", "slice"])
         .filter(F.col("a") < F.col("b"))
         .select(
@@ -1080,8 +1096,10 @@ def simhash_candidate_pairs(
                 "hamming"
             ),
         )
-        .distinct()
     )
+    if hamming_max is not None:
+        pairs = pairs.filter(F.col("hamming") <= hamming_max)
+    return pairs.distinct()
 
 
 # --- cross-document repeated-chunk removal (L6 family) --------------------

@@ -544,6 +544,7 @@ def semdedup_keep(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     method: str = "expr",
+    max_cluster: int | None = 256,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): within each pre-computed cluster, drop every vector
@@ -554,7 +555,26 @@ def semdedup_keep(
     The cluster assignment is an input column (in production the output of
     ``train_centroids``/``assign_lists`` k-means; the point of SemDeDup is
     exactly that clustering first makes the pairwise stage tractable).
-    Pairwise work is bounded per cluster, never corpus-quadratic.
+    Pairwise work is bounded per cluster — but only if the clustering
+    keeps cluster SIZE bounded as the corpus grows. The paper's answer
+    is k ∝ n (fixed ~50k-vector clusters); a FIXED-k clustering input
+    (like a label column) silently turns the per-cluster stage quadratic
+    at scale (measured by the 10x scale step: a fixed 10-label input
+    grew wall time ~77x at 10x vectors before this screen existed).
+
+    ``max_cluster`` is the guard for exactly that input: any cluster
+    larger than the threshold is split deterministically into
+    ``ceil(size / max_cluster)`` sub-clusters by ``id % n_sub`` before
+    the pairwise stage — a stand-in for the finer upstream k-means the
+    paper prescribes, so within-cluster pairs stay ≤ O(size · max_cluster)
+    instead of O(size²). The split is pure arithmetic on the id (integral
+    ids required), so an SQL oracle replays it exactly. Recall trade,
+    same class as the LSH heavy-bucket screens: a duplicate pair landing
+    in different sub-clusters is missed — at production scale prefer
+    re-clustering with a larger k and disable the screen
+    (``max_cluster=None``/``0``). The default never splits a cluster
+    ≤ 256, leaving the sf0.01/sf0.1 fixtures (max cluster 218)
+    bit-identical to the unscreened result.
 
     Scale shape (100 TB): one shuffle on ``cluster_col``; within-cluster
     pairs via self-join with the ``b > a`` triangle predicate; per-vector
@@ -562,7 +582,11 @@ def semdedup_keep(
     ids come back as a broadcast-size anti-join relation when the
     duplicate rate is modest (AQE picks broadcast automatically); the
     JVM-expression dot/norm path (functions.vectors) keeps scores
-    bit-reproducible across engines and partitionings.
+    bit-reproducible across engines and partitionings. The sub-cluster
+    counts are a cluster-count-sized aggregate broadcast back onto the
+    rows (clusters are few by contract; the split column is then free
+    arithmetic), and the refined (cluster, sub) key is the shuffle key
+    of the pairwise stage in BOTH methods.
 
     ``method``: ``"expr"`` (default) scores pairs with the JVM
     left-fold expressions — exact, engine-portable, DuckDB-verifiable
@@ -572,26 +596,41 @@ def semdedup_keep(
     expr). BLAS reassociates float sums, so scores can differ from the
     fold by ~1 ulp; identical keep-sets unless a pair sits exactly on
     the threshold (tests pin equality on the fixtures)."""
-    if method == "matmul":
-        return _semdedup_keep_matmul(df, cluster_col, id_col, vec_col, threshold)
-    if method != "expr":
+    if method not in ("expr", "matmul"):
         raise ValueError(f"unknown method {method!r} (expr|matmul)")
+    work, keys = df, [cluster_col]
+    if max_cluster:
+        nsub = (
+            df.groupBy(cluster_col)
+            .agg(F.count(F.lit(1)).alias("_cn"))
+            .select(
+                cluster_col,
+                F.ceil(F.col("_cn") / F.lit(max_cluster)).cast("int").alias("_ns"),
+            )
+        )
+        work = df.join(F.broadcast(nsub), on=cluster_col).withColumn(
+            "_sub", F.pmod(F.col(id_col).cast("long"), F.col("_ns")).cast("int")
+        ).drop("_ns")
+        keys = [cluster_col, "_sub"]
+    if method == "matmul":
+        out = _semdedup_keep_matmul(work, keys, id_col, vec_col, threshold)
+        return out.drop("_sub") if max_cluster else out
     from cdc_init_spark.functions.vectors import dot, norm
 
-    a = df.select(
-        F.col(cluster_col).alias("_c"),
+    a = work.select(
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
         F.col(id_col).alias("_a"),
         F.col(vec_col).alias("_va"),
         norm(F.col(vec_col)).alias("_na"),
     )
-    b = df.select(
-        F.col(cluster_col).alias("_c"),
+    b = work.select(
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(keys)],
         F.col(id_col).alias("_b"),
         F.col(vec_col).alias("_vb"),
         norm(F.col(vec_col)).alias("_nb"),
     )
     dominated = (
-        a.join(b, on=["_c"])
+        a.join(b, on=[f"_k{i}" for i in range(len(keys))])
         .filter(F.col("_b") > F.col("_a"))
         .filter(
             dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
@@ -605,19 +644,20 @@ def semdedup_keep(
 
 def _semdedup_keep_matmul(
     df: DataFrame,
-    cluster_col: str,
+    keys: list[str],
     id_col: str,
     vec_col: str,
     threshold: float,
 ) -> DataFrame:
-    """SemDeDup scale path: one normalized Gram matrix per cluster.
+    """SemDeDup scale path: one normalized Gram matrix per (sub-)cluster.
 
     Each cluster's vectors sort by id, L2-normalize, and multiply once
     (BLAS); a vector is dominated iff any STRICTLY-UPPER-triangle entry
     in its column is ≥ threshold. Memory per task is O(cluster²) floats
     — the SemDeDup contract is exactly that clusters are sized to make
-    this tractable (the paper uses ~50k-vector clusters); skewed giant
-    clusters should be split upstream (finer k-means)."""
+    this tractable (the paper uses ~50k-vector clusters); the caller's
+    ``max_cluster`` screen enforces it when the clustering input
+    doesn't (``keys`` then carries the refined (cluster, sub) pair)."""
     import pandas as pd
 
     out_fields = [f for f in df.schema.fields if f.name != vec_col]
@@ -633,7 +673,7 @@ def _semdedup_keep_matmul(
         dominated = (np.triu(g, k=1) >= threshold).any(axis=0)
         return pdf.loc[~dominated, names]
 
-    return widen_by(df, cluster_col).groupBy(cluster_col).applyInPandas(keep, keep_schema)
+    return widen_by(df, *keys).groupBy(*keys).applyInPandas(keep, keep_schema)
 
 
 # --- fully distributed Lloyd's k-means ------------------------------------

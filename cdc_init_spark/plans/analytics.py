@@ -77,9 +77,15 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sz AS (
+      SELECT label, CAST(ceil(count(*) / 256.0) AS INTEGER) AS ns
+      FROM e GROUP BY label
+    ), es AS (
+      SELECT e.*, e.vec_id % sz.ns AS sub FROM e JOIN sz USING (label)
     ), dom AS (
       SELECT DISTINCT b.vec_id
-      FROM e a JOIN e b ON a.label = b.label AND b.vec_id > a.vec_id
+      FROM es a JOIN es b ON a.label = b.label AND a.sub = b.sub
+                         AND b.vec_id > a.vec_id
       WHERE list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
                * sqrt(list_dot_product(b.v, b.v))) >= 0.3
@@ -94,7 +100,12 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
     (the embeddings fixture's k-means `label`), drop vectors with cosine
     ≥ 0.3 to a lower-id member; survivors are the min-id leaders. The
     dot/norm path is the same JVM fold as q106, so scores are
-    bit-reproducible against the DuckDB oracle."""
+    bit-reproducible against the DuckDB oracle. The operator's
+    max_cluster=256 oversized-cluster split (a fixed-k label input turns
+    the pairwise stage quadratic at scale — 77x wall at 10x vectors
+    before the screen) is replayed in the oracle as the sz/es CTEs; at
+    sf0.01/sf0.1 the largest cluster is 218, so no split fires and the
+    result equals the unscreened form bit-for-bit."""
     from cdc_init_spark.operators.similarity import semdedup_keep
 
     e = load_table(spark, sf, "embeddings")

@@ -69,7 +69,8 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
     "q81_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -85,7 +86,17 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
 def q81(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join with a same-nation co-location
     predicate. nation/region/supplier broadcast; the fact chain shuffles
-    on orderkey then custkey."""
+    on orderkey then custkey.
+
+    Revenue accumulates in DECIMAL(18,6) of the per-row double product
+    (r5): the per-row product is bit-identical in both engines (same
+    IEEE doubles), and a decimal SUM is exact and associative, so the
+    total is independent of partitioning and summation order — a plain
+    double SUM drifted ±0.01 against DuckDB at sf1.0 (10x rows = one
+    more decade of non-associative float error), which is also the
+    TPC-H-correct type for money. No 6-dp double sits exactly on a
+    decimal rounding tie (2e6 is not a power of two), so the casts
+    agree bit-for-bit too."""
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
@@ -103,9 +114,16 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(n.n_name)
         .agg(
-            round_compat(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
@@ -659,7 +677,9 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q95_product_type_profit",
     oracle="""
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(ROUND(SUM(CAST(amount AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              EXTRACT(year FROM o.o_orderdate) AS o_year,
@@ -679,7 +699,11 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q9 shape: 5-table join, profit expression (supply cost
     substituted with a retail-price fraction — fixtures lack
     ps_supplycost), grouped by nation x order-year. part filters first
-    and broadcasts; lineitem-orders is the one fact-fact shuffle."""
+    and broadcasts; lineitem-orders is the one fact-fact shuffle.
+    Profit accumulates in DECIMAL(18,6) of the per-row double amount —
+    exact associative sum, order/partitioning-independent at any scale
+    (same rationale and tie-freedom argument as q81; the double SUM
+    drifted ±0.01 vs DuckDB at sf1.0)."""
     li = load_table(spark, sf, "lineitem")
     p = (
         load_table(spark, sf, "part")
@@ -701,7 +725,11 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(round_compat(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum(amount.cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
         .orderBy("nation", F.col("o_year").desc())
     )
 

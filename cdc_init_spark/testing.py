@@ -23,6 +23,16 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Connection with every fixture table registered as a view, the way
     the driver's oracle runner does."""
     con = duckdb.connect()
+    # spill instead of OOM: heavy oracles (recursive-CTE closures, big
+    # window sorts) at sf1.0 run CONCURRENTLY with a 32-thread Spark JVM
+    # in the scale tests — an unbounded DuckDB allocator lost that race
+    # once (r5: one 'Failed to allocate block' abort). A temp directory
+    # turns the failure mode into disk spill; the cap leaves headroom
+    # for the JVM.
+    import tempfile
+
+    con.execute("SET memory_limit='24GB'")
+    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duckdb_spill_')}'")
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS "

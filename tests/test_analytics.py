@@ -151,6 +151,35 @@ def test_semdedup_matmul_path_matches_expr(spark, sf_dir):
     assert mm_ids == expr_ids
 
 
+def test_semdedup_max_cluster_screen(spark, sf_dir):
+    """The oversized-cluster split (r5 — a fixed-k cluster input turns
+    the pairwise stage quadratic at scale): with max_cluster forced tiny,
+    (a) comparisons are confined to (cluster, id % ceil(n/max)) cells, so
+    a pair split across cells is NOT compared; (b) expr and matmul agree
+    under the screen; (c) the default (256) does not fire on the fixture
+    (max cluster 218) and equals the unscreened result exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # (c) default == unscreened, bit-identical
+    scr = semdedup_keep(e, "label", threshold=0.3)
+    raw = semdedup_keep(e, "label", threshold=0.3, max_cluster=None)
+    assert scr.exceptAll(raw).count() == 0 and raw.exceptAll(scr).count() == 0
+    # (a)+(b): force splits with max_cluster=16
+    ids16 = {
+        r.vec_id
+        for r in semdedup_keep(e, "label", threshold=0.3, max_cluster=16).collect()
+    }
+    mm16 = {
+        r.vec_id
+        for r in semdedup_keep(
+            e, "label", threshold=0.3, max_cluster=16, method="matmul"
+        ).collect()
+    }
+    assert ids16 == mm16
+    raw_ids = {r.vec_id for r in raw.collect()}
+    # screening can only KEEP more (fewer comparisons -> fewer dominated)
+    assert ids16 >= raw_ids
+
+
 def test_fuzzy_pairs_lev1_blocking_complete(spark):
     """Deletion-neighborhood blocking finds EXACTLY the brute-force
     lev-1 pair set across all three edit types (substitute, insert,

@@ -138,8 +138,12 @@ def _lsh_pair_relations():
         "q65_minhash_neardup": lambda s, sf: dedup.minhash_candidate_pairs(
             docs(s, sf)
         ),
+        # hamming_max=3 matches q66's production call: the raw relation
+        # carries the n²·blocks/2^(width+1) random-collision noise term
+        # (measured 80x at 10x docs, all hamming > 3) that the in-join
+        # filter exists to kill — the gate measures what is EMITTED
         "q66_simhash_candidates": lambda s, sf: dedup.simhash_candidate_pairs(
-            docs(s, sf)
+            docs(s, sf), hamming_max=3
         ),
         "q102_minhash_portable": lambda s, sf: dedup.minhash_portable_pairs(
             docs(s, sf)
@@ -148,7 +152,49 @@ def _lsh_pair_relations():
             docs(s, sf)
         ),
         "q196_incremental_minhash_ingest": q196_rel,
+        # not LSH, but the same failure class the pair gate exists for —
+        # both were caught superlinear (62x/77x wall at 10x data) by the
+        # r5 time gate before their screens landed:
+        # q199's scored relation (fixed query budget x corpus)
+        "q199_hard_negatives": _q199_scored,
+        # q126's within-cluster triangle (max_cluster split)
+        "q126_semdedup_keep": _q126_pairs,
     }
+
+
+def _q199_scored(spark, sf):
+    from pyspark.sql import functions as F
+
+    from cdc_init_spark.tables import load_table
+
+    e = load_table(spark, sf, "embeddings")
+    q = F.broadcast(
+        e.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2400)).select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        )
+    )
+    return e.crossJoin(q).filter(F.col("label") != F.col("qlabel"))
+
+
+def _q126_pairs(spark, sf):
+    from pyspark.sql import functions as F
+
+    from cdc_init_spark.tables import load_table
+
+    e = load_table(spark, sf, "embeddings")
+    nsub = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("_cn"))
+        .select("label", F.ceil(F.col("_cn") / F.lit(256)).cast("int").alias("_ns"))
+    )
+    es = e.join(F.broadcast(nsub), on="label").select(
+        "label",
+        "vec_id",
+        F.pmod(F.col("vec_id").cast("long"), F.col("_ns")).cast("int").alias("_sub"),
+    )
+    a = es.select("label", "_sub", F.col("vec_id").alias("_a"))
+    b = es.select("label", "_sub", F.col("vec_id").alias("_b"))
+    return a.join(b, on=["label", "_sub"]).filter(F.col("_b") > F.col("_a"))
 
 
 def test_sf1_lsh_pair_count_ratios(spark):
@@ -189,7 +235,15 @@ def test_sf1_lsh_pair_count_ratios(spark):
 # oracle), bounding output at blocks * 2^width * C(cap, 2) ~ 2M rows —
 # back inside pandas range, so the exclusion is retired and q105 is
 # differential-checked at sf1.0 like everything else.
-SF1_PANDAS_EXCLUDE: set[str] = set()
+#
+# r5 adds q133: its theta sketches are EXACT below 4096 entries per
+# cohort (every driver SF — the oracle is literal set arithmetic in that
+# regime, hash-matched at sf0.01/sf0.1) and ±1.6% ESTIMATES above, by
+# design (that is the point of a fixed-32KiB sketch at 10^9 users). The
+# sf1.0 tiling pushes the cohorts past 4096 (n_a = 15000), so the exact
+# oracle no longer models the declared semantics there. The sketch-law
+# pytest (estimate within rse bounds) still covers the estimation regime.
+SF1_PANDAS_EXCLUDE: set[str] = {"q133_theta_user_overlap"}
 
 
 def test_sf1_full_differential(spark):
@@ -198,8 +252,12 @@ def test_sf1_full_differential(spark):
     hash-match DuckDB on the 10x-tiled sf1.0 fixtures — the divergence
     classes that only appear with more partitions, spills, wider
     shuffles, and int/float headroom (overflowing counts, rounding drift
-    on bigger aggregates) all get one more decade of exposure.
-    First green run: 175/175 on 2026-08-15."""
+    on bigger aggregates) all get one more decade of exposure — the r5
+    run caught exactly those classes: double-SUM rounding drift in
+    q81/q95 (fixed: DECIMAL accumulation), q133's sketch leaving its
+    exact regime (documented exclusion above), and a DuckDB allocator
+    abort under concurrent JVM load (fixed: spill temp_directory in
+    testing.duckdb_connection)."""
     from cdc_init_spark.plans import ORACLE
     from cdc_init_spark.testing import run_differential
 
