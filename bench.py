@@ -141,10 +141,16 @@ def main() -> None:
     # (round 4's driver measured q121 at 5x its quiet-host cost despite
     # min-of-2), so the heavy tail gets one more sample spread ~minutes
     # away in time. Plans are already warm; cost is ~the sum of the tail.
+    # NOTE (r6, advice): this makes the tail min-of-3 while everything
+    # else (and the ~85 s round-1 baseline) is min-of-2 — a min-of-N
+    # estimator decreases with N, so the retimed names are recorded in
+    # BENCH.json ("retimed", with their pre-retime min-of-2 value) so
+    # cross-round comparisons can be made on the same statistic.
     retime = sorted(
         (n for n, dt in timings.items() if dt > 1.5),
         key=lambda n: -timings[n],
     )[:15]
+    retimed: dict[str, float] = {}
     for name in retime:
         spark.catalog.clearCache()
         spark._jvm.System.gc()
@@ -155,6 +161,7 @@ def main() -> None:
             continue
         dt = round(time.perf_counter() - t0, 3)
         if dt < timings[name]:
+            retimed[name] = timings[name]  # the min-of-2 statistic
             total -= timings[name] - dt
             timings[name] = dt
 
@@ -170,6 +177,14 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if retimed:
+        # pre-retime min-of-2 values for the names the end-of-run pass
+        # improved; sum(queries) - sum(improvements) = min-of-2 total
+        result["retimed"] = {n: retimed[n] for n in sorted(retimed)}
+        result["r1_subset_min2_note"] = (
+            "entries in 'retimed' carry their min-of-2 timing there; "
+            "'queries' holds min-of-3 for those names"
+        )
     # Like-for-like gate number: the corpus grew 110 → 186 entries across
     # rounds, so the headline wall clock is not comparable to BASELINE.md's
     # round-1 measurement (~85 s). r1_subset_sec sums ONLY the entries that

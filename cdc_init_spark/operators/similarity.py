@@ -544,7 +544,7 @@ def semdedup_keep(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     method: str = "expr",
-    max_cluster: int | None = 256,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): within each pre-computed cluster, drop every vector
@@ -562,19 +562,26 @@ def semdedup_keep(
     at scale (measured by the 10x scale step: a fixed 10-label input
     grew wall time ~77x at 10x vectors before this screen existed).
 
-    ``max_cluster`` is the guard for exactly that input: any cluster
-    larger than the threshold is split deterministically into
-    ``ceil(size / max_cluster)`` sub-clusters by ``id % n_sub`` before
-    the pairwise stage — a stand-in for the finer upstream k-means the
-    paper prescribes, so within-cluster pairs stay ≤ O(size · max_cluster)
-    instead of O(size²). The split is pure arithmetic on the id (integral
-    ids required), so an SQL oracle replays it exactly. Recall trade,
-    same class as the LSH heavy-bucket screens: a duplicate pair landing
-    in different sub-clusters is missed — at production scale prefer
-    re-clustering with a larger k and disable the screen
-    (``max_cluster=None``/``0``). The default never splits a cluster
-    ≤ 256, leaving the sf0.01/sf0.1 fixtures (max cluster 218)
-    bit-identical to the unscreened result.
+    ``max_cluster`` is the opt-in guard for exactly that input: any
+    cluster larger than the threshold is split deterministically into
+    ``ceil(size / max_cluster)`` sub-clusters by a portable 32-bit md5
+    hash of the id (``conv(substring(md5(id), 1, 8), 16, 10) % n_sub``
+    — the same engine-portable hash family as the MinHash/feature-hash
+    operators) before the pairwise stage — a stand-in for the finer
+    upstream k-means the paper prescribes, so within-cluster pairs stay
+    ≤ O(size · max_cluster) instead of O(size²). Hashing, not raw
+    ``id % n_sub``: strided or sharded id spaces (sampling output with
+    ``id % k == 0``, snowflake ids with fixed low bits) share factors
+    with small moduli, which would pile most rows into one sub-cluster
+    and silently restore the quadratic; the md5 mix is uniform for any
+    id distribution and an SQL oracle still replays it exactly. Recall
+    trade, same class as the LSH heavy-bucket screens: a duplicate pair
+    landing in different sub-clusters is missed — at production scale
+    prefer re-clustering with a larger k. The DEFAULT is ``None`` (no
+    screen): a legitimately-sized SemDeDup clustering (~50k-vector
+    clusters per the paper) must not lose recall silently; callers with
+    unbounded/fixed-k cluster inputs opt in (q126 and the 10x scale
+    gate pass ``max_cluster=256`` explicitly).
 
     Scale shape (100 TB): one shuffle on ``cluster_col``; within-cluster
     pairs via self-join with the ``b > a`` triangle predicate; per-vector
@@ -608,8 +615,11 @@ def semdedup_keep(
                 F.ceil(F.col("_cn") / F.lit(max_cluster)).cast("int").alias("_ns"),
             )
         )
+        h32 = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
         work = df.join(F.broadcast(nsub), on=cluster_col).withColumn(
-            "_sub", F.pmod(F.col(id_col).cast("long"), F.col("_ns")).cast("int")
+            "_sub", F.pmod(h32, F.col("_ns")).cast("int")
         ).drop("_ns")
         keys = [cluster_col, "_sub"]
     if method == "matmul":

@@ -74,14 +74,16 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q126_semdedup_keep",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), sz AS (
       SELECT label, CAST(ceil(count(*) / 256.0) AS INTEGER) AS ns
       FROM e GROUP BY label
     ), es AS (
-      SELECT e.*, e.vec_id % sz.ns AS sub FROM e JOIN sz USING (label)
+      SELECT e.*,
+             ({_hex32("md5(CAST(e.vec_id AS VARCHAR))")}) % sz.ns AS sub
+      FROM e JOIN sz USING (label)
     ), dom AS (
       SELECT DISTINCT b.vec_id
       FROM es a JOIN es b ON a.label = b.label AND a.sub = b.sub
@@ -100,16 +102,21 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
     (the embeddings fixture's k-means `label`), drop vectors with cosine
     ≥ 0.3 to a lower-id member; survivors are the min-id leaders. The
     dot/norm path is the same JVM fold as q106, so scores are
-    bit-reproducible against the DuckDB oracle. The operator's
-    max_cluster=256 oversized-cluster split (a fixed-k label input turns
-    the pairwise stage quadratic at scale — 77x wall at 10x vectors
-    before the screen) is replayed in the oracle as the sz/es CTEs; at
+    bit-reproducible against the DuckDB oracle. This call opts in to the
+    max_cluster=256 oversized-cluster split (the screen defaults OFF in
+    the operator; a fixed-k label input like this one turns the pairwise
+    stage quadratic at scale — 77x wall at 10x vectors before the
+    screen). The split key is the portable 32-bit md5 hash of vec_id
+    (not raw vec_id % n — strided id spaces would defeat a modulo
+    split), replayed term-for-term in the oracle's sz/es CTEs; at
     sf0.01/sf0.1 the largest cluster is 218, so no split fires and the
     result equals the unscreened form bit-for-bit."""
     from cdc_init_spark.operators.similarity import semdedup_keep
 
     e = load_table(spark, sf, "embeddings")
-    kept = semdedup_keep(e, "label", id_col="vec_id", vec_col="embedding")
+    kept = semdedup_keep(
+        e, "label", id_col="vec_id", vec_col="embedding", max_cluster=256
+    )
     return kept.select("vec_id", "label").orderBy("vec_id")
 
 

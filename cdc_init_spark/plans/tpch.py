@@ -94,9 +94,11 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
     total is independent of partitioning and summation order — a plain
     double SUM drifted ±0.01 against DuckDB at sf1.0 (10x rows = one
     more decade of non-associative float error), which is also the
-    TPC-H-correct type for money. No 6-dp double sits exactly on a
-    decimal rounding tie (2e6 is not a power of two), so the casts
-    agree bit-for-bit too."""
+    TPC-H-correct type for money. Rounding ties CAN occur on the
+    double→decimal cast (doubles of the form (2k+1)/128, e.g.
+    0.0078125, are exact midpoints between adjacent 6-dp decimals);
+    the casts agree anyway because both Spark and DuckDB round
+    half AWAY FROM ZERO on that cast, so ties break identically."""
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")

@@ -28,11 +28,25 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # in the scale tests — an unbounded DuckDB allocator lost that race
     # once (r5: one 'Failed to allocate block' abort). A temp directory
     # turns the failure mode into disk spill; the cap leaves headroom
-    # for the JVM.
+    # for the JVM. The cap is min(24GB, 50% of RAM): a hardcoded 24GB
+    # would RAISE the limit above DuckDB's default 80%-of-RAM on small
+    # hosts. Spill dirs land under one shared tmp root per process and
+    # are removed at interpreter exit (DuckDB cleans its spill files on
+    # connection close; the empty dirs were accumulating before r6).
+    import atexit
+    import os
+    import shutil
     import tempfile
 
-    con.execute("SET memory_limit='24GB'")
-    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duckdb_spill_')}'")
+    try:
+        ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError):  # non-POSIX fallback
+        ram = 64 << 30
+    limit_gb = max(1, min(24, int(ram * 0.5 / (1 << 30))))
+    con.execute(f"SET memory_limit='{limit_gb}GB'")
+    spill = tempfile.mkdtemp(prefix="duckdb_spill_")
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS "

@@ -152,15 +152,16 @@ def test_semdedup_matmul_path_matches_expr(spark, sf_dir):
 
 
 def test_semdedup_max_cluster_screen(spark, sf_dir):
-    """The oversized-cluster split (r5 — a fixed-k cluster input turns
-    the pairwise stage quadratic at scale): with max_cluster forced tiny,
-    (a) comparisons are confined to (cluster, id % ceil(n/max)) cells, so
-    a pair split across cells is NOT compared; (b) expr and matmul agree
-    under the screen; (c) the default (256) does not fire on the fixture
-    (max cluster 218) and equals the unscreened result exactly."""
+    """The oversized-cluster split (r5; r6 keyed on a portable md5 hash
+    of the id instead of raw id % n, which strided id spaces defeat):
+    with max_cluster forced tiny, (a) comparisons are confined to
+    (cluster, md5_32(id) % ceil(n/max)) cells, so a pair split across
+    cells is NOT compared; (b) expr and matmul agree under the screen;
+    (c) max_cluster=256 (q126's opt-in) does not fire on the fixture
+    (max cluster 218) and equals the unscreened default exactly."""
     e = load_table(spark, sf_dir, "embeddings")
-    # (c) default == unscreened, bit-identical
-    scr = semdedup_keep(e, "label", threshold=0.3)
+    # (c) opt-in 256 == unscreened default, bit-identical
+    scr = semdedup_keep(e, "label", threshold=0.3, max_cluster=256)
     raw = semdedup_keep(e, "label", threshold=0.3, max_cluster=None)
     assert scr.exceptAll(raw).count() == 0 and raw.exceptAll(scr).count() == 0
     # (a)+(b): force splits with max_cluster=16
@@ -178,6 +179,35 @@ def test_semdedup_max_cluster_screen(spark, sf_dir):
     raw_ids = {r.vec_id for r in raw.collect()}
     # screening can only KEEP more (fewer comparisons -> fewer dominated)
     assert ids16 >= raw_ids
+
+
+def test_semdedup_split_balanced_on_strided_ids(spark):
+    """Regression (r6 advice): the sub-cluster split must key on a HASH
+    of the id, not raw id % n_sub. With strided ids (all multiples of
+    25, e.g. sampling output or sharded snowflake ids) and n_sub=5,
+    raw modulo sends every row to sub 0 — a no-op split that silently
+    restores the quadratic pairwise stage. The md5-based split must
+    leave no sub-cluster with more than ~2x the even share."""
+    n, stride, max_cluster = 500, 25, 100  # -> n_sub = 5 per cluster
+    rows = [(i * stride, 0, [float(i % 7), 1.0]) for i in range(n)]
+    e = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    h32 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    sizes = [
+        r.n
+        for r in e.withColumn("_sub", F.pmod(h32, F.lit(5)))
+        .groupBy("_sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 5  # every sub-cluster is populated
+    assert max(sizes) <= 2 * (n / 5)
+    # and the operator path accepts/uses the split without error
+    kept = semdedup_keep(
+        e, "label", threshold=0.999, max_cluster=max_cluster
+    ).count()
+    assert 0 < kept <= n
 
 
 def test_fuzzy_pairs_lev1_blocking_complete(spark):

@@ -187,10 +187,13 @@ def _q126_pairs(spark, sf):
         .agg(F.count(F.lit(1)).alias("_cn"))
         .select("label", F.ceil(F.col("_cn") / F.lit(256)).cast("int").alias("_ns"))
     )
+    h32 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
     es = e.join(F.broadcast(nsub), on="label").select(
         "label",
         "vec_id",
-        F.pmod(F.col("vec_id").cast("long"), F.col("_ns")).cast("int").alias("_sub"),
+        F.pmod(h32, F.col("_ns")).cast("int").alias("_sub"),
     )
     a = es.select("label", "_sub", F.col("vec_id").alias("_a"))
     b = es.select("label", "_sub", F.col("vec_id").alias("_b"))
