@@ -107,11 +107,17 @@ def theta_group_sketches(
     df: DataFrame,
     group_col: str,
     value_col: str,
+    lgk: int | None = None,
 ) -> DataFrame:
     """One Theta sketch per group over the value column — the input to
-    set-algebra estimates between groups."""
+    set-algebra estimates between groups. ``lgk`` = log2 nominal
+    entries (None = Spark's default, 4096): the sketch is EXACT up to
+    2^lgk distinct values and a ±rse estimate beyond — callers whose
+    downstream check needs the exact regime (the q133 oracle is literal
+    set arithmetic) size lgk above their cohort cardinality; the cost
+    is the sketch bytes, never a wider exchange."""
     return df.groupBy(group_col).agg(
-        F.theta_sketch_agg(value_col).alias("sketch")
+        F.theta_sketch_agg(value_col, lgk).alias("sketch")
     )
 
 
@@ -121,6 +127,7 @@ def theta_overlap_estimate(
     group_a: str,
     group_b: str,
     sketch_col: str = "sketch",
+    lgk: int | None = None,
 ) -> DataFrame:
     """Distinct-set algebra between two groups from their sketches
     alone: |A|, |B|, |A∪B|, |A∩B|, |A\\B| estimates — the joinless
@@ -136,9 +143,9 @@ def theta_overlap_estimate(
     return a.crossJoin(b).select(
         F.theta_sketch_estimate(F.col("_a")).alias("n_a"),
         F.theta_sketch_estimate(F.col("_b")).alias("n_b"),
-        F.theta_sketch_estimate(F.theta_union(F.col("_a"), F.col("_b"))).alias(
-            "n_union"
-        ),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("_a"), F.col("_b"), lgk)
+        ).alias("n_union"),
         F.theta_sketch_estimate(
             F.theta_intersection(F.col("_a"), F.col("_b"))
         ).alias("n_intersect"),

@@ -78,11 +78,16 @@ def resample(
     expression Structured Streaming's tumbling windows use, so batch
     resample and streaming aggregation share one bucket semantic.
 
-    Scale: per-key grids are generated from a per-key min/max aggregate
-    (grid rows = O(keys × span/bucket)); one shuffle on the key for the
-    aggregate, the join back is key-equi (AQE broadcasts the aggregate
-    side when small), and the forward-fill window reuses the same key
-    partitioning."""
+    Scale: the raw stream is scanned and shuffled ONCE — the per-key
+    span that seeds the grid is aggregated from the (key, bucket)
+    aggregate, not from the raw rows (r6: the grid branch used to
+    rescan ``df`` and shuffle every raw row a second time; deriving it
+    from ``per_bucket`` makes the span a keys-sized rollup of an
+    already-aggregated frame, and Spark's ReuseExchange dedupes the
+    shared (key, bucket) exchange under the two consumers). Grid rows
+    = O(keys × span/bucket); the join back is key-equi (AQE broadcasts
+    the aggregate side when small) and the forward-fill window reuses
+    the same key partitioning."""
     if fill != "ffill":
         raise ValueError(f"unsupported fill mode {fill!r}")
     b = F.window(ts_col, bucket)["start"]
@@ -96,9 +101,8 @@ def resample(
     )
     interval = F.expr(f"INTERVAL {bucket}")
     grid = (
-        df.select(F.col(key_col), b.alias("_b"))
-        .groupBy(key_col)
-        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        per_bucket.groupBy(key_col)
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
         .select(
             key_col,
             F.explode(F.sequence(F.col("_lo"), F.col("_hi"), interval)).alias(

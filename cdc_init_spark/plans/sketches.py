@@ -69,11 +69,15 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
 def q133(spark: SparkSession, sf: str) -> DataFrame:
     """Theta-sketch distinct-set algebra between two user cohorts
     (signed-up vs high-value purchasers), computed from ONE sketch per
-    cohort with no join (datasketches.theta_overlap_estimate). In exact
-    mode (≤ 4096 entries per sketch — every test SF) the estimates are
-    exact integers, so the oracle is DuckDB's literal UNION/INTERSECT/
-    EXCEPT arithmetic. At 10^9 users the same plan degrades gracefully
-    to ±1.6% estimates at fixed 32 KiB sketch cost."""
+    cohort with no join (datasketches.theta_overlap_estimate). lgk=17
+    (131072 nominal entries, r6) keeps the sketches in EXACT mode at
+    every gated SF including the 10x sf1.0 tiling (largest cohort there
+    ~15k users), so the oracle is DuckDB's literal UNION/INTERSECT/
+    EXCEPT arithmetic at all of them — the r5 sf1.0 differential
+    exclusion (default 4096-entry sketches left exact mode at 10x) is
+    retired. At 10^9 users the same plan degrades gracefully to ±rse
+    estimates at the fixed 2^lgk·8B sketch cost; the estimation-regime
+    laws stay pytest-pinned in tests/test_sketches.py."""
     e = load_table(spark, sf, "events")
     cohorts = e.select(
         F.when(F.col("event_type") == "signup", "a")
@@ -83,8 +87,8 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
         .alias("cohort"),
         "user_id",
     ).filter(F.col("cohort").isNotNull())
-    sk = ds.theta_group_sketches(cohorts, "cohort", "user_id")
-    return ds.theta_overlap_estimate(sk, "cohort", "a", "b")
+    sk = ds.theta_group_sketches(cohorts, "cohort", "user_id", lgk=17)
+    return ds.theta_overlap_estimate(sk, "cohort", "a", "b", lgk=17)
 
 
 @query(

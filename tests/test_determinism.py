@@ -64,3 +64,41 @@ def test_all_queries_invariant_to_shuffle_partitions(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert not failures, f"partitioning-sensitive queries: {failures}"
+
+
+@pytest.mark.slow
+def test_all_queries_invariant_to_aqe(spark):
+    """AQE-off sweep arm (VERDICT r5 "Next round" item 2): several
+    back-joins RELY on AQE choosing broadcast for performance
+    (chunk/substring-dedup dup-relations, the SemDeDup anti-join) —
+    correctness must not. Adaptive execution changes shuffle partition
+    counts (coalescing), join strategies (dynamic broadcast), and skew
+    splits at runtime; every registered query must produce the
+    identical normalized frame with adaptive execution disabled, at
+    sf0.01 (the driver's correctness SF). Same float-order exclusions
+    as the partition sweep — AQE coalescing perturbs partial-sum order
+    the same way a different partition count does."""
+    sf_dir = "/root/testdata/sf0.01"
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    failures = {}
+    try:
+        for name in QUERIES:
+            if name in NONDETERMINISTIC_OK:
+                continue
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            a = _frame(spark, name, sf_dir)
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            b = _frame(spark, name, sf_dir)
+            if len(a) != len(b):
+                failures[name] = f"row counts differ: {len(a)} vs {len(b)}"
+                continue
+            if list(a.columns) != list(b.columns):
+                failures[name] = "column order differs"
+                continue
+            try:
+                pd.testing.assert_frame_equal(a, b, check_exact=True)
+            except AssertionError as e:
+                failures[name] = str(e).splitlines()[-1][:200]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert not failures, f"AQE-sensitive queries: {failures}"

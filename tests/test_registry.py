@@ -107,6 +107,32 @@ def test_live_registry_never_verified_lead():
     assert set(never) <= set(names[:50]), "unverified entry outside budget window"
 
 
+def test_live_registry_stalest_cohort_inside_budget_window():
+    """VERDICT r5 "Next round" item 3: the stalest latest-green cohort
+    (r2 after round 5: 42 entries) must sort INSIDE the driver's
+    50-query budget window so the next round's correctness pass
+    re-greens it automatically. Together with the never-verified test
+    above this pins the whole rotation contract against the real
+    artifacts on disk: unverified first, then stalest-green, and no
+    cohort starves outside the window while smaller ones recycle."""
+    verified = _driver_verified()
+    if not verified:
+        return
+    names = list(QUERIES)
+    stalest_round = min(verified.values())
+    stale = [n for n in names if verified.get(n) == stalest_round]
+    never = [n for n in names if n not in verified]
+    window = set(names[: 50])
+    if len(never) + len(stale) <= 50:
+        missing = [n for n in stale if n not in window]
+        assert not missing, (
+            f"stalest cohort (r{stalest_round}, {len(stale)} entries) not "
+            f"fronted into the 50-budget window: {missing[:5]}"
+        )
+    else:  # oversized cohort: window must still be drawn exclusively from it
+        assert window <= set(never) | set(stale)
+
+
 def test_corpus_frozen_at_192():
     """VERDICT r3 item 3: registry frozen at 192 entries for round 4."""
     assert len(QUERIES) == 192

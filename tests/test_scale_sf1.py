@@ -239,14 +239,13 @@ def test_sf1_lsh_pair_count_ratios(spark):
 # back inside pandas range, so the exclusion is retired and q105 is
 # differential-checked at sf1.0 like everything else.
 #
-# r5 adds q133: its theta sketches are EXACT below 4096 entries per
-# cohort (every driver SF — the oracle is literal set arithmetic in that
-# regime, hash-matched at sf0.01/sf0.1) and ±1.6% ESTIMATES above, by
-# design (that is the point of a fixed-32KiB sketch at 10^9 users). The
-# sf1.0 tiling pushes the cohorts past 4096 (n_a = 15000), so the exact
-# oracle no longer models the declared semantics there. The sketch-law
-# pytest (estimate within rse bounds) still covers the estimation regime.
-SF1_PANDAS_EXCLUDE: set[str] = {"q133_theta_user_overlap"}
+# r5 excluded q133 here (default 4096-entry theta sketches left their
+# exact regime at the sf1.0 cohort sizes, n_a = 15000, so the literal
+# set-arithmetic oracle stopped modeling the by-design estimate). r6
+# retired the exclusion: q133 now sizes its sketches lgk=17 (131072
+# nominal entries), keeping exact mode at every gated SF; the
+# estimation-regime laws remain pytest-pinned in tests/test_sketches.py.
+SF1_PANDAS_EXCLUDE: set[str] = set()
 
 
 def test_sf1_full_differential(spark):
