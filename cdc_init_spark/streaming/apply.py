@@ -174,21 +174,30 @@ def incremental_agg(
     )
 
 
-def init_continuous_agg(base: DataFrame, table_dir: str) -> None:
-    """Write version 0 of a continuously-maintained table: the base
-    snapshot plus its marker. Pair with ``continuous_agg_step``."""
-    import json
-    import os
+def _format_for(table_dir_or_format):
+    """str → the default VersionedParquetFormat; a TableFormat passes
+    through — the seam where a Delta/Iceberg binding drops in."""
+    from cdc_init_spark.sources.table_format import (
+        TableFormat,
+        VersionedParquetFormat,
+    )
 
-    os.makedirs(table_dir, exist_ok=True)
-    base.write.mode("overwrite").parquet(os.path.join(table_dir, "v0", "base"))
-    with open(os.path.join(table_dir, "_VERSION"), "w") as f:
-        json.dump({"version": 0, "batch_id": -1}, f)
+    if isinstance(table_dir_or_format, TableFormat):
+        return table_dir_or_format
+    return VersionedParquetFormat(table_dir_or_format)
+
+
+def init_continuous_agg(base: DataFrame, table_dir) -> None:
+    """Write version 0 of a continuously-maintained table: the base
+    snapshot plus its marker. Pair with ``continuous_agg_step``.
+    ``table_dir`` is a path (versioned-parquet layout) or any
+    ``sources.table_format.TableFormat``."""
+    _format_for(table_dir).init({"base": base})
 
 
 def continuous_agg_step(
     spark,
-    table_dir: str,
+    table_dir,
     pk_cols: list[str],
     group_cols: list[str],
     value_col: str,
@@ -200,38 +209,27 @@ def continuous_agg_step(
     streaming materialized view built from apply_changes +
     incremental_agg.
 
-    Versioned idempotent layout (the file-store analog of a Delta/
-    Iceberg transactional table — swap the read/write for a table
-    format in production):
-    - each micro-batch writes ``v{n+1}/base`` and ``v{n+1}/agg`` in
-      overwrite mode, then atomically renames a fresh marker over
-      ``_VERSION`` — readers always see a complete version;
-    - a REPLAYED batch (same batch_id after checkpoint recovery)
-      rewrites the same next version instead of advancing twice —
-      at-least-once delivery collapses to effectively-once state.
+    All storage goes through ``sources.table_format.TableFormat``
+    (``table_dir`` may be a path — the default versioned-parquet
+    layout — or any TableFormat instance, e.g. a Delta/Iceberg
+    binding): each micro-batch commits {base, agg} as ONE atomic
+    version; a REPLAYED batch (same batch_id after checkpoint
+    recovery) is a committed no-op instead of advancing twice —
+    at-least-once delivery collapses to effectively-once state.
 
     Per-batch work: change-batch-sized joins plus one read of the
     current base — the aggregate itself updates with touched-keys-sized
     arithmetic (incremental_agg), demonstrating log-proportional
     maintenance end to end."""
-    import json
-    import os
+    fmt = _format_for(table_dir)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        marker = os.path.join(table_dir, "_VERSION")
-        with open(marker) as f:
-            state = json.load(f)
-        if batch_id <= state["batch_id"]:
-            # replayed batch: the version it produced is already durable
-            return
-        cur, nxt = state["version"], state["version"] + 1
-        base = spark.read.parquet(os.path.join(table_dir, f"v{cur}", "base"))
-        prior_agg_path = os.path.join(table_dir, f"v{cur}", "agg")
+        base = fmt.read(spark, "base")
         prior_agg = (
-            spark.read.parquet(prior_agg_path)
-            if os.path.isdir(prior_agg_path)
+            fmt.read(spark, "agg")
+            if fmt.has_table("agg")
             else None  # v0 carries only the base; first step aggregates it
         )
         agg = incremental_agg(
@@ -245,25 +243,18 @@ def continuous_agg_step(
             base_agg=prior_agg,
         )
         merged = apply_changes(base, batch_df, pk_cols, order_col, type_col)
-        out = os.path.join(table_dir, f"v{nxt}")
-        merged.write.mode("overwrite").parquet(os.path.join(out, "base"))
-        agg.write.mode("overwrite").parquet(os.path.join(out, "agg"))
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": nxt, "batch_id": batch_id}, f)
-        os.replace(tmp, marker)
+        # commit() is the replay gate: False == this batch_id is already
+        # durable, nothing to do (the reads above were wasted work only
+        # in the rare recovery replay — checking first would race the
+        # marker swap in formats without snapshot-isolated readers)
+        fmt.commit({"base": merged, "agg": agg}, batch_id)
 
     return step
 
 
-def read_continuous_agg(spark, table_dir: str, what: str = "agg") -> DataFrame:
+def read_continuous_agg(spark, table_dir, what: str = "agg") -> DataFrame:
     """Read the latest complete version ('agg' or 'base')."""
-    import json
-    import os
-
-    with open(os.path.join(table_dir, "_VERSION")) as f:
-        v = json.load(f)["version"]
-    return spark.read.parquet(os.path.join(table_dir, f"v{v}", what))
+    return _format_for(table_dir).read(spark, what)
 
 
 def diff_snapshots(
