@@ -272,3 +272,70 @@ def test_sf1_full_differential(spark):
     bad = [r for r in res if not r.ok]
     assert len(res) >= 170
     assert not bad, f"{len(bad)} of {len(res)} failed at sf1.0: {bad[:3]}"
+
+
+# --- graph skew-stress wall ratios (VERDICT r5 item 8, stretch) -----------
+# The sf1.0 gate measures UNIFORM fixture growth; this arm measures the
+# adversarial DEGREE DISTRIBUTION at fixed size: a power-law graph whose
+# hub touches ~13% of all edges vs a uniform graph with identical |V|/|E|.
+# The claims under test: AQE's skew-join split keeps pagerank's rank⋈edges
+# join bounded, and degree orientation keeps the triangle wedge stream
+# m^1.5-bounded, when one key dominates.
+SKEW_MAX_RATIO = 3.0
+
+
+def _skew_graphs(spark, n=100_000, m=500_000):
+    from pyspark.sql import functions as F
+
+    h = lambda k: F.pmod(F.xxhash64(F.col("id"), F.lit(k)), F.lit(n))
+    uniform = spark.range(m).select(
+        h(1).alias("src"), h(2).alias("dst")
+    )
+    # dst = floor(n * u^6): P(dst=0) = n^(-1/6) ~ 0.13 -> hub degree ~65k
+    u = (F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(1_000_000)) / 1_000_000.0)
+    powerlaw = spark.range(m).select(
+        h(4).alias("src"),
+        F.floor(F.lit(n) * F.pow(u, F.lit(6.0))).cast("long").alias("dst"),
+    )
+    return uniform, powerlaw
+
+
+def test_sf1_graph_skew_wall_ratios(spark):
+    from cdc_init_spark.operators.graph import (
+        pagerank,
+        symmetrize,
+        triangles_per_node,
+    )
+
+    uniform, powerlaw = _skew_graphs(spark)
+    ops = {
+        "pagerank": lambda e: pagerank(symmetrize(e), iters=3),
+        "triangles": lambda e: triangles_per_node(e),
+    }
+    rows, bad = {}, []
+    for name, op in ops.items():
+        t_u = _time(spark, lambda s, _: op(uniform), SF01, runs=2)
+        t_p = _time(spark, lambda s, _: op(powerlaw), SF01, runs=2)
+        ratio = round(t_p / max(t_u, FLOOR_SEC), 2)
+        rows[name] = {"uniform_sec": t_u, "powerlaw_sec": t_p, "ratio": ratio}
+        print(f"graph_skew {name}: {t_u:.2f}s uniform -> {t_p:.2f}s powerlaw ({ratio}x)")
+        if ratio > SKEW_MAX_RATIO:
+            bad.append((name, ratio))
+    out = os.path.join(REPO, "tools", "scale_ratios.json")
+    merged = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f)
+    merged["graph_skew"] = {
+        "n_nodes": 100_000,
+        "n_edges": 500_000,
+        "hub_share": "~13% of edges on one key",
+        "max_ratio": SKEW_MAX_RATIO,
+        "queries": rows,
+    }
+    with open(out, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    assert not bad, (
+        f"degree skew blows up wall time > {SKEW_MAX_RATIO}x at equal "
+        f"|V|/|E| (skew-join split or orientation failed): {bad}"
+    )
