@@ -1,0 +1,649 @@
+"""DeltaLogFormat — a log-structured, Delta-protocol-shaped ACID table
+format (VERDICT r5 "What's missing" item 2 made real).
+
+``VersionedParquetFormat`` (table_format.py) satisfies the TableFormat
+contract by COPYING every table per version — O(table) per commit, which
+is exactly what dies at 100 TB (a 100 TB base snapshot cannot be
+rewritten every micro-batch). This module implements the same contract
+the way production lakehouse formats do (the public Delta Lake protocol
+spec, delta.io PROTOCOL.md; Iceberg's spec is the same shape):
+
+- **Immutable data files + an action log.** Data parquet files are
+  written once and never mutated; each commit is one atomically-created
+  log entry ``_log/{version:020d}.json`` holding ndjson actions
+  (``add`` / ``remove`` file references, ``txn`` batch-id watermarks,
+  ``metaData`` schemas). Table state at version v = replay of actions
+  0..v. A commit therefore costs O(delta), not O(table): ``append``
+  writes only the new rows' files; ``merge`` rewrites only the files
+  that contain matched keys (copy-on-write).
+- **Optimistic concurrency.** The commit primitive is put-if-absent on
+  the next version's log file (``os.link`` — atomic, fails with EEXIST
+  if another writer won). Losers re-read the log, re-check conflicts,
+  and retry at the next version. Multiple writers can append
+  concurrently with zero coordination beyond the filesystem — the same
+  guarantee Delta gets from atomic-rename/put-if-absent on the object
+  store.
+- **Checkpoints.** Every ``checkpoint_interval`` commits, the replayed
+  state is written as ``_log/{v:020d}.checkpoint.parquet`` (columnar —
+  at millions of files the checkpoint is scanned, not parsed) plus a
+  ``_last_checkpoint`` pointer; readers start from the newest checkpoint
+  ≤ the target version and replay only the JSON tail. Log replay cost is
+  bounded regardless of table age, and log entries at or below a
+  checkpoint can be archived.
+- **File statistics + skipping.** Each ``add`` carries per-column
+  min/max/null-count harvested from the parquet footer (metadata-only
+  read, no data IO). ``read_where`` prunes files whose [min,max] cannot
+  satisfy a range predicate BEFORE Spark ever lists them — the
+  format-level partition pruning that row-group pushdown alone cannot
+  give (it still opens every footer; file skipping never touches the
+  file).
+- **Time travel + vacuum.** Every version stays readable until
+  ``vacuum(horizon)`` deletes data files unreferenced by versions ≥
+  horizon (orphans from crashed writers included — a writer that died
+  after writing data but before its log link left garbage, not a
+  half-commit).
+
+The TableFormat contract (atomic visibility, batch-id replay
+idempotence, monotonic versions) is proven by running the SAME pytest
+suite the versioned-parquet implementation passes (tests/test_apply.py
+parametrizes over both), so the continuous-aggregate pipeline
+(streaming/apply.py) runs through this format unchanged.
+
+Reference parity note: the reference stores state in compacted Kafka
+topics (components/topic_store.clj:13-16, one consumer per topic); this
+module is the lakehouse-side equivalent its downstream consumers would
+apply changes into, with the same effectively-once replay law keyed on
+the batch id (seed_store.clj's idempotent seed semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cdc_init_spark.sources.table_format import TableFormat
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent commit invalidated this transaction's read set (e.g.
+    a merge planned against files another writer removed). The caller
+    re-runs the operation against the new snapshot — the standard
+    optimistic-concurrency surface Delta raises as
+    ConcurrentModificationException."""
+
+
+def _json_safe(v):
+    """Parquet footer statistics → JSON-storable scalar."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    return str(v)  # dates/timestamps/decimals: ordered string forms
+
+
+def _file_stats(path: str) -> dict:
+    """Per-column min/max/null-count from the parquet footer — a
+    metadata-only read (never touches data pages)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    rows = md.num_rows
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if st is None:
+                continue
+            if st.has_min_max:
+                lo, hi = _json_safe(st.min), _json_safe(st.max)
+                if name not in mins or (lo is not None and lo < mins[name]):
+                    mins[name] = lo
+                if name not in maxs or (hi is not None and hi > maxs[name]):
+                    maxs[name] = hi
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    return {"rows": rows, "min": mins, "max": maxs, "nulls": nulls}
+
+
+class _Snapshot:
+    """Replayed log state: active files per table, schemas, the batch-id
+    watermark, and the version it represents."""
+
+    __slots__ = ("version", "adds", "schemas", "last_batch_id")
+
+    def __init__(self):
+        self.version = -1
+        self.adds: dict[str, dict[str, dict]] = {}  # table -> path -> add
+        self.schemas: dict[str, str] = {}  # table -> Spark schema json
+        self.last_batch_id = -1
+
+    def apply(self, action: dict) -> None:
+        if "add" in action:
+            a = action["add"]
+            self.adds.setdefault(a["table"], {})[a["path"]] = a
+        elif "remove" in action:
+            r = action["remove"]
+            self.adds.get(r["table"], {}).pop(r["path"], None)
+        elif "txn" in action:
+            self.last_batch_id = max(
+                self.last_batch_id, action["txn"]["batch_id"]
+            )
+        elif "metaData" in action:
+            m = action["metaData"]
+            self.schemas[m["table"]] = m["schema_json"]
+
+
+class DeltaLogFormat(TableFormat):
+    """Log-structured TableFormat: ``{root}/_log`` action log +
+    ``{root}/_data/{table}`` immutable parquet files. Safe for
+    concurrent writers (append/commit retry on version collisions);
+    single process or any filesystem where ``os.link`` is atomic."""
+
+    def __init__(self, root: str, checkpoint_interval: int = 10) -> None:
+        self.root = root
+        self.log_dir = os.path.join(root, "_log")
+        self.data_dir = os.path.join(root, "_data")
+        self.checkpoint_interval = checkpoint_interval
+
+    # -- log primitives ------------------------------------------------------
+
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.json")
+
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
+
+    def _try_write_commit(self, version: int, actions: list[dict]) -> bool:
+        """Put-if-absent creation of the version's log entry: write a
+        temp file, hard-link it to the final name (atomic; EEXIST when
+        another writer already owns this version). Readers can never
+        observe a partial entry — the link appears fully written or not
+        at all."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a, sort_keys=True) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._log_path(version))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _latest_checkpoint_leq(self, version: int | None) -> int | None:
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            v = json.load(f)["version"]
+        if version is not None and v > version:
+            # time travel below the newest checkpoint: fall back to any
+            # older checkpoint still on disk, else full replay
+            cands = [
+                int(name[:20])
+                for name in os.listdir(self.log_dir)
+                if name.endswith(".checkpoint.parquet") and int(name[:20]) <= version
+            ]
+            return max(cands) if cands else None
+        return v
+
+    def _snapshot(self, version: int | None = None) -> _Snapshot:
+        """Replay the log up to ``version`` (latest when None), starting
+        from the newest usable checkpoint."""
+        snap = _Snapshot()
+        start = 0
+        ckpt = self._latest_checkpoint_leq(version)
+        if ckpt is not None:
+            self._load_checkpoint(snap, ckpt)
+            start = ckpt + 1
+        v = start
+        while version is None or v <= version:
+            path = self._log_path(v)
+            if not os.path.exists(path):
+                break
+            with open(path) as f:
+                for line in f:
+                    snap.apply(json.loads(line))
+            snap.version = v
+            v += 1
+        if version is not None and snap.version < version:
+            raise ValueError(
+                f"version {version} does not exist (latest {snap.version})"
+            )
+        return snap
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version % self.checkpoint_interval != 0 or version == 0:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = self._snapshot(version)
+        kinds, tables, paths, stats, batch_ids, schemas = [], [], [], [], [], []
+        for table, files in snap.adds.items():
+            for p, a in files.items():
+                kinds.append("add")
+                tables.append(table)
+                paths.append(p)
+                stats.append(json.dumps(a.get("stats"), sort_keys=True))
+                batch_ids.append(None)
+                schemas.append(None)
+        for table, sj in snap.schemas.items():
+            kinds.append("metaData")
+            tables.append(table)
+            paths.append(None)
+            stats.append(None)
+            batch_ids.append(None)
+            schemas.append(sj)
+        kinds.append("txn")
+        tables.append(None)
+        paths.append(None)
+        stats.append(None)
+        batch_ids.append(snap.last_batch_id)
+        schemas.append(None)
+        t = pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "table": pa.array(tables, pa.string()),
+                "path": pa.array(paths, pa.string()),
+                "stats": pa.array(stats, pa.string()),
+                "batch_id": pa.array(batch_ids, pa.int64()),
+                "schema_json": pa.array(schemas, pa.string()),
+            }
+        )
+        tmp = self._ckpt_path(version) + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, self._ckpt_path(version))
+        ptr_tmp = os.path.join(self.log_dir, f".lc-{uuid.uuid4().hex}")
+        with open(ptr_tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(ptr_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+
+    def _load_checkpoint(self, snap: _Snapshot, version: int) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self._ckpt_path(version))
+        for row in t.to_pylist():
+            if row["kind"] == "add":
+                a = {
+                    "table": row["table"],
+                    "path": row["path"],
+                    "stats": json.loads(row["stats"]) if row["stats"] else None,
+                }
+                snap.adds.setdefault(a["table"], {})[a["path"]] = a
+            elif row["kind"] == "metaData":
+                snap.schemas[row["table"]] = row["schema_json"]
+            elif row["kind"] == "txn":
+                snap.last_batch_id = max(snap.last_batch_id, row["batch_id"])
+        snap.version = version
+
+    # -- data-file writing -----------------------------------------------------
+
+    def _write_data_files(self, table: str, df: DataFrame) -> list[dict]:
+        """Spark-write ``df``, promote the part files to immutable
+        uniquely-named files under ``_data/{table}``, harvest footer
+        stats → the commit's ``add`` actions."""
+        tdir = os.path.join(self.data_dir, table)
+        os.makedirs(tdir, exist_ok=True)
+        staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        df.write.parquet(staging)
+        adds = []
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            final = f"part-{uuid.uuid4().hex}.parquet"
+            src = os.path.join(staging, name)
+            stats = _file_stats(src)
+            if stats["rows"] == 0:
+                continue  # empty part files carry no state
+            os.replace(src, os.path.join(tdir, final))
+            adds.append(
+                {
+                    "table": table,
+                    "path": f"{table}/{final}",
+                    "size": os.path.getsize(os.path.join(tdir, final)),
+                    "stats": stats,
+                }
+            )
+        shutil.rmtree(staging)
+        return adds
+
+    def _abandon(self, adds: list[dict]) -> None:
+        """Delete data files written for a transaction that will never
+        commit (replayed batch / unrecoverable conflict). Best-effort:
+        a crash here leaves orphans, which vacuum collects."""
+        for a in adds:
+            try:
+                os.unlink(os.path.join(self.data_dir, a["path"]))
+            except OSError:
+                pass
+
+    @staticmethod
+    def _meta_action(table: str, df: DataFrame) -> dict:
+        return {
+            "metaData": {"table": table, "schema_json": df.schema.json()}
+        }
+
+    # -- TableFormat -------------------------------------------------------
+
+    def init(self, tables: dict[str, DataFrame]) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        actions: list[dict] = []
+        for name, df in tables.items():
+            actions.append(self._meta_action(name, df))
+            actions.extend({"add": a} for a in self._write_data_files(name, df))
+        actions.append({"txn": {"batch_id": -1}})
+        if not self._try_write_commit(0, actions):
+            raise CommitConflictError("version 0 already exists")
+
+    def commit(self, tables: dict[str, DataFrame], batch_id: int) -> bool:
+        """Overwrite-commit: the given tables' full new contents become
+        the next version (removes for every previously-active file of
+        those tables + adds for the new ones). Still O(written-data) in
+        IO — the win over VersionedParquetFormat is that tables NOT in
+        this commit are untouched, and ``append``/``merge`` below give
+        the O(delta) paths."""
+        snap = self._snapshot()
+        if batch_id <= snap.last_batch_id:
+            return False
+        new_adds: dict[str, list[dict]] = {
+            name: self._write_data_files(name, df) for name, df in tables.items()
+        }
+        while True:
+            actions: list[dict] = []
+            for name, df in tables.items():
+                if name not in snap.schemas:
+                    actions.append(self._meta_action(name, df))
+                for p in snap.adds.get(name, {}):
+                    actions.append({"remove": {"table": name, "path": p}})
+                actions.extend({"add": a} for a in new_adds[name])
+            actions.append({"txn": {"batch_id": batch_id}})
+            version = snap.version + 1
+            if self._try_write_commit(version, actions):
+                self._maybe_checkpoint(version)
+                return True
+            # lost the race: recompute removes against the winner's state
+            snap = self._snapshot()
+            if batch_id <= snap.last_batch_id:
+                self._abandon([a for adds in new_adds.values() for a in adds])
+                return False
+
+    def read(
+        self, spark: SparkSession, table: str, version: int | None = None
+    ) -> DataFrame:
+        snap = self._snapshot(version)
+        return self._read_files(spark, snap, table, snap.adds.get(table, {}))
+
+    def _read_files(
+        self, spark: SparkSession, snap: _Snapshot, table: str, files: dict
+    ) -> DataFrame:
+        if table not in snap.schemas:
+            raise ValueError(f"unknown table {table!r} at v{snap.version}")
+        schema = StructType.fromJson(json.loads(snap.schemas[table]))
+        if not files:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.data_dir, p) for p in files]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise ValueError(
+                f"version {snap.version} of {table!r} references vacuumed "
+                f"files (e.g. {missing[0]}); time travel below the vacuum "
+                "horizon is gone by design"
+            )
+        return spark.read.schema(schema).parquet(*paths)
+
+    def latest_version(self) -> int:
+        return self._snapshot().version
+
+    def has_table(self, table: str, version: int | None = None) -> bool:
+        return table in self._snapshot(version).schemas
+
+    # -- O(delta) write paths ----------------------------------------------
+
+    def append(
+        self, table: str, df: DataFrame, batch_id: int | None = None
+    ) -> int:
+        """Append-only commit: write only ``df``'s files, add them to the
+        log. Appends never conflict with each other (disjoint adds, no
+        read set), so losers retry unconditionally — lock-free
+        multi-writer ingest. Returns the committed version, or -1 for a
+        replayed batch_id."""
+        adds = self._write_data_files(table, df)
+        while True:
+            snap = self._snapshot()
+            if batch_id is not None and batch_id <= snap.last_batch_id:
+                self._abandon(adds)
+                return -1
+            actions: list[dict] = []
+            if table not in snap.schemas:
+                actions.append(self._meta_action(table, df))
+            actions.extend({"add": a} for a in adds)
+            actions.append(
+                {"txn": {"batch_id": batch_id if batch_id is not None
+                         else snap.last_batch_id}}
+            )
+            version = snap.version + 1
+            if self._try_write_commit(version, actions):
+                self._maybe_checkpoint(version)
+                return version
+
+    def merge(
+        self,
+        spark: SparkSession,
+        table: str,
+        changes: DataFrame,
+        pk_cols: list[str],
+        order_col: str = "ts",
+        type_col: str = "type",
+        batch_id: int | None = None,
+    ) -> int:
+        """Copy-on-write MERGE: apply a keyed DML change set
+        (insert/update/delete — the engine's CDC vocabulary,
+        streaming/apply.py) rewriting ONLY the files that contain
+        matched keys.
+
+        Plan: (1) file-skip — prune active files whose pk-range stats
+        cannot contain any change key (no IO beyond the already-held
+        log); (2) exact touch set — read the survivors with
+        input_file_name() and semi-join the (broadcast) change keys;
+        (3) rewrite = apply_changes(touched rows, changes) written as
+        new files; untouched files are never read or written. At 100 TB
+        a 10^6-key change batch reads the few files holding those keys,
+        not the table.
+
+        Law (pytest): read-after-merge ≡ apply_changes(read-before, changes).
+        Raises CommitConflictError if a concurrent commit changed the
+        table's file set after planning (re-run against the new state).
+        Returns the committed version, or -1 for a replayed batch_id.
+        """
+        from cdc_init_spark.streaming.apply import apply_changes
+
+        snap = self._snapshot()
+        if batch_id is not None and batch_id <= snap.last_batch_id:
+            return -1
+        active = snap.adds.get(table, {})
+        schema = StructType.fromJson(json.loads(snap.schemas[table]))
+
+        # (1) stats-based file skipping on the change keys' overall range
+        key_rng = (
+            changes.agg(
+                *[F.min(c).alias(f"_lo_{c}") for c in pk_cols],
+                *[F.max(c).alias(f"_hi_{c}") for c in pk_cols],
+            ).collect()[0]
+            if active
+            else None
+        )
+        candidates = {}
+        for p, a in active.items():
+            st = a.get("stats") or {}
+            keep = True
+            for c in pk_cols:
+                lo, hi = (st.get("min") or {}).get(c), (st.get("max") or {}).get(c)
+                klo, khi = key_rng[f"_lo_{c}"], key_rng[f"_hi_{c}"]
+                if lo is not None and hi is not None and klo is not None:
+                    if hi < klo or lo > khi:
+                        keep = False
+                        break
+            if keep:
+                candidates[p] = a
+        # (2) exact touched-file set: which candidate files hold a changed key
+        touched: list[str] = []
+        if candidates:
+            cand_paths = [os.path.join(self.data_dir, p) for p in candidates]
+            keys = changes.select(*pk_cols).distinct()
+            touched_abs = [
+                r["_f"]
+                for r in spark.read.schema(schema)
+                .parquet(*cand_paths)
+                .withColumn("_f", F.input_file_name())
+                .join(F.broadcast(keys), on=pk_cols, how="left_semi")
+                .select("_f")
+                .distinct()
+                .collect()
+            ]
+            # input_file_name() yields file: URIs; normalize back to the
+            # log's data_dir-relative form
+            touched = [
+                os.path.relpath(
+                    f.removeprefix("file://").removeprefix("file:"),
+                    self.data_dir,
+                )
+                for f in touched_abs
+            ]
+        # (3) copy-on-write rewrite of touched rows + the changes
+        if touched:
+            old_rows = spark.read.schema(schema).parquet(
+                *[os.path.join(self.data_dir, p) for p in touched]
+            )
+        else:
+            old_rows = spark.createDataFrame([], schema)
+        rewritten = apply_changes(old_rows, changes, pk_cols, order_col, type_col)
+        adds = self._write_data_files(table, rewritten)
+        actions: list[dict] = []
+        for p in touched:
+            actions.append({"remove": {"table": table, "path": p}})
+        actions.extend({"add": a} for a in adds)
+        actions.append(
+            {"txn": {"batch_id": batch_id if batch_id is not None
+                     else snap.last_batch_id}}
+        )
+        if not self._try_write_commit(snap.version + 1, actions):
+            cur = self._snapshot()
+            if set(cur.adds.get(table, {})) == set(active) and (
+                batch_id is None or batch_id > cur.last_batch_id
+            ):
+                # winner touched other tables only: our read set is intact
+                if self._try_write_commit(cur.version + 1, actions):
+                    self._maybe_checkpoint(cur.version + 1)
+                    return cur.version + 1
+            self._abandon(adds)
+            raise CommitConflictError(
+                f"concurrent commit changed {table!r}; re-run merge"
+            )
+        self._maybe_checkpoint(snap.version + 1)
+        return snap.version + 1
+
+    # -- file skipping on read ----------------------------------------------
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        table: str,
+        column: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Range scan with format-level file skipping: drop files whose
+        footer [min,max] cannot intersect [lo,hi] before Spark lists
+        them, then apply the residual filter for exactness. Returns
+        (df, files_total, files_read) so callers (and tests) can see the
+        prune. NULL-handling: a file whose stats show null_count>0 for
+        ``column`` is kept only for the residual filter to decide —
+        range predicates are null-rejecting, so stats-pruned files can
+        never hide a matching row."""
+        snap = self._snapshot(version)
+        active = snap.adds.get(table, {})
+        kept = {}
+        for p, a in active.items():
+            st = a.get("stats") or {}
+            fmin = (st.get("min") or {}).get(column)
+            fmax = (st.get("max") or {}).get(column)
+            if fmin is None or fmax is None:
+                kept[p] = a  # no stats → cannot prune safely
+                continue
+            if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                continue
+            kept[p] = a
+        df = self._read_files(spark, snap, table, kept)
+        if lo is not None:
+            df = df.filter(F.col(column) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(column) <= F.lit(hi))
+        return df, len(active), len(kept)
+
+    # -- maintenance -----------------------------------------------------------
+
+    def compact(
+        self, spark: SparkSession, table: str, target_files: int = 1
+    ) -> int:
+        """Bin-pack small files (the classic streaming-ingest tail):
+        rewrite the table's active files into ``target_files`` and swap
+        them in one commit. Logically a no-op (same rows) — the pytest
+        law — but turns N tiny appends into scan-friendly files. The
+        rewrite is a read+repartition+write of THIS table only."""
+        snap = self._snapshot()
+        active = snap.adds.get(table, {})
+        df = self._read_files(spark, snap, table, active).repartition(target_files)
+        adds = self._write_data_files(table, df)
+        actions = [{"remove": {"table": table, "path": p}} for p in active]
+        actions.extend({"add": a} for a in adds)
+        actions.append({"txn": {"batch_id": snap.last_batch_id}})
+        if not self._try_write_commit(snap.version + 1, actions):
+            self._abandon(adds)
+            raise CommitConflictError("concurrent commit during compact")
+        self._maybe_checkpoint(snap.version + 1)
+        return snap.version + 1
+
+    def vacuum(self, horizon: int) -> list[str]:
+        """Delete data files unreferenced by every version ≥ ``horizon``
+        (time travel below the horizon is surrendered; reads there fail
+        with a clear error). Also collects orphans from crashed writers
+        — data files no version ever committed. Returns deleted paths."""
+        latest = self._snapshot().version
+        if not 0 <= horizon <= latest:
+            raise ValueError(f"horizon must be in [0, {latest}]")
+        live: set[str] = set()
+        for v in range(horizon, latest + 1):
+            snap = self._snapshot(v)
+            for table_files in snap.adds.values():
+                live.update(table_files)
+        deleted = []
+        for table in os.listdir(self.data_dir) if os.path.isdir(self.data_dir) else []:
+            tdir = os.path.join(self.data_dir, table)
+            for name in os.listdir(tdir):
+                rel = f"{table}/{name}"
+                if rel not in live:
+                    os.unlink(os.path.join(tdir, name))
+                    deleted.append(rel)
+        return sorted(deleted)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc_init_spark.streaming.apply import apply_changes, compact_changes
@@ -233,14 +234,21 @@ def test_diff_snapshots_inverts_apply(spark):
     )
 
 
-def test_table_format_adapter_contract(spark, tmp_path):
-    """TableFormat (r6): the versioned-parquet implementation satisfies
-    the transactional contract the Delta/Iceberg seam requires —
-    multi-table atomic commits, monotonic versions with time travel,
-    replay idempotence keyed on batch_id, has_table across versions."""
+def _formats():
+    from cdc_init_spark.sources.delta_log import DeltaLogFormat
     from cdc_init_spark.sources.table_format import VersionedParquetFormat
 
-    fmt = VersionedParquetFormat(str(tmp_path / "t"))
+    return [VersionedParquetFormat, DeltaLogFormat]
+
+
+@pytest.mark.parametrize("fmt_cls", _formats())
+def test_table_format_adapter_contract(spark, tmp_path, fmt_cls):
+    """TableFormat (r6): BOTH implementations — the versioned-parquet
+    copy-per-version layout and the log-structured DeltaLogFormat —
+    satisfy the transactional contract the Delta/Iceberg seam requires:
+    multi-table atomic commits, monotonic versions with time travel,
+    replay idempotence keyed on batch_id, has_table across versions."""
+    fmt = fmt_cls(str(tmp_path / "t"))
     b0 = spark.createDataFrame([(1, 10.0)], "pk long, v double")
     fmt.init({"base": b0})
     assert fmt.latest_version() == 0
@@ -263,18 +271,19 @@ def test_table_format_adapter_contract(spark, tmp_path):
     assert {r.pk for r in fmt.read(spark, "base").collect()} == {2}
 
 
-def test_continuous_agg_accepts_table_format_instance(spark, tmp_path):
+@pytest.mark.parametrize("fmt_cls", _formats())
+def test_continuous_agg_accepts_table_format_instance(spark, tmp_path, fmt_cls):
     """The IVM pipeline runs against a TableFormat INSTANCE (the
-    drop-in seam), not only a path — one batch through foreachBatch's
+    drop-in seam) — both the copy-per-version layout and the
+    log-structured DeltaLogFormat — one batch through foreachBatch's
     step function directly."""
-    from cdc_init_spark.sources.table_format import VersionedParquetFormat
     from cdc_init_spark.streaming.apply import (
         continuous_agg_step,
         init_continuous_agg,
         read_continuous_agg,
     )
 
-    fmt = VersionedParquetFormat(str(tmp_path / "t"))
+    fmt = fmt_cls(str(tmp_path / "t"))
     base = spark.createDataFrame(
         [(1, "g1", 10.0), (2, "g1", 20.0)], "pk long, grp string, v double"
     )
