@@ -120,15 +120,16 @@ def _file_stats(path: str) -> dict:
 
 
 class _Snapshot:
-    """Replayed log state: active files per table, schemas, the batch-id
-    watermark, and the version it represents."""
+    """Replayed log state: active files per table, schemas, partition
+    specs, the batch-id watermark, and the version it represents."""
 
-    __slots__ = ("version", "adds", "schemas", "last_batch_id")
+    __slots__ = ("version", "adds", "schemas", "partition_cols", "last_batch_id")
 
     def __init__(self):
         self.version = -1
         self.adds: dict[str, dict[str, dict]] = {}  # table -> path -> add
         self.schemas: dict[str, str] = {}  # table -> Spark schema json
+        self.partition_cols: dict[str, list[str]] = {}
         self.last_batch_id = -1
 
     def apply(self, action: dict) -> None:
@@ -145,6 +146,7 @@ class _Snapshot:
         elif "metaData" in action:
             m = action["metaData"]
             self.schemas[m["table"]] = m["schema_json"]
+            self.partition_cols[m["table"]] = m.get("partition_cols", [])
 
 
 class DeltaLogFormat(TableFormat):
@@ -239,36 +241,48 @@ class DeltaLogFormat(TableFormat):
         import pyarrow.parquet as pq
 
         snap = self._snapshot(version)
-        kinds, tables, paths, stats, batch_ids, schemas = [], [], [], [], [], []
+        rows = []
         for table, files in snap.adds.items():
             for p, a in files.items():
-                kinds.append("add")
-                tables.append(table)
-                paths.append(p)
-                stats.append(json.dumps(a.get("stats"), sort_keys=True))
-                batch_ids.append(None)
-                schemas.append(None)
+                rows.append(
+                    {
+                        "kind": "add",
+                        "table": table,
+                        "path": p,
+                        "stats": json.dumps(a.get("stats"), sort_keys=True),
+                        "partition_values": json.dumps(
+                            a.get("partitionValues"), sort_keys=True
+                        )
+                        if a.get("partitionValues")
+                        else None,
+                    }
+                )
         for table, sj in snap.schemas.items():
-            kinds.append("metaData")
-            tables.append(table)
-            paths.append(None)
-            stats.append(None)
-            batch_ids.append(None)
-            schemas.append(sj)
-        kinds.append("txn")
-        tables.append(None)
-        paths.append(None)
-        stats.append(None)
-        batch_ids.append(snap.last_batch_id)
-        schemas.append(None)
+            rows.append(
+                {
+                    "kind": "metaData",
+                    "table": table,
+                    "schema_json": sj,
+                    "partition_cols": json.dumps(
+                        snap.partition_cols.get(table, [])
+                    ),
+                }
+            )
+        rows.append({"kind": "txn", "batch_id": snap.last_batch_id})
+        cols = [
+            ("kind", pa.string()),
+            ("table", pa.string()),
+            ("path", pa.string()),
+            ("stats", pa.string()),
+            ("partition_values", pa.string()),
+            ("batch_id", pa.int64()),
+            ("schema_json", pa.string()),
+            ("partition_cols", pa.string()),
+        ]
         t = pa.table(
             {
-                "kind": pa.array(kinds, pa.string()),
-                "table": pa.array(tables, pa.string()),
-                "path": pa.array(paths, pa.string()),
-                "stats": pa.array(stats, pa.string()),
-                "batch_id": pa.array(batch_ids, pa.int64()),
-                "schema_json": pa.array(schemas, pa.string()),
+                name: pa.array([r.get(name) for r in rows], typ)
+                for name, typ in cols
             }
         )
         tmp = self._ckpt_path(version) + f".tmp-{uuid.uuid4().hex}"
@@ -290,41 +304,94 @@ class DeltaLogFormat(TableFormat):
                     "path": row["path"],
                     "stats": json.loads(row["stats"]) if row["stats"] else None,
                 }
+                if row.get("partition_values"):
+                    a["partitionValues"] = json.loads(row["partition_values"])
                 snap.adds.setdefault(a["table"], {})[a["path"]] = a
             elif row["kind"] == "metaData":
                 snap.schemas[row["table"]] = row["schema_json"]
+                snap.partition_cols[row["table"]] = json.loads(
+                    row["partition_cols"] or "[]"
+                )
             elif row["kind"] == "txn":
                 snap.last_batch_id = max(snap.last_batch_id, row["batch_id"])
         snap.version = version
 
     # -- data-file writing -----------------------------------------------------
 
-    def _write_data_files(self, table: str, df: DataFrame) -> list[dict]:
-        """Spark-write ``df``, promote the part files to immutable
-        uniquely-named files under ``_data/{table}``, harvest footer
-        stats → the commit's ``add`` actions."""
+    @staticmethod
+    def _typed_partition_value(dtype_simple: str, raw: str):
+        """Hive directory value → the column's Python type (so pruning
+        compares int-to-int, never str-to-int)."""
+        from urllib.parse import unquote
+
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        if dtype_simple in ("tinyint", "smallint", "int", "bigint"):
+            return int(raw)
+        if dtype_simple in ("float", "double"):
+            return float(raw)
+        return unquote(raw)
+
+    def _write_data_files(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_cols: list[str] | None = None,
+    ) -> list[dict]:
+        """Spark-write ``df`` (Hive-partitioned when the table has a
+        partition spec), promote the part files to immutable
+        uniquely-named files under ``_data/{table}`` preserving the
+        ``col=value`` directory layout, harvest footer stats — with
+        partition values folded in as exact min=max stats (the data
+        pages don't carry partition columns; the path does) → the
+        commit's ``add`` actions."""
         tdir = os.path.join(self.data_dir, table)
         os.makedirs(tdir, exist_ok=True)
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
-        df.write.parquet(staging)
+        writer = df.write
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(staging)
+        dtypes = dict(df.dtypes)
         adds = []
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet"):
-                continue
-            final = f"part-{uuid.uuid4().hex}.parquet"
-            src = os.path.join(staging, name)
-            stats = _file_stats(src)
-            if stats["rows"] == 0:
-                continue  # empty part files carry no state
-            os.replace(src, os.path.join(tdir, final))
-            adds.append(
-                {
+        for dirpath, _dirs, names in os.walk(staging):
+            rel_dir = os.path.relpath(dirpath, staging)
+            pvals = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    col, _, raw = seg.partition("=")
+                    pvals[col] = self._typed_partition_value(
+                        dtypes.get(col, "string"), raw
+                    )
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, name)
+                stats = _file_stats(src)
+                if stats["rows"] == 0:
+                    continue  # empty part files carry no state
+                for col, val in pvals.items():
+                    if val is None:
+                        stats["nulls"][col] = stats["rows"]
+                    else:
+                        stats["min"][col] = val
+                        stats["max"][col] = val
+                final = f"part-{uuid.uuid4().hex}.parquet"
+                rel = (
+                    f"{rel_dir}/{final}" if rel_dir != "." else final
+                )
+                dst = os.path.join(tdir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+                add = {
                     "table": table,
-                    "path": f"{table}/{final}",
-                    "size": os.path.getsize(os.path.join(tdir, final)),
+                    "path": f"{table}/{rel}",
+                    "size": os.path.getsize(dst),
                     "stats": stats,
                 }
-            )
+                if pvals:
+                    add["partitionValues"] = pvals
+                adds.append(add)
         shutil.rmtree(staging)
         return adds
 
@@ -339,19 +406,48 @@ class DeltaLogFormat(TableFormat):
                 pass
 
     @staticmethod
-    def _meta_action(table: str, df: DataFrame) -> dict:
+    def _meta_action(
+        table: str, df: DataFrame, partition_cols: list[str] | None = None
+    ) -> dict:
         return {
-            "metaData": {"table": table, "schema_json": df.schema.json()}
+            "metaData": {
+                "table": table,
+                "schema_json": df.schema.json(),
+                "partition_cols": partition_cols or [],
+            }
         }
+
+    @staticmethod
+    def _schema_change(old_json: str, df: DataFrame) -> str | None:
+        """None when ``df`` matches the stored schema; 'additive' when it
+        only appends new columns (old files read the additions as NULL);
+        'breaking' otherwise (renamed/dropped/retyped columns)."""
+        old = StructType.fromJson(json.loads(old_json))
+        old_types = {f.name: f.dataType for f in old.fields}
+        new_types = {f.name: f.dataType for f in df.schema.fields}
+        if any(
+            n not in new_types or new_types[n] != t
+            for n, t in old_types.items()
+        ):
+            return "breaking"
+        return "additive" if set(new_types) - set(old_types) else None
 
     # -- TableFormat -------------------------------------------------------
 
-    def init(self, tables: dict[str, DataFrame]) -> None:
+    def init(
+        self,
+        tables: dict[str, DataFrame],
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> None:
         os.makedirs(self.root, exist_ok=True)
+        partition_by = partition_by or {}
         actions: list[dict] = []
         for name, df in tables.items():
-            actions.append(self._meta_action(name, df))
-            actions.extend({"add": a} for a in self._write_data_files(name, df))
+            spec = partition_by.get(name)
+            actions.append(self._meta_action(name, df, spec))
+            actions.extend(
+                {"add": a} for a in self._write_data_files(name, df, spec)
+            )
         actions.append({"txn": {"batch_id": -1}})
         if not self._try_write_commit(0, actions):
             raise CommitConflictError("version 0 already exists")
@@ -367,13 +463,24 @@ class DeltaLogFormat(TableFormat):
         if batch_id <= snap.last_batch_id:
             return False
         new_adds: dict[str, list[dict]] = {
-            name: self._write_data_files(name, df) for name, df in tables.items()
+            name: self._write_data_files(
+                name, df, snap.partition_cols.get(name)
+            )
+            for name, df in tables.items()
         }
         while True:
             actions: list[dict] = []
             for name, df in tables.items():
-                if name not in snap.schemas:
-                    actions.append(self._meta_action(name, df))
+                # overwrite retires every old file, so even a breaking
+                # schema change is safe here — refresh metaData if needed
+                if name not in snap.schemas or self._schema_change(
+                    snap.schemas[name], df
+                ):
+                    actions.append(
+                        self._meta_action(
+                            name, df, snap.partition_cols.get(name)
+                        )
+                    )
                 for p in snap.adds.get(name, {}):
                     actions.append({"remove": {"table": name, "path": p}})
                 actions.extend({"add": a} for a in new_adds[name])
@@ -410,7 +517,15 @@ class DeltaLogFormat(TableFormat):
                 f"files (e.g. {missing[0]}); time travel below the vacuum "
                 "horizon is gone by design"
             )
-        return spark.read.schema(schema).parquet(*paths)
+        # basePath lets partition columns materialize from the col=value
+        # directory layout; harmless for unpartitioned tables. Column
+        # order follows the stored schema either way.
+        return (
+            spark.read.schema(schema)
+            .option("basePath", os.path.join(self.data_dir, table))
+            .parquet(*paths)
+            .select(*[f.name for f in schema.fields])
+        )
 
     def latest_version(self) -> int:
         return self._snapshot().version
@@ -426,9 +541,12 @@ class DeltaLogFormat(TableFormat):
         """Append-only commit: write only ``df``'s files, add them to the
         log. Appends never conflict with each other (disjoint adds, no
         read set), so losers retry unconditionally — lock-free
-        multi-writer ingest. Returns the committed version, or -1 for a
-        replayed batch_id."""
-        adds = self._write_data_files(table, df)
+        multi-writer ingest. Schema evolution is additive-only here:
+        appending a frame with NEW columns upgrades the table schema
+        (old files read them as NULL); renames/drops/retypes raise.
+        Returns the committed version, or -1 for a replayed batch_id."""
+        pre = self._snapshot()
+        adds = self._write_data_files(table, df, pre.partition_cols.get(table))
         while True:
             snap = self._snapshot()
             if batch_id is not None and batch_id <= snap.last_batch_id:
@@ -437,6 +555,21 @@ class DeltaLogFormat(TableFormat):
             actions: list[dict] = []
             if table not in snap.schemas:
                 actions.append(self._meta_action(table, df))
+            else:
+                change = self._schema_change(snap.schemas[table], df)
+                if change == "breaking":
+                    self._abandon(adds)
+                    raise ValueError(
+                        f"append to {table!r} would rename/drop/retype "
+                        "columns; only additive schema evolution is "
+                        "allowed outside an overwrite commit"
+                    )
+                if change == "additive":
+                    actions.append(
+                        self._meta_action(
+                            table, df, snap.partition_cols.get(table)
+                        )
+                    )
             actions.extend({"add": a} for a in adds)
             actions.append(
                 {"txn": {"batch_id": batch_id if batch_id is not None
@@ -501,9 +634,12 @@ class DeltaLogFormat(TableFormat):
                 lo, hi = (st.get("min") or {}).get(c), (st.get("max") or {}).get(c)
                 klo, khi = key_rng[f"_lo_{c}"], key_rng[f"_hi_{c}"]
                 if lo is not None and hi is not None and klo is not None:
-                    if hi < klo or lo > khi:
-                        keep = False
-                        break
+                    try:
+                        if hi < klo or lo > khi:
+                            keep = False
+                            break
+                    except TypeError:
+                        pass  # incomparable stats form → cannot prune
             if keep:
                 candidates[p] = a
         # (2) exact touched-file set: which candidate files hold a changed key
@@ -514,6 +650,7 @@ class DeltaLogFormat(TableFormat):
             touched_abs = [
                 r["_f"]
                 for r in spark.read.schema(schema)
+                .option("basePath", os.path.join(self.data_dir, table))
                 .parquet(*cand_paths)
                 .withColumn("_f", F.input_file_name())
                 .join(F.broadcast(keys), on=pk_cols, how="left_semi")
@@ -530,15 +667,22 @@ class DeltaLogFormat(TableFormat):
                 )
                 for f in touched_abs
             ]
-        # (3) copy-on-write rewrite of touched rows + the changes
+        # (3) copy-on-write rewrite of touched rows + the changes;
+        # the rewrite preserves the table's partition layout so every
+        # active file sits under a consistent col=value structure
         if touched:
-            old_rows = spark.read.schema(schema).parquet(
-                *[os.path.join(self.data_dir, p) for p in touched]
+            old_rows = (
+                spark.read.schema(schema)
+                .option("basePath", os.path.join(self.data_dir, table))
+                .parquet(*[os.path.join(self.data_dir, p) for p in touched])
+                .select(*[f.name for f in schema.fields])
             )
         else:
             old_rows = spark.createDataFrame([], schema)
         rewritten = apply_changes(old_rows, changes, pk_cols, order_col, type_col)
-        adds = self._write_data_files(table, rewritten)
+        adds = self._write_data_files(
+            table, rewritten, snap.partition_cols.get(table)
+        )
         actions: list[dict] = []
         for p in touched:
             actions.append({"remove": {"table": table, "path": p}})
@@ -592,8 +736,13 @@ class DeltaLogFormat(TableFormat):
             if fmin is None or fmax is None:
                 kept[p] = a  # no stats → cannot prune safely
                 continue
-            if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
-                continue
+            try:
+                if (hi is not None and fmin > hi) or (
+                    lo is not None and fmax < lo
+                ):
+                    continue
+            except TypeError:
+                pass  # incomparable stats form → keep, residual decides
             kept[p] = a
         df = self._read_files(spark, snap, table, kept)
         if lo is not None:
@@ -615,7 +764,7 @@ class DeltaLogFormat(TableFormat):
         snap = self._snapshot()
         active = snap.adds.get(table, {})
         df = self._read_files(spark, snap, table, active).repartition(target_files)
-        adds = self._write_data_files(table, df)
+        adds = self._write_data_files(table, df, snap.partition_cols.get(table))
         actions = [{"remove": {"table": table, "path": p}} for p in active]
         actions.extend({"add": a} for a in adds)
         actions.append({"txn": {"batch_id": snap.last_batch_id}})
@@ -639,11 +788,13 @@ class DeltaLogFormat(TableFormat):
             for table_files in snap.adds.values():
                 live.update(table_files)
         deleted = []
-        for table in os.listdir(self.data_dir) if os.path.isdir(self.data_dir) else []:
-            tdir = os.path.join(self.data_dir, table)
-            for name in os.listdir(tdir):
-                rel = f"{table}/{name}"
-                if rel not in live:
-                    os.unlink(os.path.join(tdir, name))
-                    deleted.append(rel)
+        if os.path.isdir(self.data_dir):
+            for dirpath, _dirs, names in os.walk(self.data_dir):
+                for name in names:
+                    rel = os.path.relpath(
+                        os.path.join(dirpath, name), self.data_dir
+                    ).replace(os.sep, "/")
+                    if rel not in live:
+                        os.unlink(os.path.join(dirpath, name))
+                        deleted.append(rel)
         return sorted(deleted)

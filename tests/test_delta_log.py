@@ -308,3 +308,169 @@ def test_stats_skip_null_heavy_files(spark, tmp_path):
     df, total, read = fmt.read_where(spark, "n", "v", lo=5.0)
     assert total == 2 and read == 2  # null-only file kept
     assert _rows(df) == [(1, 10.0)]
+
+
+def test_partitioned_table_layout_and_pruning(spark, tmp_path):
+    """Hive-partitioned DeltaLog table: the partition spec lives in
+    metaData, data files sit under col=value dirs, reads materialize the
+    partition column from the path, and read_where prunes on partition
+    values exactly (they are min=max stats) — across appends, merge
+    (which preserves the layout), and a checkpoint round trip."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"), checkpoint_interval=2)
+    base = spark.createDataFrame(
+        [(1, "us", 10.0), (2, "eu", 20.0), (3, "us", 30.0)],
+        "id long, region string, v double",
+    )
+    fmt.init({"s": base}, partition_by={"s": ["region"]})
+    # layout: files under region=us / region=eu
+    assert os.path.isdir(os.path.join(fmt.data_dir, "s", "region=us"))
+    assert _rows(fmt.read(spark, "s")) == [
+        (1, "us", 10.0), (2, "eu", 20.0), (3, "us", 30.0)
+    ]
+    # appends inherit the spec from metaData (no parameter needed)
+    fmt.append("s", spark.createDataFrame(
+        [(4, "ap", 40.0)], "id long, region string, v double"))
+    df, total, read = fmt.read_where(spark, "s", "region", lo="eu", hi="eu")
+    assert read < total and _rows(df) == [(2, "eu", 20.0)]
+    # merge rewrites only touched files and keeps the col=value layout
+    ch = spark.createDataFrame(
+        [(2, _ts(1), "update", "eu", 21.0)],
+        "id long, ts timestamp, type string, region string, v double",
+    )
+    fmt.merge(spark, "s", ch, ["id"])
+    assert _rows(fmt.read(spark, "s")) == [
+        (1, "us", 10.0), (2, "eu", 21.0), (3, "us", 30.0), (4, "ap", 40.0)
+    ]
+    live = set(fmt._snapshot().adds["s"])
+    assert all(p.split("/")[1].startswith("region=") for p in live)
+    # checkpoint at v2 (interval=2) carries the spec + partitioned adds:
+    # drop the replayed JSON tail below it and re-read
+    assert os.path.exists(fmt._ckpt_path(2))
+    for v in range(0, 3):
+        os.unlink(fmt._log_path(v))
+    assert fmt._snapshot().partition_cols["s"] == ["region"]
+    df2, total2, read2 = fmt.read_where(spark, "s", "region", lo="us", hi="us")
+    assert read2 < total2
+    assert _rows(df2) == [(1, "us", 10.0), (3, "us", 30.0)]
+
+
+def test_partitioned_int_column_typed_pruning(spark, tmp_path):
+    """Integer partition values are compared as ints, not directory
+    strings (year=9 vs year=10 must not prune lexicographically)."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, 9, 1.0), (2, 10, 2.0), (3, 11, 3.0)], "id long, yr int, v double"
+    )
+    fmt.init({"e": df}, partition_by={"e": ["yr"]})
+    out, total, read = fmt.read_where(spark, "e", "yr", lo=10)
+    assert total == 3 and read == 2  # '9' > '10' as strings — must not hide yr=10,11
+    assert _rows(out) == [(2, 10, 2.0), (3, 11, 3.0)]
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """Appending a frame with a NEW column upgrades the table schema;
+    old files read the addition as NULL. Renaming/dropping/retyping in
+    an append raises; an overwrite commit may change schema freely.
+    Time travel keeps each version's own schema."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    fmt.init({"d": spark.createDataFrame([(1, "a")], "id long, s string")})
+    fmt.append("d", spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, s string, score double"))
+    got = {r.id: (r.s, r.score) for r in fmt.read(spark, "d").collect()}
+    assert got == {1: ("a", None), 2: ("b", 0.5)}
+    # v0 time travel: the old two-column schema
+    assert fmt.read(spark, "d", version=0).columns == ["id", "s"]
+    # breaking changes raise (column dropped / retyped)
+    with pytest.raises(ValueError, match="additive"):
+        fmt.append("d", spark.createDataFrame([(3,)], "id long"))
+    with pytest.raises(ValueError, match="additive"):
+        fmt.append("d", spark.createDataFrame(
+            [(3, 1, 0.5)], "id long, s int, score double"))
+    # the failed appends left no orphan data files behind
+    assert fmt.vacuum(horizon=0) == []
+    # overwrite commit: full schema replacement is allowed (old files retire)
+    fmt.commit({"d": spark.createDataFrame([(9, True)], "id long, flag boolean")},
+               batch_id=0)
+    assert fmt.read(spark, "d").columns == ["id", "flag"]
+    assert _rows(fmt.read(spark, "d")) == [(9, True)]
+
+
+def test_randomized_op_sequence_matches_model(spark, tmp_path):
+    """Seeded randomized differential: a 20-op interleaving of
+    append / merge / overwrite-commit / compact against a driver-side
+    dict model. After every committed version the table equals the
+    model, and at the end three time-travel reads equal the recorded
+    model history — the whole-format law the individual tests sample."""
+    import random
+
+    rng = random.Random(20260815)
+    fmt = DeltaLogFormat(str(tmp_path / "t"), checkpoint_interval=4)
+    model = {i: float(i) for i in range(5)}
+    fmt.init({"x": spark.createDataFrame(
+        sorted(model.items()), "id long, v double")})
+    history = [dict(model)]  # history[v] = model at version v
+    next_id, batch = 100, 0
+
+    def df_of(mapping):
+        return spark.createDataFrame(
+            sorted(mapping.items()), "id long, v double")
+
+    for step in range(20):
+        op = rng.choice(["append", "append", "merge", "merge", "merge",
+                         "overwrite", "compact"])
+        if op == "append":
+            rows = {next_id + k: rng.uniform(0, 100) for k in range(rng.randint(1, 3))}
+            next_id += 10
+            v = fmt.append("x", df_of(rows))
+            model.update(rows)
+        elif op == "merge":
+            changes, used = [], set()
+            for _ in range(rng.randint(1, 4)):
+                if model and rng.random() < 0.6:
+                    k = rng.choice(sorted(model))
+                    if k in used:
+                        continue
+                    used.add(k)
+                    if rng.random() < 0.3:
+                        changes.append((k, _ts(step), "delete", None))
+                        model.pop(k)
+                    else:
+                        nv = rng.uniform(0, 100)
+                        changes.append((k, _ts(step), "update", nv))
+                        model[k] = nv
+                else:
+                    k = next_id
+                    next_id += 1
+                    nv = rng.uniform(0, 100)
+                    changes.append((k, _ts(step), "insert", nv))
+                    model[k] = nv
+            if not changes:
+                continue
+            batch += 1
+            v = fmt.merge(
+                spark, "x",
+                spark.createDataFrame(
+                    changes, "id long, ts timestamp, type string, v double"),
+                ["id"], batch_id=batch)
+        elif op == "overwrite":
+            model = {next_id + k: rng.uniform(0, 100) for k in range(3)}
+            next_id += 10
+            batch += 1
+            assert fmt.commit({"x": df_of(model)}, batch_id=batch) is True
+            v = fmt.latest_version()
+        else:  # compact
+            v = fmt.compact(spark, "x", target_files=2)
+        history.append(dict(model))
+        assert v == len(history) - 1
+        got = {r.id: r.v for r in fmt.read(spark, "x").collect()}
+        assert got == pytest.approx(model), f"divergence after step {step} ({op})"
+
+    # time travel across the whole run equals the recorded history
+    for v in sorted(rng.sample(range(len(history)), 3)):
+        got = {r.id: r.v for r in fmt.read(spark, "x", version=v).collect()}
+        assert got == pytest.approx(history[v]), f"time travel to v{v}"
+    # vacuum to the latest version, then only the head survives
+    latest = fmt.latest_version()
+    fmt.vacuum(horizon=latest)
+    got = {r.id: r.v for r in fmt.read(spark, "x").collect()}
+    assert got == pytest.approx(history[latest])
