@@ -160,6 +160,11 @@ class DeltaLogFormat(TableFormat):
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "_data")
         self.checkpoint_interval = checkpoint_interval
+        #: planning counters from the last merge() on this instance —
+        #: {"active", "candidates", "touched"} file counts; the
+        #: O(delta) contract is touched ≪ active for selective change
+        #: sets, asserted by the proportionality pytest
+        self.last_merge_stats: dict | None = None
 
     # -- log primitives ------------------------------------------------------
 
@@ -667,6 +672,11 @@ class DeltaLogFormat(TableFormat):
                 )
                 for f in touched_abs
             ]
+        self.last_merge_stats = {
+            "active": len(active),
+            "candidates": len(candidates),
+            "touched": len(touched),
+        }
         # (3) copy-on-write rewrite of touched rows + the changes;
         # the rewrite preserves the table's partition layout so every
         # active file sits under a consistent col=value structure

@@ -474,3 +474,83 @@ def test_randomized_op_sequence_matches_model(spark, tmp_path):
     fmt.vacuum(horizon=latest)
     got = {r.id: r.v for r in fmt.read(spark, "x").collect()}
     assert got == pytest.approx(history[latest])
+
+
+def test_merge_io_proportionality_many_files(spark, tmp_path):
+    """The O(delta) contract at a realistic file count: a 24-file table
+    (documents-style keyed rows appended in disjoint key ranges) merged
+    with a change batch touching keys in ONE range — planning must
+    prune to a handful of candidate files by stats and rewrite exactly
+    one, regardless of how many files the table holds. This is the
+    structural fact that makes a 10^6-row merge against a 100 TB table
+    cost the touched files, not the table."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    width = 250
+    n_files = 24
+    fmt.init({"docs": spark.createDataFrame(
+        [(i, f"body-{i}") for i in range(width)], "doc_id long, body string"
+    ).coalesce(1)})
+    for f in range(1, n_files):
+        lo = f * width
+        fmt.append("docs", spark.createDataFrame(
+            [(i, f"body-{i}") for i in range(lo, lo + width)],
+            "doc_id long, body string").coalesce(1))
+    assert len(fmt._snapshot().adds["docs"]) == n_files
+
+    # change batch confined to file 17's key range
+    lo = 17 * width
+    changes = spark.createDataFrame(
+        [(i, _ts(1), "update", f"edited-{i}") for i in range(lo, lo + 5)],
+        "doc_id long, ts timestamp, type string, body string",
+    )
+    fmt.merge(spark, "docs", changes, ["doc_id"])
+    stats = fmt.last_merge_stats
+    assert stats["active"] == n_files
+    assert stats["candidates"] <= 2   # stats prune: only the overlapping range
+    assert stats["touched"] == 1      # exact semi-join: one file rewritten
+    # the table is still whole and the edits landed
+    got = fmt.read(spark, "docs")
+    assert got.count() == n_files * width
+    edited = {r.body for r in got.filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 5)).collect()}
+    assert edited == {f"edited-{i}" for i in range(lo, lo + 5)}
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Z-order (sources/layout.zorder_key) + DeltaLog file skipping
+    compose: repartitionRange-by-Morton-key before the write gives
+    every file a tight [min,max] box on BOTH columns, so read_where
+    prunes on either dimension — the multi-column data-skipping story
+    a single-column sort cannot give (sorting by x alone leaves y
+    stats spanning the full domain in every file)."""
+    from cdc_init_spark.sources.layout import zorder_key
+
+    rows = [(x, y, float(x * 100 + y)) for x in range(40) for y in range(40)]
+    df = spark.createDataFrame(rows, "x int, y int, v double")
+
+    def skipped(fmt, col, lo, hi):
+        _, total, read = fmt.read_where(spark, "t", col, lo=lo, hi=hi)
+        return total, read
+
+    # arm 1: files laid out by x only — y never prunes
+    by_x = DeltaLogFormat(str(tmp_path / "byx"))
+    by_x.init({"t": df.repartitionByRange(16, "x")})
+    # arm 2: files laid out along the Morton curve
+    by_z = DeltaLogFormat(str(tmp_path / "byz"))
+    ranked, z = zorder_key(df, ["x", "y"], bits=8)
+    by_z.init({"t": ranked.withColumn("_z", z)
+                    .repartitionByRange(16, "_z")
+                    .drop("_z", "_zr_x", "_zr_y")})
+
+    tx, rx = skipped(by_z, "x", 10, 12)
+    ty, ry = skipped(by_z, "y", 10, 12)
+    assert rx < tx and ry < ty  # BOTH dimensions prune under z-order
+    _, rx_lin = skipped(by_x, "x", 10, 12)
+    _, ry_lin = skipped(by_x, "y", 10, 12)
+    assert rx_lin < 16          # the sorted dimension prunes...
+    assert ry_lin == 16         # ...the other cannot: every file spans y
+    # and both layouts return identical rows
+    want = sorted((x, y, float(x * 100 + y)) for x in range(40)
+                  for y in range(10, 13))
+    got_z, _, _ = by_z.read_where(spark, "t", "y", lo=10, hi=12)
+    assert _rows(got_z) == want
