@@ -704,8 +704,9 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
     and broadcasts; lineitem-orders is the one fact-fact shuffle.
     Profit accumulates in DECIMAL(18,6) of the per-row double amount —
     exact associative sum, order/partitioning-independent at any scale
-    (same rationale and tie-freedom argument as q81; the double SUM
-    drifted ±0.01 vs DuckDB at sf1.0)."""
+    (same rationale and cast-tie-rounding argument as q81 — both
+    engines round half away from zero on the double→decimal cast; the
+    double SUM drifted ±0.01 vs DuckDB at sf1.0)."""
     li = load_table(spark, sf, "lineitem")
     p = (
         load_table(spark, sf, "part")
