@@ -446,7 +446,7 @@ class DeltaLogFormat(TableFormat):
     ) -> None:
         os.makedirs(self.root, exist_ok=True)
         partition_by = partition_by or {}
-        actions: list[dict] = []
+        actions: list[dict] = [{"commitInfo": {"operation": "init"}}]
         for name, df in tables.items():
             spec = partition_by.get(name)
             actions.append(self._meta_action(name, df, spec))
@@ -474,7 +474,7 @@ class DeltaLogFormat(TableFormat):
             for name, df in tables.items()
         }
         while True:
-            actions: list[dict] = []
+            actions: list[dict] = [{"commitInfo": {"operation": "overwrite"}}]
             for name, df in tables.items():
                 # overwrite retires every old file, so even a breaking
                 # schema change is safe here — refresh metaData if needed
@@ -557,7 +557,7 @@ class DeltaLogFormat(TableFormat):
             if batch_id is not None and batch_id <= snap.last_batch_id:
                 self._abandon(adds)
                 return -1
-            actions: list[dict] = []
+            actions: list[dict] = [{"commitInfo": {"operation": "append"}}]
             if table not in snap.schemas:
                 actions.append(self._meta_action(table, df))
             else:
@@ -693,7 +693,7 @@ class DeltaLogFormat(TableFormat):
         adds = self._write_data_files(
             table, rewritten, snap.partition_cols.get(table)
         )
-        actions: list[dict] = []
+        actions: list[dict] = [{"commitInfo": {"operation": "merge"}}]
         for p in touched:
             actions.append({"remove": {"table": table, "path": p}})
         actions.extend({"add": a} for a in adds)
@@ -775,7 +775,8 @@ class DeltaLogFormat(TableFormat):
         active = snap.adds.get(table, {})
         df = self._read_files(spark, snap, table, active).repartition(target_files)
         adds = self._write_data_files(table, df, snap.partition_cols.get(table))
-        actions = [{"remove": {"table": table, "path": p}} for p in active]
+        actions = [{"commitInfo": {"operation": "compact"}}]
+        actions += [{"remove": {"table": table, "path": p}} for p in active]
         actions.extend({"add": a} for a in adds)
         actions.append({"txn": {"batch_id": snap.last_batch_id}})
         if not self._try_write_commit(snap.version + 1, actions):
@@ -783,6 +784,95 @@ class DeltaLogFormat(TableFormat):
             raise CommitConflictError("concurrent commit during compact")
         self._maybe_checkpoint(snap.version + 1)
         return snap.version + 1
+
+    def history(self) -> list[dict]:
+        """Audit log: one row per version still present as a JSON log
+        entry (entries archived behind a checkpoint are omitted), with
+        the commitInfo operation and the txn batch id. Newest first,
+        like Delta's DESCRIBE HISTORY."""
+        out = []
+        latest = self._snapshot().version
+        for v in range(latest, -1, -1):
+            path = self._log_path(v)
+            if not os.path.exists(path):
+                continue
+            row = {"version": v, "operation": None, "batch_id": None}
+            with open(path) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        row["operation"] = a["commitInfo"].get("operation")
+                    elif "txn" in a:
+                        row["batch_id"] = a["txn"]["batch_id"]
+            out.append(row)
+        return out
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... VERSION AS OF: commit a NEW version whose
+        live set (every table: files, schema, partition spec) equals
+        ``version``'s — history is preserved, nothing is rewritten
+        (the old data files are re-referenced, so restore costs one log
+        entry regardless of table size). Raises if ``version``'s files
+        were vacuumed away."""
+        target = self._snapshot(version)
+        for table, files in target.adds.items():
+            missing = [
+                p for p in files
+                if not os.path.exists(os.path.join(self.data_dir, p))
+            ]
+            if missing:
+                raise ValueError(
+                    f"cannot restore to v{version}: {table!r} file "
+                    f"{missing[0]} was vacuumed"
+                )
+        while True:
+            cur = self._snapshot()
+            actions: list[dict] = [
+                {"commitInfo": {"operation": f"restore(v{version})"}}
+            ]
+            for table in set(cur.adds) | set(target.adds):
+                if table in target.schemas:
+                    actions.append(
+                        {
+                            "metaData": {
+                                "table": table,
+                                "schema_json": target.schemas[table],
+                                "partition_cols": target.partition_cols.get(
+                                    table, []
+                                ),
+                            }
+                        }
+                    )
+                for p in cur.adds.get(table, {}):
+                    actions.append({"remove": {"table": table, "path": p}})
+                for a in target.adds.get(table, {}).values():
+                    actions.append({"add": a})
+            actions.append({"txn": {"batch_id": cur.last_batch_id}})
+            nxt = cur.version + 1
+            if self._try_write_commit(nxt, actions):
+                self._maybe_checkpoint(nxt)
+                return nxt
+
+    def changes_between(
+        self,
+        spark: SparkSession,
+        table: str,
+        v_old: int,
+        v_new: int,
+        pk_cols: list[str],
+    ) -> DataFrame:
+        """CDC read over the format (Delta's table_changes): the minimal
+        keyed DML set transforming version ``v_old`` into ``v_new`` —
+        one PK full-outer join via streaming/apply.diff_snapshots, so
+        ``apply_changes(read(v_old), result) ≡ read(v_new)`` by the
+        diff law already pinned in test_apply."""
+        from cdc_init_spark.streaming.apply import diff_snapshots
+
+        return diff_snapshots(
+            self.read(spark, table, version=v_old),
+            self.read(spark, table, version=v_new),
+            pk_cols,
+        )
 
     def vacuum(self, horizon: int) -> list[str]:
         """Delete data files unreferenced by every version ≥ ``horizon``
