@@ -61,13 +61,23 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from cdc_init_spark.sources.commit_store import CommitStore, LocalCommitStore
 from cdc_init_spark.sources.table_format import TableFormat
+
+#: Delta parity: files younger than this are never vacuumed by default —
+#: they may belong to an in-flight writer that has written data but not
+#: yet won its log commit (indistinguishable from crashed-writer orphans
+#: by any snapshot; only age separates them). Tests that simulate crashed
+#: writers pass retention_s=0.0 explicitly.
+DEFAULT_VACUUM_RETENTION_S = 7 * 24 * 3600.0
 
 
 class CommitConflictError(RuntimeError):
@@ -138,7 +148,19 @@ class _Snapshot:
             self.adds.setdefault(a["table"], {})[a["path"]] = a
         elif "remove" in action:
             r = action["remove"]
-            self.adds.get(r["table"], {}).pop(r["path"], None)
+            active = self.adds.get(r["table"], {})
+            if r["path"] not in active:
+                # A remove must retire a file that is active at this
+                # point of the replay — anything else means the writer
+                # committed against a path form the log never added
+                # (e.g. an un-decoded URI) and the table would silently
+                # keep BOTH the stale file and its rewrite (duplicates).
+                # Fail loudly instead (ADVICE r6, delta_log.py:141).
+                raise ValueError(
+                    f"corrupt log: remove references inactive path "
+                    f"{r['path']!r} of table {r['table']!r}"
+                )
+            del active[r["path"]]
         elif "txn" in action:
             self.last_batch_id = max(
                 self.last_batch_id, action["txn"]["batch_id"]
@@ -155,11 +177,20 @@ class DeltaLogFormat(TableFormat):
     concurrent writers (append/commit retry on version collisions);
     single process or any filesystem where ``os.link`` is atomic."""
 
-    def __init__(self, root: str, checkpoint_interval: int = 10) -> None:
+    def __init__(
+        self,
+        root: str,
+        checkpoint_interval: int = 10,
+        commit_store: CommitStore | None = None,
+    ) -> None:
         self.root = root
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "_data")
         self.checkpoint_interval = checkpoint_interval
+        #: the put-if-absent primitive every commit decision rides on;
+        #: bind an object-store implementation here for S3/GCS/Azure
+        #: (conditional-put mapping documented in sources/commit_store.py)
+        self.commit_store = commit_store or LocalCommitStore()
         #: planning counters from the last merge() on this instance —
         #: {"active", "candidates", "touched"} file counts; the
         #: O(delta) contract is touched ≪ active for selective change
@@ -175,25 +206,15 @@ class DeltaLogFormat(TableFormat):
         return os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
 
     def _try_write_commit(self, version: int, actions: list[dict]) -> bool:
-        """Put-if-absent creation of the version's log entry: write a
-        temp file, hard-link it to the final name (atomic; EEXIST when
-        another writer already owns this version). Readers can never
-        observe a partial entry — the link appears fully written or not
-        at all."""
-        os.makedirs(self.log_dir, exist_ok=True)
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            for a in actions:
-                f.write(json.dumps(a, sort_keys=True) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, self._log_path(version))
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        """Put-if-absent creation of the version's log entry via the
+        CommitStore seam (locally: fsync'd temp + atomic hard link;
+        object stores: conditional put — see sources/commit_store.py).
+        Readers can never observe a partial entry — the name appears
+        fully written or not at all."""
+        payload = "".join(
+            json.dumps(a, sort_keys=True) + "\n" for a in actions
+        ).encode()
+        return self.commit_store.put_if_absent(self._log_path(version), payload)
 
     def _latest_checkpoint_leq(self, version: int | None) -> int | None:
         ptr = os.path.join(self.log_dir, "_last_checkpoint")
@@ -457,34 +478,50 @@ class DeltaLogFormat(TableFormat):
         if not self._try_write_commit(0, actions):
             raise CommitConflictError("version 0 already exists")
 
-    def commit(self, tables: dict[str, DataFrame], batch_id: int) -> bool:
+    def commit(
+        self,
+        tables: dict[str, DataFrame],
+        batch_id: int,
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> bool:
         """Overwrite-commit: the given tables' full new contents become
         the next version (removes for every previously-active file of
         those tables + adds for the new ones). Still O(written-data) in
         IO — the win over VersionedParquetFormat is that tables NOT in
         this commit are untouched, and ``append``/``merge`` below give
-        the O(delta) paths."""
+        the O(delta) paths.
+
+        ``partition_by`` re-specs a table's partition layout — safe only
+        here, because an overwrite retires every old file, so no mixed-
+        layout state can exist at any version."""
         snap = self._snapshot()
         if batch_id <= snap.last_batch_id:
             return False
+
+        def spec_of(name: str) -> list[str] | None:
+            if partition_by is not None and name in partition_by:
+                return partition_by[name]
+            return snap.partition_cols.get(name)
+
+        specs_used = {name: spec_of(name) for name in tables}
         new_adds: dict[str, list[dict]] = {
-            name: self._write_data_files(
-                name, df, snap.partition_cols.get(name)
-            )
+            name: self._write_data_files(name, df, specs_used[name])
             for name, df in tables.items()
         }
         while True:
             actions: list[dict] = [{"commitInfo": {"operation": "overwrite"}}]
             for name, df in tables.items():
                 # overwrite retires every old file, so even a breaking
-                # schema change is safe here — refresh metaData if needed
-                if name not in snap.schemas or self._schema_change(
-                    snap.schemas[name], df
+                # schema change is safe here — refresh metaData when the
+                # schema OR the partition spec changes
+                if (
+                    name not in snap.schemas
+                    or self._schema_change(snap.schemas[name], df)
+                    or (specs_used[name] or [])
+                    != (snap.partition_cols.get(name) or [])
                 ):
                     actions.append(
-                        self._meta_action(
-                            name, df, snap.partition_cols.get(name)
-                        )
+                        self._meta_action(name, df, specs_used[name])
                     )
                 for p in snap.adds.get(name, {}):
                     actions.append({"remove": {"table": name, "path": p}})
@@ -499,6 +536,16 @@ class DeltaLogFormat(TableFormat):
             if batch_id <= snap.last_batch_id:
                 self._abandon([a for adds in new_adds.values() for a in adds])
                 return False
+            # if the winner changed a table's partition spec, files laid
+            # out under the old col=value structure must NOT be committed
+            # against the new metaData — rewrite them under the current
+            # spec (ADVICE r6, delta_log.py:470)
+            for name, df in tables.items():
+                cur_spec = spec_of(name)
+                if (cur_spec or []) != (specs_used[name] or []):
+                    self._abandon(new_adds[name])
+                    specs_used[name] = cur_spec
+                    new_adds[name] = self._write_data_files(name, df, cur_spec)
 
     def read(
         self, spark: SparkSession, table: str, version: int | None = None
@@ -551,12 +598,22 @@ class DeltaLogFormat(TableFormat):
         (old files read them as NULL); renames/drops/retypes raise.
         Returns the committed version, or -1 for a replayed batch_id."""
         pre = self._snapshot()
-        adds = self._write_data_files(table, df, pre.partition_cols.get(table))
+        spec_used = pre.partition_cols.get(table)
+        adds = self._write_data_files(table, df, spec_used)
         while True:
             snap = self._snapshot()
             if batch_id is not None and batch_id <= snap.last_batch_id:
                 self._abandon(adds)
                 return -1
+            if (snap.partition_cols.get(table) or []) != (spec_used or []):
+                # a concurrent overwrite re-specced the table's partition
+                # layout: our files sit under the OLD col=value structure
+                # and would materialize wrong/missing partition columns if
+                # committed against the new metaData — rewrite under the
+                # current spec (ADVICE r6, delta_log.py:470)
+                self._abandon(adds)
+                spec_used = snap.partition_cols.get(table)
+                adds = self._write_data_files(table, df, spec_used)
             actions: list[dict] = [{"commitInfo": {"operation": "append"}}]
             if table not in snap.schemas:
                 actions.append(self._meta_action(table, df))
@@ -663,15 +720,26 @@ class DeltaLogFormat(TableFormat):
                 .distinct()
                 .collect()
             ]
-            # input_file_name() yields file: URIs; normalize back to the
-            # log's data_dir-relative form
+            # input_file_name() yields PERCENT-ENCODED file: URIs (a
+            # partition dir `region=a b` comes back as `region=a%20b`);
+            # decode the URI path before relativizing or the remove
+            # would reference a path the log never added (ADVICE r6,
+            # delta_log.py:668)
+            def _local(uri: str) -> str:
+                parsed = urlparse(uri)
+                return unquote(parsed.path) if parsed.scheme else uri
+
             touched = [
-                os.path.relpath(
-                    f.removeprefix("file://").removeprefix("file:"),
-                    self.data_dir,
-                )
+                os.path.relpath(_local(f), self.data_dir).replace(os.sep, "/")
                 for f in touched_abs
             ]
+            bad = [p for p in touched if p not in active]
+            if bad:
+                raise ValueError(
+                    f"merge planning produced touched path {bad[0]!r} that "
+                    f"is not an active file of {table!r} — path "
+                    "normalization bug or concurrent layout change"
+                )
         self.last_merge_stats = {
             "active": len(active),
             "candidates": len(candidates),
@@ -703,8 +771,11 @@ class DeltaLogFormat(TableFormat):
         )
         if not self._try_write_commit(snap.version + 1, actions):
             cur = self._snapshot()
-            if set(cur.adds.get(table, {})) == set(active) and (
-                batch_id is None or batch_id > cur.last_batch_id
+            if (
+                set(cur.adds.get(table, {})) == set(active)
+                and (cur.partition_cols.get(table) or [])
+                == (snap.partition_cols.get(table) or [])
+                and (batch_id is None or batch_id > cur.last_batch_id)
             ):
                 # winner touched other tables only: our read set is intact
                 if self._try_write_commit(cur.version + 1, actions):
@@ -874,11 +945,39 @@ class DeltaLogFormat(TableFormat):
             pk_cols,
         )
 
-    def vacuum(self, horizon: int) -> list[str]:
+    def vacuum(
+        self,
+        horizon: int,
+        retention_s: float = DEFAULT_VACUUM_RETENTION_S,
+    ) -> list[str]:
         """Delete data files unreferenced by every version ≥ ``horizon``
         (time travel below the horizon is surrendered; reads there fail
         with a clear error). Also collects orphans from crashed writers
-        — data files no version ever committed. Returns deleted paths."""
+        — data files no version ever committed. Returns deleted paths.
+
+        Two guards make this safe under lock-free concurrent writers
+        (ADVICE r6, delta_log.py:882):
+
+        1. **Retention window** — files younger than ``retention_s`` are
+           never deleted (Delta's default-7-day rule). An in-flight
+           writer's data files exist BEFORE its log commit and are
+           indistinguishable from crashed-writer orphans by any
+           snapshot; age is the only separator. Pass ``retention_s=0``
+           only when no writer can be in flight (tests, maintenance
+           windows).
+        2. **Re-snapshot before delete** — commits that land between
+           computing the live set and deleting (e.g. a ``restore`` that
+           re-references an old file) are re-read, and any candidate
+           they reference is spared.
+        """
+        latest, candidates = self._vacuum_plan(horizon, retention_s)
+        return self._vacuum_execute(horizon, latest, candidates)
+
+    def _vacuum_plan(
+        self, horizon: int, retention_s: float
+    ) -> tuple[int, list[str]]:
+        """(latest version seen, candidate rel-paths: unreferenced by any
+        version ≥ horizon AND older than the retention window)."""
         latest = self._snapshot().version
         if not 0 <= horizon <= latest:
             raise ValueError(f"horizon must be in [0, {latest}]")
@@ -887,14 +986,43 @@ class DeltaLogFormat(TableFormat):
             snap = self._snapshot(v)
             for table_files in snap.adds.values():
                 live.update(table_files)
-        deleted = []
+        cutoff = time.time() - retention_s
+        candidates: list[str] = []
         if os.path.isdir(self.data_dir):
             for dirpath, _dirs, names in os.walk(self.data_dir):
                 for name in names:
-                    rel = os.path.relpath(
-                        os.path.join(dirpath, name), self.data_dir
-                    ).replace(os.sep, "/")
-                    if rel not in live:
-                        os.unlink(os.path.join(dirpath, name))
-                        deleted.append(rel)
+                    full = os.path.join(dirpath, name)
+                    rel = os.path.relpath(full, self.data_dir).replace(
+                        os.sep, "/"
+                    )
+                    if rel in live:
+                        continue
+                    try:
+                        if os.path.getmtime(full) > cutoff:
+                            continue  # young: possibly an in-flight writer's
+                    except OSError:
+                        continue  # deleted underneath us: nothing to do
+                    candidates.append(rel)
+        return latest, candidates
+
+    def _vacuum_execute(
+        self, horizon: int, latest: int, candidates: list[str]
+    ) -> list[str]:
+        """Re-snapshot (commits since ``latest`` may re-reference a
+        candidate — restore does exactly that), then delete survivors."""
+        spared: set[str] = set()
+        new_latest = self._snapshot().version
+        for v in range(max(horizon, latest + 1), new_latest + 1):
+            snap = self._snapshot(v)
+            for table_files in snap.adds.values():
+                spared.update(table_files)
+        deleted = []
+        for rel in candidates:
+            if rel in spared:
+                continue
+            try:
+                os.unlink(os.path.join(self.data_dir, rel))
+            except FileNotFoundError:
+                continue
+            deleted.append(rel)
         return sorted(deleted)

@@ -214,7 +214,7 @@ def test_vacuum_collects_unreferenced_and_orphans(spark, tmp_path):
     orphan = os.path.join(fmt.data_dir, "a", "part-orphan.parquet")
     with open(orphan, "wb") as f:
         f.write(b"not really parquet")
-    deleted = fmt.vacuum(horizon=1)
+    deleted = fmt.vacuum(horizon=1, retention_s=0.0)
     assert "a/part-orphan.parquet" in deleted
     assert len(deleted) == 2  # v0's file + the orphan
     # versions ≥ horizon intact
@@ -387,7 +387,7 @@ def test_schema_evolution_additive_append(spark, tmp_path):
         fmt.append("d", spark.createDataFrame(
             [(3, 1, 0.5)], "id long, s int, score double"))
     # the failed appends left no orphan data files behind
-    assert fmt.vacuum(horizon=0) == []
+    assert fmt.vacuum(horizon=0, retention_s=0.0) == []
     # overwrite commit: full schema replacement is allowed (old files retire)
     fmt.commit({"d": spark.createDataFrame([(9, True)], "id long, flag boolean")},
                batch_id=0)
@@ -471,7 +471,7 @@ def test_randomized_op_sequence_matches_model(spark, tmp_path):
         assert got == pytest.approx(history[v]), f"time travel to v{v}"
     # vacuum to the latest version, then only the head survives
     latest = fmt.latest_version()
-    fmt.vacuum(horizon=latest)
+    fmt.vacuum(horizon=latest, retention_s=0.0)
     got = {r.id: r.v for r in fmt.read(spark, "x").collect()}
     assert got == pytest.approx(history[latest])
 
@@ -598,6 +598,141 @@ def test_history_restore_and_cdc_read(spark, tmp_path):
     assert _rows(fmt.read(spark, "a", version=3)) == _rows(
         fmt.read(spark, "a", version=2))
     # restore below a vacuum horizon is refused loudly
-    fmt.vacuum(horizon=4)
+    fmt.vacuum(horizon=4, retention_s=0.0)
     with pytest.raises(ValueError, match="vacuum"):
         fmt.restore(2)
+
+
+# -- round-7 hardening (ADVICE r6): vacuum safety, URI decoding, loud
+# -- corruption, partition-spec races ------------------------------------
+
+
+def test_vacuum_retention_spares_young_files(spark, tmp_path):
+    """A data file younger than the retention window is NEVER deleted,
+    even when unreferenced — it may belong to an in-flight writer whose
+    log commit has not landed yet (indistinguishable from a crashed
+    writer's orphan except by age)."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    fmt.init({"a": spark.createDataFrame([(1, 1.0)], "id long, v double")})
+    # an "in-flight writer": data written seconds ago, no log entry yet
+    inflight = os.path.join(fmt.data_dir, "a", "part-inflight.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"pending")
+    assert fmt.vacuum(horizon=0, retention_s=3600.0) == []
+    assert os.path.exists(inflight)  # spared: younger than the window
+    # with retention 0 (maintenance window, no writers) it IS an orphan
+    assert fmt.vacuum(horizon=0, retention_s=0.0) == ["a/part-inflight.parquet"]
+
+
+def test_vacuum_spares_files_recommitted_after_plan(spark, tmp_path):
+    """The re-snapshot guard: a commit landing between the live-set
+    computation and the deletion walk (here: a restore re-referencing
+    the candidate file) spares that file — the restored version stays
+    readable instead of silently losing its data."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    fmt.init({"a": spark.createDataFrame([(1, 1.0)], "id long, v double")})
+    fmt.commit({"a": spark.createDataFrame([(1, 2.0)], "id long, v double")},
+               batch_id=0)
+    latest, candidates = fmt._vacuum_plan(horizon=1, retention_s=0.0)
+    assert candidates  # v0's file is unreferenced at horizon 1...
+    fmt.restore(0)     # ...but a racing restore re-references it
+    assert fmt._vacuum_execute(1, latest, candidates) == []
+    assert _rows(fmt.read(spark, "a")) == [(1, 1.0)]  # restored state intact
+
+
+def test_merge_partition_values_with_spaces(spark, tmp_path):
+    """Partition string values containing URI-encodable characters
+    (space, percent): input_file_name() returns PERCENT-ENCODED URIs, so
+    merge must decode before matching the log's on-disk path form — else
+    the remove references `region=a%20b/...` (never added) and the stale
+    file would survive alongside its rewrite (duplicates)."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "a b", 10.0), (2, "plain", 20.0), (3, "p%25q", 30.0)],
+        "id long, region string, v double",
+    )
+    fmt.init({"s": base}, partition_by={"s": ["region"]})
+    ch = spark.createDataFrame(
+        [(1, _ts(1), "update", "a b", 11.0),
+         (3, _ts(1), "update", "p%25q", 33.0)],
+        "id long, ts timestamp, type string, region string, v double",
+    )
+    fmt.merge(spark, "s", ch, ["id"])
+    assert _rows(fmt.read(spark, "s")) == [
+        (1, "a b", 11.0), (2, "plain", 20.0), (3, "p%25q", 33.0)
+    ]
+    # exactly one active file per partition value — no stale duplicates
+    from collections import Counter
+    by_part = Counter(
+        p.split("/")[1] for p in fmt._snapshot().adds["s"]
+    )
+    assert all(n == 1 for n in by_part.values()), by_part
+
+
+def test_snapshot_rejects_inactive_remove(spark, tmp_path):
+    """A remove whose path was never added fails replay LOUDLY instead
+    of silently degrading into duplicated data."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    fmt.init({"a": spark.createDataFrame([(1,)], "id long")})
+    assert fmt._try_write_commit(1, [
+        {"remove": {"table": "a", "path": "a/no-such-file.parquet"}},
+        {"txn": {"batch_id": 0}},
+    ])
+    with pytest.raises(ValueError, match="corrupt log"):
+        fmt.read(spark, "a")
+
+
+def test_commit_respec_changes_partition_layout(spark, tmp_path):
+    """Overwrite-commit with partition_by re-specs the table: new files
+    under the new layout, metaData updated, pruning works on the new
+    spec, and old versions still read under the OLD spec."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "us", 2024, 1.0), (2, "eu", 2025, 2.0), (3, "us", 2025, 3.0)],
+        "id long, region string, yr int, v double",
+    )
+    fmt.init({"s": df}, partition_by={"s": ["region"]})
+    assert fmt.commit({"s": df}, batch_id=0, partition_by={"s": ["yr"]})
+    assert fmt._snapshot().partition_cols["s"] == ["yr"]
+    assert all(
+        p.split("/")[1].startswith("yr=") for p in fmt._snapshot().adds["s"]
+    )
+    out, total, read = fmt.read_where(spark, "s", "yr", lo=2025, hi=2025)
+    assert read < total
+    assert _rows(out) == [(2, "eu", 2025, 2.0), (3, "us", 2025, 3.0)]
+    # time travel to v0 still materializes the old region= layout
+    assert _rows(fmt.read(spark, "s", version=0)) == _rows(df)
+
+
+def test_append_rewrites_after_concurrent_respec(spark, tmp_path):
+    """The spec-race guard: an append that loses its commit race to an
+    overwrite that CHANGED the partition spec must rewrite its data
+    files under the new spec — committing old-layout files against the
+    new metaData would materialize wrong/missing partition columns."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "us", 1.0), (2, "eu", 2.0)], "id long, region string, v double"
+    )
+    fmt.init({"s": df}, partition_by={"s": ["region"]})
+
+    real_try = fmt._try_write_commit
+    state = {"stolen": False}
+
+    def steal_once(version, actions):
+        if not state["stolen"]:
+            state["stolen"] = True
+            # winner: overwrite that drops the partition spec entirely
+            fmt.commit({"s": df}, batch_id=7, partition_by={"s": []})
+            return real_try(version, actions)  # now loses with EEXIST
+        return real_try(version, actions)
+
+    fmt._try_write_commit = steal_once
+    v = fmt.append("s", spark.createDataFrame(
+        [(3, "ap", 3.0)], "id long, region string, v double"))
+    fmt._try_write_commit = real_try
+    assert v == fmt.latest_version()
+    # region must materialize from the DATA (new spec), not the path
+    assert _rows(fmt.read(spark, "s")) == [
+        (1, "us", 1.0), (2, "eu", 2.0), (3, "ap", 3.0)
+    ]
+    assert all("=" not in p for p in fmt._snapshot().adds["s"])
