@@ -52,6 +52,7 @@ from cdc_init_spark.plans import llm_ops as _llm_ops  # noqa: E402,F401
 from cdc_init_spark.plans import corpus_ops as _corpus_ops  # noqa: E402,F401
 from cdc_init_spark.plans import pipeline as _pipeline  # noqa: E402,F401
 from cdc_init_spark.plans import graph as _graph  # noqa: E402,F401
+from cdc_init_spark.plans import delta as _delta  # noqa: E402,F401
 
 # REGISTRY ORDER MATTERS: the driver's correctness pass walks the registry
 # in insertion order under a ~50-query/round budget. The order is DERIVED

@@ -1,0 +1,200 @@
+"""DeltaLogFormat corpus queries (VERDICT r6 "Next round" item 1).
+
+The format's ACID machinery (sources/delta_log.py: commit, OCC,
+checkpoint replay, stats skipping, CDC reads) is pytest-covered but was
+invisible to the driver's hard external gate. These entries route the
+ALREADY-ORACLE-GREEN CDC shapes (q79 apply, q141 time travel, q142
+diff) THROUGH the format — init a real DeltaLog table from the fixture
+parquet, commit DML against it, read committed files back — so a hash
+mismatch in any layer (data-file writing, log replay, merge
+copy-on-write, version time travel, change-data derivation) surfaces as
+a driver CORRECTNESS failure, not just a unit-test failure.
+
+Reference parity: the compacted last-state store the reference keeps in
+Kafka (components/topic_store.clj:13-16) and the idempotent seed replay
+(components/seed_store.clj:98-115), realized lakehouse-side.
+
+Scale note: each query materializes a real on-disk table under a
+per-process scratch dir (rebuilt per invocation, removed at exit). The
+work is the format's own IO — exactly what the entries exist to gate.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_init_spark.functions.compat import round_compat
+from cdc_init_spark.plans import query
+from cdc_init_spark.tables import load_table
+
+_SCRATCH = os.path.join(
+    tempfile.gettempdir(), f"cdc_init_spark_delta-{os.getpid()}"
+)
+atexit.register(shutil.rmtree, _SCRATCH, ignore_errors=True)
+
+
+def _workdir(name: str, sf_dir: str) -> str:
+    """Fresh per-(query, sf) table root; prior contents of the same slot
+    are removed so repeated invocations (warmup + timed bench runs)
+    don't accumulate state or disk."""
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    d = os.path.join(_SCRATCH, f"{name}-{base}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
+def _customer_change_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q79 change vocabulary: events replayed as keyed DML over the
+    customer snapshot — signup/purchase upsert the balance, error
+    deletes the customer; latest change per key wins. Restricted to
+    keys present in the snapshot (the oracle starts FROM customer)."""
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").isin("signup", "purchase", "error"))
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.col("ts"),
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("update")
+            .alias("type"),
+            F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("int").alias("c_nationkey"),
+            F.col("value").alias("c_acctbal"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
+        .join(c.select("c_custkey"), on="c_custkey", how="left_semi")
+    )
+
+
+_MERGED_STATE_ORACLE = """
+    WITH latest AS (
+      SELECT user_id,
+             max_by(event_type, ts) AS op,
+             max_by(value, ts) AS new_bal
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+      GROUP BY user_id
+    )
+    SELECT c.c_custkey,
+           ROUND(CASE WHEN l.user_id IS NOT NULL THEN l.new_bal
+                      ELSE c.c_acctbal END, 4) AS acctbal
+    FROM customer c
+    LEFT JOIN latest l ON l.user_id = c.c_custkey AND l.op <> 'error'
+    WHERE NOT EXISTS (
+      SELECT 1 FROM latest d WHERE d.user_id = c.c_custkey AND d.op = 'error'
+    )
+    ORDER BY c.c_custkey
+    """
+
+
+@query("q203_delta_merge_read", oracle=_MERGED_STATE_ORACLE)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE through the format: init customer as a DeltaLog
+    table, merge the q79 change set (copy-on-write: stats skip + exact
+    touch set, sources/delta_log.py:merge), read the committed files
+    back. Oracle = the same DML applied in pure SQL — so the round trip
+    through data-file writing, the action log, and replay is
+    hash-gated, not just the in-memory apply_changes (q79)."""
+    from cdc_init_spark.sources.delta_log import DeltaLogFormat
+
+    fmt = DeltaLogFormat(_workdir("q203", sf_dir))
+    fmt.init({"customer": load_table(spark, sf_dir, "customer")})
+    fmt.merge(
+        spark, "customer", _customer_change_set(spark, sf_dir),
+        pk_cols=["c_custkey"], order_col="ts", batch_id=0,
+    )
+    return (
+        fmt.read(spark, "customer")
+        .select(
+            "c_custkey", round_compat(F.col("c_acctbal"), 4).alias("acctbal")
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query("q204_delta_time_travel", oracle=_MERGED_STATE_ORACLE)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version time travel through the format: after the q203 merge
+    (v1), a second destructive merge deletes every 7th customer (v2,
+    also crossing a checkpoint at interval 2) and a compact rewrites the
+    layout (v3) — then READ VERSION 1. The oracle describes v1 only, so
+    any leakage from later versions (wrong replay horizon, checkpoint
+    shortcut past the target, compaction clobbering history) is a hash
+    mismatch."""
+    from cdc_init_spark.sources.delta_log import DeltaLogFormat
+
+    c = load_table(spark, sf_dir, "customer")
+    fmt = DeltaLogFormat(_workdir("q204", sf_dir), checkpoint_interval=2)
+    fmt.init({"customer": c})
+    fmt.merge(
+        spark, "customer", _customer_change_set(spark, sf_dir),
+        pk_cols=["c_custkey"], order_col="ts", batch_id=0,
+    )
+    deletes = c.filter(F.col("c_custkey") % 7 == 3).select(
+        "c_custkey",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("delete").alias("type"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    fmt.merge(
+        spark, "customer", deletes, pk_cols=["c_custkey"],
+        order_col="ts", batch_id=1,
+    )
+    fmt.compact(spark, "customer", target_files=2)
+    return (
+        fmt.read(spark, "customer", version=1)
+        .select(
+            "c_custkey", round_compat(F.col("c_acctbal"), 4).alias("acctbal")
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q205_delta_cdc_read",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id,
+             max_by(event_type, ts) AS op,
+             max_by(value, ts) AS new_bal
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+      GROUP BY user_id
+    )
+    SELECT c.c_custkey,
+           CASE WHEN l.op = 'error' THEN 'delete' ELSE 'update' END AS type,
+           CASE WHEN l.op = 'error' THEN NULL
+                ELSE ROUND(l.new_bal, 4) END AS acctbal
+    FROM customer c JOIN latest l ON l.user_id = c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC read over the format (Delta's table_changes):
+    changes_between(v0, v1) recovers exactly the compacted DML set the
+    merge applied — the q142 diff law, but measured across the format's
+    committed versions instead of in-memory frames. The oracle derives
+    the same delta directly from the event log."""
+    from cdc_init_spark.sources.delta_log import DeltaLogFormat
+
+    fmt = DeltaLogFormat(_workdir("q205", sf_dir))
+    fmt.init({"customer": load_table(spark, sf_dir, "customer")})
+    fmt.merge(
+        spark, "customer", _customer_change_set(spark, sf_dir),
+        pk_cols=["c_custkey"], order_col="ts", batch_id=0,
+    )
+    d = fmt.changes_between(spark, "customer", 0, 1, ["c_custkey"])
+    return d.select(
+        "c_custkey",
+        "type",
+        round_compat(F.col("c_acctbal"), 4).alias("acctbal"),
+    ).orderBy("c_custkey")
