@@ -21,6 +21,37 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _loadavg() -> list[float]:
+    """Host-wide 1/5/15-minute load averages. NOTE: while the bench
+    itself is running, the 1-minute figure mostly reflects our own
+    executor threads — it separates tenant contention from self-load
+    only at the start (fresh process) and via the calibration probe."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):  # non-Linux fallback
+        return [-1.0, -1.0, -1.0]
+
+
+def _calibration_probe() -> float:
+    """Fixed-work single-thread probe (~0.2 s on an idle host): zlib
+    over a deterministic buffer. The probe's wall time is the host-speed
+    yardstick — two bench runs are comparable only when their probes
+    agree (BASELINE.md comparison rule). Deterministic work, no
+    allocation churn, immune to Spark state."""
+    import time as _time
+    import zlib
+
+    buf = bytes(range(256)) * 4096  # 1 MiB, deterministic
+    t0 = _time.perf_counter()
+    acc = 0
+    for i in range(40):
+        acc ^= len(zlib.compress(buf, level=6)) + i
+    dt = _time.perf_counter() - t0
+    assert acc != -1  # keep the loop un-elidable
+    return round(dt, 4)
+
+
 def pipeline_benches(
     spark, sf_dir: str, warm_dir: str | None = None
 ) -> dict[str, float]:
@@ -76,6 +107,11 @@ def pipeline_benches(
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # host-drift adjudication (VERDICT r6 item 2): stamp load + a fixed-
+    # work calibration BEFORE any Spark work, so the record shows what
+    # the host looked like when the run started, not what we made it.
+    host: dict = {"load_start": _loadavg(), "calib_start_sec": _calibration_probe()}
+
     from cdc_init_spark.plans import QUERIES
     from cdc_init_spark.session import get_spark
 
@@ -89,6 +125,7 @@ def main() -> None:
         warm_dir = None
 
     timings: dict[str, float] = {}
+    query_load: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
         # Warm THIS query's plan shapes at the smallest SF right before
@@ -105,6 +142,7 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
             spark.catalog.clearCache()
+        query_load[name] = _loadavg()[0]
         t0 = time.perf_counter()
         try:
             materialize(fn(spark, sf_dir))
@@ -151,9 +189,11 @@ def main() -> None:
         key=lambda n: -timings[n],
     )[:15]
     retimed: dict[str, float] = {}
+    retime_load: dict[str, float] = {}
     for name in retime:
         spark.catalog.clearCache()
         spark._jvm.System.gc()
+        retime_load[name] = _loadavg()[0]
         t0 = time.perf_counter()
         try:
             materialize(QUERIES[name](spark, sf_dir))
@@ -169,6 +209,31 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    host["load_end"] = _loadavg()
+    host["calib_end_sec"] = _calibration_probe()
+    # Flag timings taken while the host was demonstrably contended. The
+    # 1-min loadavg during the run includes our own executors, so the
+    # cheap signal is calibration drift (start vs end probes disagreeing
+    # means some window of the run was on a different-speed host) plus
+    # per-query loadavg spikes far above the steady self-load.
+    loads = sorted(query_load.values())
+    median_load = loads[len(loads) // 2] if loads else 0.0
+    host["median_query_load1"] = round(median_load, 2)
+    host["load_flagged"] = sorted(
+        n for n, l1 in {**query_load, **retime_load}.items()
+        if l1 > max(2 * median_load, median_load + 8.0)
+    )
+    host["calib_drift_pct"] = (
+        round(
+            100.0
+            * abs(host["calib_end_sec"] - host["calib_start_sec"])
+            / host["calib_start_sec"],
+            1,
+        )
+        if host["calib_start_sec"] > 0
+        else None
+    )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "declared_corpus_wall_clock",
@@ -176,6 +241,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "host": host,
+        "query_load1": {n: round(v, 2) for n, v in query_load.items()},
     }
     if retimed:
         # pre-retime min-of-2 values for the names the end-of-run pass
@@ -235,6 +302,18 @@ def _compact_line(result: dict, timings: dict[str, float], limit: int = 1600) ->
         "detail": "BENCH.json",
         "queries": {},
     }
+    host = result.get("host")
+    if host:
+        # the self-adjudication header: enough for a reader of the
+        # captured line alone to judge host comparability
+        base["host"] = {
+            "load1_start": host["load_start"][0],
+            "load1_end": host["load_end"][0],
+            "calib_start_sec": host["calib_start_sec"],
+            "calib_end_sec": host["calib_end_sec"],
+            "calib_drift_pct": host["calib_drift_pct"],
+            "n_load_flagged": len(host["load_flagged"]),
+        }
     # surface the like-for-like number (vs BASELINE.md's round-1 85 s)
     # in the driver-captured line, not just the on-disk artifact
     if "r1_subset_sec" in result:

@@ -51,3 +51,13 @@ def test_bench_json_contract():
     # slowest-first invariant: stdout carries the top of the cost ranking
     shown = list(d["queries"].values())
     assert shown == sorted(shown, reverse=True) or len(shown) <= 1
+    # self-adjudication header (VERDICT r6 item 2): load + calibration
+    # stamps land in BOTH the artifact and the captured stdout line, so
+    # cross-round timing comparisons carry their own host evidence
+    for rec in (full["host"], d["host"]):
+        assert rec["calib_start_sec"] > 0 and rec["calib_end_sec"] > 0
+    assert len(full["host"]["load_start"]) == 3
+    assert len(full["host"]["load_end"]) == 3
+    assert isinstance(full["host"]["load_flagged"], list)
+    assert full["host"]["calib_drift_pct"] is not None
+    assert len(full["query_load1"]) == len(full["queries"]) - 2  # pipeline benches excluded
