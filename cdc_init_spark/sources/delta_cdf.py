@@ -1,0 +1,231 @@
+"""Streaming change-feed source over DeltaLogFormat (VERDICT r6 "Next
+round" item 3) — the Delta streaming-source analog: a downstream
+pipeline subscribes to a table the way the reference subscribes to the
+control topic (initializer.clj:101-104; trigger semantics
+sql/trigger/create_trigger.sql:1-10), getting one micro-batch per
+committed version.
+
+Built on the Spark 4 Python DataSource API (the same public extension
+point as sources/pydatasource.py), full ``DataSourceStreamReader`` form
+— planning on the driver, file reads on executors:
+
+- **Offsets are version numbers.** ``latestOffset`` replays the log's
+  metadata (checkpoint + JSON tail, no data IO); a micro-batch covers
+  the committed versions in ``(start, end]``.
+- **Partitions are files.** For each version, the rows come from
+  immutable parquet the commit itself wrote: ``cdc`` actions (merge
+  change-data, written when the table has ``enable_cdf=True``) or the
+  version's ``add`` files (init/append/first-write = pure inserts, no
+  extra copy ever made). One InputPartition per file → the batch scales
+  out like any file scan.
+- **Replayable by construction.** The files a version references never
+  change, so re-reading any offset range after a checkpoint restart
+  yields identical rows — the at-least-once contract the reference's
+  control loop assumes (initializer.clj:27-39), with idempotent
+  downstream sinks making it effectively-once (streaming/idempotent.py).
+
+Row schema: the table's columns + ``type`` (insert/update/delete, the
+engine's CDC vocabulary) + ``_commit_version``.
+
+Non-CDF versions: ``compact`` commits are logical no-ops and emit
+nothing. A version that REMOVES files without change data (overwrite,
+restore, or a merge committed with ``enable_cdf=False``) cannot be
+expressed as row-level changes — the reader raises by default, or skips
+it with ``.option("onNonCdf", "skip")`` (Delta's ignoreChanges shape).
+
+Retention: change data lives under ``{root}/_cdc`` and log JSON entries
+are the per-version index; versions archived behind a checkpoint are no
+longer streamable (same horizon rule as time travel after vacuum).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "deltacdf"
+
+
+def _snapshot(root: str, version: int | None = None):
+    from cdc_init_spark.sources.delta_log import DeltaLogFormat
+
+    return DeltaLogFormat(root)._snapshot(version)
+
+
+def _parse_version_entry(root: str, version: int) -> dict:
+    """One committed version's actions, grouped: operation, adds per
+    table, removes per table, cdc files per table, cdcMeta tables."""
+    path = os.path.join(root, "_log", f"{version:020d}.json")
+    if not os.path.exists(path):
+        raise ValueError(
+            f"version {version} log entry is archived (checkpointed away) "
+            "— change-feed reads need the JSON tail; lower the stream's "
+            "startingVersion horizon or retain more log entries"
+        )
+    out: dict = {"operation": None, "adds": {}, "removes": {},
+                 "cdc": {}, "cdcMeta": set()}
+    with open(path) as f:
+        for line in f:
+            a = json.loads(line)
+            if "commitInfo" in a:
+                out["operation"] = a["commitInfo"].get("operation")
+            elif "add" in a:
+                out["adds"].setdefault(a["add"]["table"], []).append(a["add"])
+            elif "remove" in a:
+                out["removes"].setdefault(
+                    a["remove"]["table"], []
+                ).append(a["remove"])
+            elif "cdc" in a:
+                out["cdc"].setdefault(a["cdc"]["table"], []).append(a["cdc"])
+            elif "cdcMeta" in a:
+                out["cdcMeta"].add(a["cdcMeta"]["table"])
+    return out
+
+
+class DeltaCdfDataSource(DataSource):
+    """``spark.readStream.format("deltacdf")`` options:
+
+    - ``root`` (required): the DeltaLogFormat table root
+    - ``table`` (required): table name within the root
+    - ``startingVersion`` (default 0): first version to emit; version
+      0's snapshot rows stream as inserts — the reference's
+      seed-then-live contract in one subscription
+    - ``onNonCdf`` (default "error"): "skip" to pass over versions whose
+      changes aren't row-expressible (overwrite/restore/no-CDF merge)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        root = self.options["root"]
+        table = self.options["table"]
+        snap = _snapshot(root)
+        if table not in snap.schemas:
+            raise ValueError(f"unknown table {table!r} under {root!r}")
+        base = StructType.fromJson(json.loads(snap.schemas[table]))
+        ddl_cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in base.fields
+        )
+        return f"{ddl_cols}, `type` string, `_commit_version` bigint"
+
+    def streamReader(self, schema) -> "DeltaCdfStreamReader":
+        return DeltaCdfStreamReader(schema, self.options)
+
+
+class DeltaCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.root = options["root"]
+        self.table = options["table"]
+        self.starting_version = int(options.get("startingversion", 0))
+        self.on_non_cdf = str(options.get("onnoncdf", "error")).lower()
+        # output order is fixed by the declared schema; the trailing two
+        # fields (type, _commit_version) are reader-synthesized
+        self.fields = [f.name for f in schema.fields]
+        self.data_fields = self.fields[:-2]
+
+    # -- offsets ------------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": _snapshot(self.root).version}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    # -- planning (driver) ----------------------------------------------------
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            entry = _parse_version_entry(self.root, v)
+            if self.table in entry["cdcMeta"]:
+                # merge with CDF: the commit's own change-data files
+                # (possibly none — an empty diff is a valid no-op)
+                for c in entry["cdc"].get(self.table, []):
+                    parts.append(InputPartition(
+                        ("cdc", v, os.path.join(self.root, "_cdc", c["path"]),
+                         None)))
+                continue
+            adds = entry["adds"].get(self.table, [])
+            removes = entry["removes"].get(self.table, [])
+            if entry["operation"] == "compact":
+                continue  # physical rewrite, zero logical change
+            if removes:
+                if self.on_non_cdf == "skip":
+                    continue
+                raise ValueError(
+                    f"version {v} changes table {self.table!r} without "
+                    "row-level change data (overwrite/restore, or a merge "
+                    "on a table without enable_cdf=True); re-create the "
+                    'stream with .option("onNonCdf", "skip") to pass over '
+                    "it, or enable CDF on the writer"
+                )
+            for a in adds:
+                # init/append/first write: the added files ARE the inserts
+                parts.append(InputPartition(
+                    ("add", v, os.path.join(self.root, "_data", a["path"]),
+                     a.get("partitionValues") or {})))
+        if not parts:
+            # a range of pure no-ops (compacts / other tables' commits):
+            # one empty marker partition keeps the batch well-formed
+            parts.append(InputPartition(("empty", end["version"], None, None)))
+        return parts
+
+    # -- execution (executors) -------------------------------------------------
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        kind, version, path, pvals = partition.value
+        if kind == "empty":
+            return iter(())
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(path).to_pylist()
+        if kind == "cdc":
+            # file carries pk + type + data columns by name
+            return iter(
+                tuple(r.get(c) for c in self.data_fields)
+                + (r["type"], version)
+                for r in rows
+            )
+        # add-file inserts: partition columns come from the path values
+        return iter(
+            tuple(
+                pvals[c] if c in pvals else r.get(c)
+                for c in self.data_fields
+            )
+            + ("insert", version)
+            for r in rows
+        )
+
+
+def register(spark) -> None:
+    """Idempotent registration: `spark.readStream.format("deltacdf")`."""
+    spark.dataSource.register(DeltaCdfDataSource)
+
+
+def read_change_stream(spark, root: str, table: str, **options):
+    """Subscribe to a DeltaLogFormat table's change feed: one
+    micro-batch per committed version, rows = that version's keyed DML
+    (the streamed twin of ``DeltaLogFormat.changes_between`` — the
+    equivalence law is pinned in tests/test_delta_cdf.py)."""
+    register(spark)
+    reader = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("root", root)
+        .option("table", table)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

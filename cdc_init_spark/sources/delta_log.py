@@ -182,11 +182,19 @@ class DeltaLogFormat(TableFormat):
         root: str,
         checkpoint_interval: int = 10,
         commit_store: CommitStore | None = None,
+        enable_cdf: bool = False,
     ) -> None:
         self.root = root
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "_data")
+        self.cdc_dir = os.path.join(root, "_cdc")
         self.checkpoint_interval = checkpoint_interval
+        #: change-data feed: when True, merge() also persists the exact
+        #: keyed DML set of each commit as parquet under _cdc/{table},
+        #: referenced by `cdc` actions in the log — the data the
+        #: streaming change-feed source (sources/delta_cdf.py) tails.
+        #: Appends/init need no extra files (their adds ARE the inserts).
+        self.enable_cdf = enable_cdf
         #: the put-if-absent primitive every commit decision rides on;
         #: bind an object-store implementation here for S3/GCS/Azure
         #: (conditional-put mapping documented in sources/commit_store.py)
@@ -428,6 +436,36 @@ class DeltaLogFormat(TableFormat):
         for a in adds:
             try:
                 os.unlink(os.path.join(self.data_dir, a["path"]))
+            except OSError:
+                pass
+
+    def _write_cdc_files(self, table: str, df: DataFrame) -> list[dict]:
+        """Persist a commit's change-data frame (pk + type + data cols,
+        the diff_snapshots vocabulary) as immutable parquet under
+        ``_cdc/{table}`` — version-independent unique names, so a lost
+        commit race can retry with the SAME files (the change content is
+        defined by the transaction, not by the version it lands at)."""
+        tdir = os.path.join(self.cdc_dir, table)
+        os.makedirs(tdir, exist_ok=True)
+        staging = os.path.join(self.root, f"_staging-cdc-{uuid.uuid4().hex}")
+        df.write.parquet(staging)
+        out = []
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, name)
+            if _file_stats(src)["rows"] == 0:
+                continue
+            final = f"cdc-{uuid.uuid4().hex}.parquet"
+            os.replace(src, os.path.join(tdir, final))
+            out.append({"table": table, "path": f"{table}/{final}"})
+        shutil.rmtree(staging)
+        return out
+
+    def _abandon_cdc(self, cdc_adds: list[dict]) -> None:
+        for a in cdc_adds:
+            try:
+                os.unlink(os.path.join(self.cdc_dir, a["path"]))
             except OSError:
                 pass
 
@@ -761,7 +799,23 @@ class DeltaLogFormat(TableFormat):
         adds = self._write_data_files(
             table, rewritten, snap.partition_cols.get(table)
         )
+        cdc_adds: list[dict] = []
         actions: list[dict] = [{"commitInfo": {"operation": "merge"}}]
+        if self.enable_cdf:
+            # the commit's exact DML set (what actually changed, post-
+            # compaction — NOT the raw input change frame, which may
+            # contain no-ops); diffing touched-old vs rewritten is exact
+            # because untouched files are identical on both sides
+            from cdc_init_spark.streaming.apply import diff_snapshots
+
+            cdc_adds = self._write_cdc_files(
+                table, diff_snapshots(old_rows, rewritten, pk_cols)
+            )
+            # marker: CDF was captured for this table in this commit
+            # (present even when the diff is empty, so the stream reader
+            # can distinguish "no logical change" from "CDF not enabled")
+            actions.append({"cdcMeta": {"table": table}})
+            actions.extend({"cdc": a} for a in cdc_adds)
         for p in touched:
             actions.append({"remove": {"table": table, "path": p}})
         actions.extend({"add": a} for a in adds)
@@ -782,6 +836,7 @@ class DeltaLogFormat(TableFormat):
                     self._maybe_checkpoint(cur.version + 1)
                     return cur.version + 1
             self._abandon(adds)
+            self._abandon_cdc(cdc_adds)
             raise CommitConflictError(
                 f"concurrent commit changed {table!r}; re-run merge"
             )
