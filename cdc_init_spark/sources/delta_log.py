@@ -1008,7 +1008,10 @@ class DeltaLogFormat(TableFormat):
         """Delete data files unreferenced by every version ≥ ``horizon``
         (time travel below the horizon is surrendered; reads there fail
         with a clear error). Also collects orphans from crashed writers
-        — data files no version ever committed. Returns deleted paths.
+        — data files no version ever committed — and change-data files
+        (``_cdc/``) referenced only by log entries below the horizon:
+        the change feed's streamable range shrinks with the same horizon
+        time travel does. Returns deleted paths.
 
         Two guards make this safe under lock-free concurrent writers
         (ADVICE r6, delta_log.py:882):
@@ -1028,11 +1031,30 @@ class DeltaLogFormat(TableFormat):
         latest, candidates = self._vacuum_plan(horizon, retention_s)
         return self._vacuum_execute(horizon, latest, candidates)
 
+    def _cdc_refs(self, lo: int, hi: int) -> set[str]:
+        """cdc-file rel paths referenced by the EXISTING log entries in
+        [lo, hi] (cdc actions live only in the JSON entries — checkpoints
+        don't carry them, so archived versions' change data is already
+        below the streaming horizon)."""
+        refs: set[str] = set()
+        for v in range(lo, hi + 1):
+            path = self._log_path(v)
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                for line in f:
+                    a = json.loads(line)
+                    if "cdc" in a:
+                        refs.add(a["cdc"]["path"])
+        return refs
+
     def _vacuum_plan(
         self, horizon: int, retention_s: float
-    ) -> tuple[int, list[str]]:
-        """(latest version seen, candidate rel-paths: unreferenced by any
-        version ≥ horizon AND older than the retention window)."""
+    ) -> tuple[int, list[tuple[str, str]]]:
+        """(latest version seen, candidates as (root_dir, rel) pairs:
+        data files unreferenced by any version ≥ horizon, and change-data
+        files unreferenced by any log entry ≥ horizon — both only when
+        older than the retention window)."""
         latest = self._snapshot().version
         if not 0 <= horizon <= latest:
             raise ValueError(f"horizon must be in [0, {latest}]")
@@ -1041,43 +1063,52 @@ class DeltaLogFormat(TableFormat):
             snap = self._snapshot(v)
             for table_files in snap.adds.values():
                 live.update(table_files)
+        live_cdc = self._cdc_refs(horizon, latest)
         cutoff = time.time() - retention_s
-        candidates: list[str] = []
-        if os.path.isdir(self.data_dir):
-            for dirpath, _dirs, names in os.walk(self.data_dir):
+        candidates: list[tuple[str, str]] = []
+        for base, live_set in (
+            (self.data_dir, live),
+            (self.cdc_dir, live_cdc),
+        ):
+            if not os.path.isdir(base):
+                continue
+            for dirpath, _dirs, names in os.walk(base):
                 for name in names:
                     full = os.path.join(dirpath, name)
-                    rel = os.path.relpath(full, self.data_dir).replace(
-                        os.sep, "/"
-                    )
-                    if rel in live:
+                    rel = os.path.relpath(full, base).replace(os.sep, "/")
+                    if rel in live_set:
                         continue
                     try:
                         if os.path.getmtime(full) > cutoff:
                             continue  # young: possibly an in-flight writer's
                     except OSError:
                         continue  # deleted underneath us: nothing to do
-                    candidates.append(rel)
+                    candidates.append((base, rel))
         return latest, candidates
 
     def _vacuum_execute(
-        self, horizon: int, latest: int, candidates: list[str]
+        self, horizon: int, latest: int, candidates: list[tuple[str, str]]
     ) -> list[str]:
         """Re-snapshot (commits since ``latest`` may re-reference a
-        candidate — restore does exactly that), then delete survivors."""
+        candidate — restore does exactly that), then delete survivors.
+        Returned paths: data files table-relative, change-data files
+        prefixed ``_cdc/``."""
         spared: set[str] = set()
         new_latest = self._snapshot().version
         for v in range(max(horizon, latest + 1), new_latest + 1):
             snap = self._snapshot(v)
             for table_files in snap.adds.values():
                 spared.update(table_files)
+        spared_cdc = self._cdc_refs(latest + 1, new_latest)
         deleted = []
-        for rel in candidates:
-            if rel in spared:
+        for base, rel in candidates:
+            if base == self.data_dir and rel in spared:
+                continue
+            if base == self.cdc_dir and rel in spared_cdc:
                 continue
             try:
-                os.unlink(os.path.join(self.data_dir, rel))
+                os.unlink(os.path.join(base, rel))
             except FileNotFoundError:
                 continue
-            deleted.append(rel)
+            deleted.append(rel if base == self.data_dir else f"_cdc/{rel}")
         return sorted(deleted)

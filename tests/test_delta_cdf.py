@@ -221,3 +221,38 @@ def test_starting_version_skips_snapshot(spark, tmp_path):
         r[0] for r in out.select("_commit_version").distinct().collect()
     )
     assert versions == [1, 2]
+
+
+def test_vacuum_collects_change_data_below_horizon(spark, tmp_path):
+    """Change-data files follow the same vacuum horizon as time travel:
+    versions below it stop being streamable (loudly), versions at or
+    above keep their change data and stream fine."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init({"acct": spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "id long, v double")})
+    fmt.merge(spark, "acct", spark.createDataFrame(
+        [(1, _ts(1), "update", 11.0)],
+        "id long, ts timestamp, type string, v double"), ["id"])   # v1
+    fmt.merge(spark, "acct", spark.createDataFrame(
+        [(2, _ts(2), "update", 22.0)],
+        "id long, ts timestamp, type string, v double"), ["id"])   # v2
+
+    deleted = fmt.vacuum(horizon=2, retention_s=0.0)
+    cdc_deleted = [p for p in deleted if p.startswith("_cdc/")]
+    assert len(cdc_deleted) >= 1  # v1's change data collected
+
+    # v2 still streams
+    out = _run_stream(spark, fmt.root, "acct",
+                      str(tmp_path / "ckpt2"), "cdf_after_vacuum",
+                      startingVersion="2")
+    versions = sorted(
+        r[0] for r in out.select("_commit_version").distinct().collect()
+    )
+    assert versions == [2]
+    assert _rows(out.select("id", "v", "type")) == [(2, 22.0, "update")]
+
+    # v1 is below the horizon: subscribing there fails loudly
+    with pytest.raises(Exception):
+        _run_stream(spark, fmt.root, "acct",
+                    str(tmp_path / "ckpt1"), "cdf_below_horizon",
+                    startingVersion="1")
