@@ -890,16 +890,39 @@ class DeltaLogFormat(TableFormat):
     # -- maintenance -----------------------------------------------------------
 
     def compact(
-        self, spark: SparkSession, table: str, target_files: int = 1
+        self,
+        spark: SparkSession,
+        table: str,
+        target_files: int = 1,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Bin-pack small files (the classic streaming-ingest tail):
         rewrite the table's active files into ``target_files`` and swap
         them in one commit. Logically a no-op (same rows) — the pytest
         law — but turns N tiny appends into scan-friendly files. The
-        rewrite is a read+repartition+write of THIS table only."""
+        rewrite is a read+repartition+write of THIS table only.
+
+        ``zorder_by`` (the OPTIMIZE ... ZORDER BY analog): instead of a
+        hash repartition, lay the rewrite out along the Morton curve
+        over the given columns (sources/layout.zorder_key), so every
+        output file gets a tight [min,max] box on ALL of them and
+        ``read_where`` prunes on any dimension — multi-column data
+        skipping that streaming ingest order destroys and a single-
+        column sort cannot restore."""
         snap = self._snapshot()
         active = snap.adds.get(table, {})
-        df = self._read_files(spark, snap, table, active).repartition(target_files)
+        df = self._read_files(spark, snap, table, active)
+        if zorder_by:
+            from cdc_init_spark.sources.layout import zorder_key
+
+            ranked, z = zorder_key(df, zorder_by, bits=8)
+            df = (
+                ranked.withColumn("_z", z)
+                .repartitionByRange(target_files, "_z")
+                .drop("_z", *[f"_zr_{c}" for c in zorder_by])
+            )
+        else:
+            df = df.repartition(target_files)
         adds = self._write_data_files(table, df, snap.partition_cols.get(table))
         actions = [{"commitInfo": {"operation": "compact"}}]
         actions += [{"remove": {"table": table, "path": p}} for p in active]

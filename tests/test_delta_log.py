@@ -736,3 +736,29 @@ def test_append_rewrites_after_concurrent_respec(spark, tmp_path):
         (1, "us", 1.0), (2, "eu", 2.0), (3, "ap", 3.0)
     ]
     assert all("=" not in p for p in fmt._snapshot().adds["s"])
+
+
+def test_compact_zorder_restores_multicolumn_skipping(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY analog: after ingest in an order that
+    correlates with NEITHER column, compact(zorder_by=[x, y]) rewrites
+    the table so read_where prunes on BOTH dimensions — same rows (the
+    compaction no-op law), one commit, better layout."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    rows = [(x, y, float(x * 100 + y)) for x in range(40) for y in range(40)]
+    df = spark.createDataFrame(rows, "x int, y int, v double")
+    # ingest order: hash-ish interleave → every file spans both domains
+    fmt.init({"t": df.withColumn("_h", F.xxhash64("x", "y"))
+                  .repartitionByRange(16, "_h").drop("_h")})
+    _, tot_x0, read_x0 = fmt.read_where(spark, "t", "x", lo=10, hi=12)
+    _, tot_y0, read_y0 = fmt.read_where(spark, "t", "y", lo=10, hi=12)
+    assert read_x0 == tot_x0 and read_y0 == tot_y0  # nothing prunes
+
+    before = _rows(fmt.read(spark, "t"))
+    fmt.compact(spark, "t", target_files=16, zorder_by=["x", "y"])
+    assert _rows(fmt.read(spark, "t")) == before  # no-op law holds
+    out_x, tot_x, read_x = fmt.read_where(spark, "t", "x", lo=10, hi=12)
+    out_y, tot_y, read_y = fmt.read_where(spark, "t", "y", lo=10, hi=12)
+    assert read_x < tot_x and read_y < tot_y  # BOTH dimensions prune now
+    assert _rows(out_y) == sorted(
+        (x, y, float(x * 100 + y)) for x in range(40) for y in range(10, 13)
+    )
