@@ -862,29 +862,52 @@ class DeltaLogFormat(TableFormat):
         ``column`` is kept only for the residual filter to decide —
         range predicates are null-rejecting, so stats-pruned files can
         never hide a matching row."""
+        return self.read_where_all(
+            spark, table, {column: (lo, hi)}, version=version
+        )
+
+    def read_where_all(
+        self,
+        spark: SparkSession,
+        table: str,
+        predicates: dict[str, tuple],
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Conjunctive multi-column range scan with file skipping: a
+        file is pruned when ANY predicate's [lo, hi] is disjoint from
+        its [min, max] stats — exactly how real queries filter (several
+        columns ANDed), and the reason Z-order layout pays off: after
+        ``compact(zorder_by=[x, y])`` every file has a tight box on both
+        columns, so a 2-predicate scan reads ~the intersection's files.
+        ``predicates``: {column: (lo, hi)} with None for open ends.
+        Returns (df, files_total, files_read)."""
         snap = self._snapshot(version)
         active = snap.adds.get(table, {})
         kept = {}
         for p, a in active.items():
             st = a.get("stats") or {}
-            fmin = (st.get("min") or {}).get(column)
-            fmax = (st.get("max") or {}).get(column)
-            if fmin is None or fmax is None:
-                kept[p] = a  # no stats → cannot prune safely
-                continue
-            try:
-                if (hi is not None and fmin > hi) or (
-                    lo is not None and fmax < lo
-                ):
-                    continue
-            except TypeError:
-                pass  # incomparable stats form → keep, residual decides
-            kept[p] = a
+            keep = True
+            for column, (lo, hi) in predicates.items():
+                fmin = (st.get("min") or {}).get(column)
+                fmax = (st.get("max") or {}).get(column)
+                if fmin is None or fmax is None:
+                    continue  # no stats for this column → cannot prune on it
+                try:
+                    if (hi is not None and fmin > hi) or (
+                        lo is not None and fmax < lo
+                    ):
+                        keep = False
+                        break
+                except TypeError:
+                    pass  # incomparable stats form → keep, residual decides
+            if keep:
+                kept[p] = a
         df = self._read_files(spark, snap, table, kept)
-        if lo is not None:
-            df = df.filter(F.col(column) >= F.lit(lo))
-        if hi is not None:
-            df = df.filter(F.col(column) <= F.lit(hi))
+        for column, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.filter(F.col(column) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(column) <= F.lit(hi))
         return df, len(active), len(kept)
 
     # -- maintenance -----------------------------------------------------------

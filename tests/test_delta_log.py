@@ -762,3 +762,31 @@ def test_compact_zorder_restores_multicolumn_skipping(spark, tmp_path):
     assert _rows(out_y) == sorted(
         (x, y, float(x * 100 + y)) for x in range(40) for y in range(10, 13)
     )
+
+
+def test_read_where_all_conjunctive_pruning(spark, tmp_path):
+    """Multi-column file skipping: a file is pruned when ANY ANDed
+    predicate's range is disjoint from its stats; with a Z-ordered
+    layout a 2-predicate box scan reads fewer files than either
+    single-column prune alone — and returns exactly the box."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    rows = [(x, y, float(x * 100 + y)) for x in range(40) for y in range(40)]
+    df = spark.createDataFrame(rows, "x int, y int, v double")
+    fmt.init({"t": df})
+    fmt.compact(spark, "t", target_files=16, zorder_by=["x", "y"])
+
+    _, tot, read_x = fmt.read_where(spark, "t", "x", lo=10, hi=12)
+    _, _, read_y = fmt.read_where(spark, "t", "y", lo=10, hi=12)
+    out, _, read_xy = fmt.read_where_all(
+        spark, "t", {"x": (10, 12), "y": (10, 12)}
+    )
+    assert read_xy <= min(read_x, read_y) < tot
+    assert _rows(out) == sorted(
+        (x, y, float(x * 100 + y))
+        for x in range(10, 13) for y in range(10, 13)
+    )
+    # open ends + a stats-free form still return correct rows
+    out2, _, _ = fmt.read_where_all(spark, "t", {"x": (38, None)})
+    assert _rows(out2) == sorted(
+        (x, y, float(x * 100 + y)) for x in (38, 39) for y in range(40)
+    )
