@@ -49,11 +49,28 @@ class CommitStore(ABC):
         reader sees either nothing or the full winning payload."""
 
 
+def fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY: durably persist its entries (names), not just
+    file contents. POSIX makes file-data and directory-entry durability
+    separate operations — ``os.fsync(file_fd)`` alone leaves a freshly
+    linked/renamed NAME eligible to vanish on power loss."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 class LocalCommitStore(CommitStore):
     """POSIX implementation: write + fsync a uniquely-named temp file in
     the target directory, then ``os.link`` it to the final name. Link
     creation is atomic in the directory inode; EEXIST = lost the race.
-    The temp file is always removed — win or lose."""
+    The temp file is always removed — win or lose.
+
+    Durability (ADVICE r7): the winner also fsyncs the PARENT DIRECTORY
+    before acknowledging — ``os.link`` creates a directory entry, and an
+    entry not yet flushed can be lost on power failure even though the
+    inode's data was fsynced, silently dropping an acknowledged commit."""
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:
         d = os.path.dirname(path)
@@ -65,8 +82,10 @@ class LocalCommitStore(CommitStore):
             os.fsync(f.fileno())
         try:
             os.link(tmp, path)
-            return True
         except FileExistsError:
             return False
+        else:
+            fsync_dir(d)
+            return True
         finally:
             os.unlink(tmp)

@@ -100,6 +100,12 @@ class DeltaCdfDataSource(DataSource):
       seed-then-live contract in one subscription
     - ``onNonCdf`` (default "error"): "skip" to pass over versions whose
       changes aren't row-expressible (overwrite/restore/no-CDF merge)
+    - ``maxVersionsPerBatch`` (default unlimited): cap how many committed
+      versions one micro-batch covers (Delta's maxFilesPerTrigger shape)
+      — a long catch-up becomes a sequence of bounded batches instead of
+      one giant one. After a checkpoint restart the FIRST batch is
+      uncapped (the reader can't know the committed offset before Spark
+      hands it the start), subsequent batches are capped again.
     """
 
     @classmethod
@@ -128,6 +134,17 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         self.table = options["table"]
         self.starting_version = int(options.get("startingversion", 0))
         self.on_non_cdf = str(options.get("onnoncdf", "error")).lower()
+        self.max_versions = int(options.get("maxversionsperbatch", 0))
+        #: high-water mark of the last offset THIS reader incarnation
+        #: returned — the base the per-batch version cap advances from.
+        #: Deliberately NOT seeded by initialOffset: Spark may recreate
+        #: the reader mid-query, and a capped offset computed from a
+        #: fresh instance's floor can land BELOW the already-committed
+        #: offset — an offset regression that re-delivers versions. The
+        #: first latestOffset of every incarnation is therefore uncapped
+        #: (current latest ≥ committed always holds); steady-state
+        #: batches are capped.
+        self._planned_end: int | None = None
         # output order is fixed by the declared schema; the trailing two
         # fields (type, _commit_version) are reader-synthesized
         self.fields = [f.name for f in schema.fields]
@@ -139,7 +156,18 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
-        return {"version": _snapshot(self.root).version}
+        # floor at startingVersion - 1 (ADVICE r7): when startingVersion
+        # is AHEAD of the table's current latest, the offset must not
+        # regress below the subscription floor — otherwise the first
+        # batch plans with end < start, commits an offset below the
+        # floor, and versions landing later in [latest+1, starting-1]
+        # stream even though the subscriber asked to skip them.
+        floor = self.starting_version - 1
+        latest = max(_snapshot(self.root).version, floor)
+        if self.max_versions > 0 and self._planned_end is not None:
+            latest = min(latest, self._planned_end + self.max_versions)
+        self._planned_end = latest
+        return {"version": latest}
 
     def commit(self, end: dict) -> None:
         pass

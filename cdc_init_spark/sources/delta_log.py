@@ -69,7 +69,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from cdc_init_spark.sources.commit_store import CommitStore, LocalCommitStore
+from cdc_init_spark.sources.commit_store import (
+    CommitStore,
+    LocalCommitStore,
+    fsync_dir,
+)
 from cdc_init_spark.sources.table_format import TableFormat
 
 #: Delta parity: files younger than this are never vacuumed by default —
@@ -194,6 +198,11 @@ class DeltaLogFormat(TableFormat):
         #: referenced by `cdc` actions in the log — the data the
         #: streaming change-feed source (sources/delta_cdf.py) tails.
         #: Appends/init need no extra files (their adds ARE the inserts).
+        #: OVERWRITES capture change data only when commit() is passed
+        #: ``cdc_pk_cols`` for the table — without it an overwrite of an
+        #: existing table is not row-expressible and a live subscription
+        #: fails loudly at that version (skippable only by explicit
+        #: onNonCdf=skip). See commit()'s docstring (ADVICE r7).
         self.enable_cdf = enable_cdf
         #: the put-if-absent primitive every commit decision rides on;
         #: bind an object-store implementation here for S3/GCS/Azure
@@ -321,11 +330,26 @@ class DeltaLogFormat(TableFormat):
         )
         tmp = self._ckpt_path(version) + f".tmp-{uuid.uuid4().hex}"
         pq.write_table(t, tmp)
+        # durability order (ADVICE r7, commit_store.py:67): the pointer
+        # must never become durable before the checkpoint file it names —
+        # fsync the parquet bytes + its directory entry, THEN swap the
+        # pointer, THEN fsync the pointer's entry. A crash at any point
+        # leaves either the old pointer (full replay, correct) or the new
+        # pointer with its checkpoint guaranteed present.
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         os.replace(tmp, self._ckpt_path(version))
+        fsync_dir(self.log_dir)
         ptr_tmp = os.path.join(self.log_dir, f".lc-{uuid.uuid4().hex}")
         with open(ptr_tmp, "w") as f:
             json.dump({"version": version}, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(ptr_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+        fsync_dir(self.log_dir)
 
     def _load_checkpoint(self, snap: _Snapshot, version: int) -> None:
         import pyarrow.parquet as pq
@@ -429,6 +453,23 @@ class DeltaLogFormat(TableFormat):
         shutil.rmtree(staging)
         return adds
 
+    def _read_adds(
+        self, spark: SparkSession, table: str, adds: list[dict], schema: StructType
+    ) -> DataFrame:
+        """Read back the data files a transaction JUST WROTE (its ``add``
+        actions) — the committed bytes, not a re-execution of the lazy
+        plan that produced them. Change-data capture diffs against this,
+        so the feed can never disagree with the table even for
+        non-deterministic inputs (ADVICE r7, delta_log.py:812)."""
+        if not adds:
+            return spark.createDataFrame([], schema)
+        return (
+            spark.read.schema(schema)
+            .option("basePath", os.path.join(self.data_dir, table))
+            .parquet(*[os.path.join(self.data_dir, a["path"]) for a in adds])
+            .select(*[f.name for f in schema.fields])
+        )
+
     def _abandon(self, adds: list[dict]) -> None:
         """Delete data files written for a transaction that will never
         commit (replayed batch / unrecoverable conflict). Best-effort:
@@ -521,6 +562,7 @@ class DeltaLogFormat(TableFormat):
         tables: dict[str, DataFrame],
         batch_id: int,
         partition_by: dict[str, list[str]] | None = None,
+        cdc_pk_cols: dict[str, list[str]] | None = None,
     ) -> bool:
         """Overwrite-commit: the given tables' full new contents become
         the next version (removes for every previously-active file of
@@ -531,10 +573,25 @@ class DeltaLogFormat(TableFormat):
 
         ``partition_by`` re-specs a table's partition layout — safe only
         here, because an overwrite retires every old file, so no mixed-
-        layout state can exist at any version."""
+        layout state can exist at any version.
+
+        **Change-data capture** (ADVICE r7, delta_log.py:519): an
+        overwrite of an existing table removes files, which a live
+        change-feed subscription cannot express as row changes — it
+        hard-fails at that version (or silently drops the overwrite with
+        ``onNonCdf=skip``). When the format has ``enable_cdf=True``,
+        pass ``cdc_pk_cols={table: [pk, ...]}`` and the commit captures
+        the old-state→new-state diff as change data (same mechanism as
+        ``merge``), keeping subscriptions live across overwrites.
+        Requires the overwrite to keep the table's schema (a reshape
+        isn't row-expressible — raises). Overwrites of CDF tables
+        WITHOUT ``cdc_pk_cols`` keep the old loud-failure behavior."""
         snap = self._snapshot()
         if batch_id <= snap.last_batch_id:
             return False
+        spark = (
+            next(iter(tables.values())).sparkSession if tables else None
+        )
 
         def spec_of(name: str) -> list[str] | None:
             if partition_by is not None and name in partition_by:
@@ -546,8 +603,43 @@ class DeltaLogFormat(TableFormat):
             name: self._write_data_files(name, df, specs_used[name])
             for name, df in tables.items()
         }
+        cdc_files: list[dict] = []
         while True:
             actions: list[dict] = [{"commitInfo": {"operation": "overwrite"}}]
+            if self.enable_cdf and cdc_pk_cols:
+                # recomputed per attempt: a lost race changes the old
+                # state the diff is taken against
+                from cdc_init_spark.streaming.apply import diff_snapshots
+
+                self._abandon_cdc(cdc_files)
+                cdc_files = []
+                for name, df in tables.items():
+                    pks = cdc_pk_cols.get(name)
+                    if not pks or name not in snap.schemas:
+                        continue  # a brand-new table's adds ARE the inserts
+                    old_schema = StructType.fromJson(
+                        json.loads(snap.schemas[name])
+                    )
+                    if {f.name for f in old_schema.fields} != set(df.columns):
+                        raise ValueError(
+                            f"overwrite of {name!r} changes its column set; "
+                            "a reshape is not row-expressible as change "
+                            "data — drop cdc_pk_cols for this table (the "
+                            "stream then fails/skips explicitly) or keep "
+                            "the schema"
+                        )
+                    old_state = self._read_files(
+                        spark, snap, name, snap.adds.get(name, {})
+                    )
+                    new_state = self._read_adds(
+                        spark, name, new_adds[name], df.schema
+                    ).select(*old_state.columns)
+                    files = self._write_cdc_files(
+                        name, diff_snapshots(old_state, new_state, pks)
+                    )
+                    cdc_files.extend(files)
+                    actions.append({"cdcMeta": {"table": name}})
+                    actions.extend({"cdc": f} for f in files)
             for name, df in tables.items():
                 # overwrite retires every old file, so even a breaking
                 # schema change is safe here — refresh metaData when the
@@ -573,6 +665,7 @@ class DeltaLogFormat(TableFormat):
             snap = self._snapshot()
             if batch_id <= snap.last_batch_id:
                 self._abandon([a for adds in new_adds.values() for a in adds])
+                self._abandon_cdc(cdc_files)
                 return False
             # if the winner changed a table's partition spec, files laid
             # out under the old col=value structure must NOT be committed
@@ -804,12 +897,20 @@ class DeltaLogFormat(TableFormat):
         if self.enable_cdf:
             # the commit's exact DML set (what actually changed, post-
             # compaction — NOT the raw input change frame, which may
-            # contain no-ops); diffing touched-old vs rewritten is exact
-            # because untouched files are identical on both sides
+            # contain no-ops); diffing touched-old vs the files JUST
+            # WRITTEN is exact because untouched files are identical on
+            # both sides. Reading the adds back — instead of re-executing
+            # the lazy `rewritten` plan — guarantees the change feed
+            # matches the committed bytes even when the input change
+            # frame is non-deterministic (ADVICE r7, delta_log.py:812),
+            # and avoids a second execution of the merge plan.
             from cdc_init_spark.streaming.apply import diff_snapshots
 
             cdc_adds = self._write_cdc_files(
-                table, diff_snapshots(old_rows, rewritten, pk_cols)
+                table,
+                diff_snapshots(
+                    old_rows, self._read_adds(spark, table, adds, schema), pk_cols
+                ),
             )
             # marker: CDF was captured for this table in this commit
             # (present even when the diff is empty, so the stream reader

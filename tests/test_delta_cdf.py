@@ -256,3 +256,137 @@ def test_vacuum_collects_change_data_below_horizon(spark, tmp_path):
         _run_stream(spark, fmt.root, "acct",
                     str(tmp_path / "ckpt1"), "cdf_below_horizon",
                     startingVersion="1")
+
+
+def test_starting_version_ahead_of_latest_floors_offset(spark, tmp_path):
+    """ADVICE r7 (delta_cdf.py:138): a startingVersion BEYOND the
+    table's current latest must hold the committed offset at the
+    subscription floor — versions landing later in [latest+1,
+    startingVersion-1] stay skipped, and the first batch never plans
+    with end < start."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init({"acct": spark.createDataFrame(
+        [(1, 1.0)], "id long, v double")})                    # v0 (latest)
+    ckpt = str(tmp_path / "ckpt")
+    first = _run_stream_recoverable(
+        spark, fmt.root, "acct", ckpt, startingVersion="3")
+    assert first == []  # nothing at or above the floor exists yet
+
+    for i in (2, 3, 4):  # v1, v2 (asked to skip), v3 (subscribed)
+        fmt.append("acct", spark.createDataFrame(
+            [(i, float(i))], "id long, v double"))
+    second = _run_stream_recoverable(
+        spark, fmt.root, "acct", ckpt, startingVersion="3")
+    assert sorted({r["_commit_version"] for r in second}) == [3]
+    assert [(r["id"], r["v"], r["type"]) for r in second] == [
+        (4, 4.0, "insert")]
+
+
+def test_max_versions_per_batch_bounds_live_tail(spark, tmp_path):
+    """maxVersionsPerBatch=1 bounds steady-state micro-batches to one
+    version each (Delta's maxFilesPerTrigger shape). The FIRST batch of
+    a reader incarnation is deliberately uncapped — a capped offset
+    computed without knowing the committed offset could regress below
+    it and re-deliver versions — so the law is: no later batch exceeds
+    the cap, offsets never regress, and accumulated rows equal the
+    unbounded read."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init({"acct": spark.createDataFrame(
+        [(1, 1.0)], "id long, v double")})
+    batches: list = []
+
+    def sink(df, bid):
+        batches.append(sorted(
+            r[0] for r in df.select("_commit_version").distinct().collect()
+        ))
+
+    q = (
+        read_change_stream(spark, fmt.root, "acct", maxVersionsPerBatch="1")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i in range(2, 6):  # v1..v4 land while the query is live
+            fmt.append("acct", spark.createDataFrame(
+                [(i, float(i))], "id long, v double"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert all(len(vs) <= 1 for vs in batches[1:])
+    covered = [v for vs in batches for v in vs]
+    assert covered == sorted(covered), "offsets regressed (re-delivery)"
+    assert sorted(covered) == [0, 1, 2, 3, 4]
+
+
+def test_overwrite_with_cdc_pk_cols_keeps_stream_live(spark, tmp_path):
+    """ADVICE r7 (delta_log.py:519): an overwrite commit on a CDF table
+    captures change data when given the table's pk — the subscription
+    stays live across the overwrite and sees its exact row diff."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init({"acct": spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, v double")})
+    ok = fmt.commit(
+        {"acct": spark.createDataFrame(
+            [(2, 21.0), (3, 30.0)], "id long, v double")},
+        batch_id=0,
+        cdc_pk_cols={"acct": ["id"]},
+    )
+    assert ok
+    out = _run_stream(spark, fmt.root, "acct",
+                      str(tmp_path / "ckpt"), "cdf_overwrite")
+    got = _rows(out.filter(F.col("_commit_version") == 1)
+                .select("id", "v", "type"))
+    assert got == _rows([(1, None, "delete"), (2, 21.0, "update"),
+                         (3, 30.0, "insert")])
+    # law: applying the streamed v1 diff to v0 reproduces v1
+    assert _rows(fmt.read(spark, "acct", version=1)) == _rows(
+        [(2, 21.0), (3, 30.0)])
+
+
+def test_overwrite_without_pk_still_fails_loudly(spark, tmp_path):
+    """The documented gap: a CDF-table overwrite WITHOUT cdc_pk_cols is
+    not row-expressible — the stream raises by default, and a reshape
+    overwrite refuses CDC capture outright."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init({"acct": spark.createDataFrame(
+        [(1, 10.0)], "id long, v double")})
+    fmt.commit({"acct": spark.createDataFrame(
+        [(1, 11.0)], "id long, v double")}, batch_id=0)  # no pk: no CDC
+    with pytest.raises(Exception, match="onNonCdf|enable_cdf"):
+        _run_stream(spark, fmt.root, "acct",
+                    str(tmp_path / "ckpt"), "cdf_ow_err")
+    with pytest.raises(ValueError, match="column set"):
+        fmt.commit(
+            {"acct": spark.createDataFrame(
+                [(1, "x")], "id long, name string")},
+            batch_id=1,
+            cdc_pk_cols={"acct": ["id"]},
+        )
+
+
+def test_cdc_matches_committed_bytes_for_nondeterministic_changes(
+    spark, tmp_path
+):
+    """ADVICE r7 (delta_log.py:812): change-data content is derived from
+    the files the merge COMMITTED, not from a second execution of the
+    merge plan — so a non-deterministic change frame (rand values) still
+    yields a feed that agrees exactly with the table's own version diff."""
+    import os as _os
+
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init({"acct": spark.createDataFrame(
+        [(i, 0.0) for i in range(10)], "id long, v double")})
+    ch = spark.range(10).select(
+        "id",
+        F.lit(_ts(1)).alias("ts"),
+        F.lit("update").alias("type"),
+        F.rand().alias("v"),  # unseeded: differs on every execution
+    )
+    fmt.merge(spark, "acct", ch, ["id"], batch_id=0)
+    table_diff = fmt.changes_between(spark, "acct", 0, 1, ["id"])
+    stored = spark.read.parquet(_os.path.join(fmt.cdc_dir, "acct"))
+    assert _rows(stored.select("id", "type", "v")) == _rows(
+        table_diff.select("id", "type", "v"))
