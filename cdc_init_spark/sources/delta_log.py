@@ -133,6 +133,104 @@ def _file_stats(path: str) -> dict:
     return {"rows": rows, "min": mins, "max": maxs, "nulls": nulls}
 
 
+#: dtypes whose change-key summaries may carry MULTIPLE ranges (gap
+#: width needs subtraction); everything else falls back to the single
+#: global [min,max] box, which is always a correct (if looser) cover
+_GAPPABLE_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _change_key_ranges(
+    keys: DataFrame,
+    pk_cols: list[str],
+    dtypes: dict[str, str],
+    max_ranges: int,
+) -> dict[str, list[tuple]]:
+    """Bounded superset cover of a merge's change keys, per pk column:
+    up to ``max_ranges`` [lo, hi] ranges obtained by sorting the distinct
+    keys and cutting at the ``max_ranges - 1`` widest gaps (VERDICT r7
+    item 1). A single outlier key no longer inflates the cover to the
+    whole key space — the two-distant-keys change set that previously
+    forced reading every active file prunes to the files actually
+    holding those keys.
+
+    Computed distributedly: one min/max aggregate + one lag-window over
+    the distinct keys collecting only the (max_ranges - 1) widest-gap
+    cut rows. The window is a single-partition sort of the DISTINCT
+    change keys — change-set-sized, not table-sized; callers gate this
+    path on the key count. Non-numeric columns (strings, timestamps in
+    their JSON-stats form) keep the global [min,max] box: gap width is
+    undefined there, and the box is always a correct cover.
+
+    Returns {col: [(lo, hi), ...]} sorted ascending; a column with no
+    non-null keys maps to [] (no file can match — equi-joins never match
+    NULL keys)."""
+    from pyspark.sql.window import Window
+
+    g = keys.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in pk_cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in pk_cols],
+    ).collect()[0]
+    out: dict[str, list[tuple]] = {}
+    for c in pk_cols:
+        lo, hi = g[f"_lo_{c}"], g[f"_hi_{c}"]
+        if lo is None:
+            out[c] = []
+            continue
+        ranges = [(lo, hi)]
+        dt = dtypes.get(c, "")
+        if (
+            max_ranges > 1
+            and lo != hi
+            and (dt in _GAPPABLE_DTYPES or dt.startswith("decimal"))
+        ):
+            w = Window.orderBy("_k")
+            cuts = (
+                keys.select(F.col(c).alias("_k"))
+                .distinct()
+                .select("_k", F.lag("_k").over(w).alias("_prev"))
+                .filter(F.col("_prev").isNotNull())
+                .select("_prev", "_k", (F.col("_k") - F.col("_prev")).alias("_gap"))
+                .orderBy(F.desc("_gap"))
+                .limit(max_ranges - 1)
+                .collect()
+            )
+            bounds = sorted((r["_prev"], r["_k"]) for r in cuts)
+            ranges = []
+            cur_lo = lo
+            for prev, nxt in bounds:
+                ranges.append((cur_lo, prev))
+                cur_lo = nxt
+            ranges.append((cur_lo, hi))
+        out[c] = ranges
+    return out
+
+
+def _file_intersects_ranges(stats: dict, ranges: dict[str, list[tuple]]) -> bool:
+    """Conservative per-file test: keep the file unless SOME column's
+    key-range cover is provably disjoint from the file's footer
+    [min,max]. Missing stats or incomparable forms → keep (the exact
+    semi-join decides)."""
+    for c, cover in ranges.items():
+        if not cover:
+            return False  # no non-null change keys for this pk column
+        fmin = (stats.get("min") or {}).get(c)
+        fmax = (stats.get("max") or {}).get(c)
+        if fmin is None or fmax is None:
+            continue
+        hit = False
+        for klo, khi in cover:
+            try:
+                if not (fmax < klo or fmin > khi):
+                    hit = True
+                    break
+            except TypeError:
+                hit = True  # incomparable stats form → cannot prune
+                break
+        if not hit:
+            return False
+    return True
+
+
 class _Snapshot:
     """Replayed log state: active files per table, schemas, partition
     specs, the batch-id watermark, and the version it represents."""
@@ -187,6 +285,9 @@ class DeltaLogFormat(TableFormat):
         checkpoint_interval: int = 10,
         commit_store: CommitStore | None = None,
         enable_cdf: bool = False,
+        merge_broadcast_key_limit: int = 1_000_000,
+        merge_key_ranges: int = 32,
+        merge_range_summary_key_limit: int = 5_000_000,
     ) -> None:
         self.root = root
         self.log_dir = os.path.join(root, "_log")
@@ -208,11 +309,34 @@ class DeltaLogFormat(TableFormat):
         #: bind an object-store implementation here for S3/GCS/Azure
         #: (conditional-put mapping documented in sources/commit_store.py)
         self.commit_store = commit_store or LocalCommitStore()
+        #: merge planning knobs (VERDICT r7 items 1-2):
+        #: - change-key frames with at most ``merge_broadcast_key_limit``
+        #:   distinct keys are broadcast into the exact-touch semi-join
+        #:   (the autoBroadcastJoinThreshold shape, counted in keys
+        #:   because the format knows key widths are small); above it
+        #:   the join falls back to a shuffled hash join — a
+        #:   backfill-scale merge (10^8 keys) must not exceed driver/
+        #:   executor broadcast limits
+        #: - candidate files are pruned against up to
+        #:   ``merge_key_ranges`` change-key ranges per pk column
+        #:   (sorted-key widest-gap cuts) instead of one global box,
+        #:   provided the distinct-key count stays at or below
+        #:   ``merge_range_summary_key_limit`` (the summary sorts the
+        #:   distinct keys in one partition; beyond the limit the global
+        #:   box — always a correct cover — is used)
+        self.merge_broadcast_key_limit = merge_broadcast_key_limit
+        self.merge_key_ranges = merge_key_ranges
+        self.merge_range_summary_key_limit = merge_range_summary_key_limit
         #: planning counters from the last merge() on this instance —
-        #: {"active", "candidates", "touched"} file counts; the
-        #: O(delta) contract is touched ≪ active for selective change
-        #: sets, asserted by the proportionality pytest
+        #: {"active", "candidates", "touched"} file counts plus
+        #: {"n_change_keys", "key_join", "key_ranges"}; the O(delta)
+        #: contract is touched ≪ active for selective change sets,
+        #: asserted by the proportionality pytest
         self.last_merge_stats: dict | None = None
+        #: final physical plan of the last merge's exact-touch semi-join
+        #: (driver-side string) — lets tests assert the broadcast gate
+        #: actually switched join strategies
+        self._last_key_join_plan: str | None = None
 
     # -- log primitives ------------------------------------------------------
 
@@ -789,12 +913,16 @@ class DeltaLogFormat(TableFormat):
         matched keys.
 
         Plan: (1) file-skip — prune active files whose pk-range stats
-        cannot contain any change key (no IO beyond the already-held
-        log); (2) exact touch set — read the survivors with
-        input_file_name() and semi-join the (broadcast) change keys;
-        (3) rewrite = apply_changes(touched rows, changes) written as
-        new files; untouched files are never read or written. At 100 TB
-        a 10^6-key change batch reads the few files holding those keys,
+        cannot intersect the change keys' bounded RANGE COVER (up to
+        ``merge_key_ranges`` sorted-key widest-gap ranges per column —
+        one outlier key no longer widens the cover to the whole key
+        space; no IO beyond the already-held log); (2) exact touch set —
+        read the survivors with input_file_name() and semi-join the
+        change keys (broadcast up to ``merge_broadcast_key_limit``
+        distinct keys, shuffled hash join above it); (3) rewrite =
+        apply_changes(touched rows, changes) written as new files;
+        untouched files are never read or written. At 100 TB a
+        10^6-key change batch reads the few files holding those keys,
         not the table.
 
         Law (pytest): read-after-merge ≡ apply_changes(read-before, changes).
@@ -810,47 +938,60 @@ class DeltaLogFormat(TableFormat):
         active = snap.adds.get(table, {})
         schema = StructType.fromJson(json.loads(snap.schemas[table]))
 
-        # (1) stats-based file skipping on the change keys' overall range
-        key_rng = (
-            changes.agg(
-                *[F.min(c).alias(f"_lo_{c}") for c in pk_cols],
-                *[F.max(c).alias(f"_hi_{c}") for c in pk_cols],
-            ).collect()[0]
-            if active
-            else None
-        )
+        # distinct change keys, shared by the range summary, the
+        # broadcast gate, and the exact-touch semi-join (rows with a
+        # NULL in any pk column are dropped: an equi-join never matches
+        # them, so they can touch no file)
+        n_keys = 0
+        key_ranges: dict[str, list[tuple]] = {}
+        key_join = None
+        keys = None
+        if active:
+            keys = (
+                changes.na.drop(subset=pk_cols).select(*pk_cols).distinct()
+            ).persist()
+            n_keys = keys.count()
+            # (1) stats-based file skipping on a bounded range cover of
+            # the change keys (global [min,max] box when the key count
+            # exceeds the summary limit — always a correct cover)
+            key_ranges = _change_key_ranges(
+                keys,
+                pk_cols,
+                dict(changes.dtypes),
+                self.merge_key_ranges
+                if n_keys <= self.merge_range_summary_key_limit
+                else 1,
+            )
         candidates = {}
         for p, a in active.items():
-            st = a.get("stats") or {}
-            keep = True
-            for c in pk_cols:
-                lo, hi = (st.get("min") or {}).get(c), (st.get("max") or {}).get(c)
-                klo, khi = key_rng[f"_lo_{c}"], key_rng[f"_hi_{c}"]
-                if lo is not None and hi is not None and klo is not None:
-                    try:
-                        if hi < klo or lo > khi:
-                            keep = False
-                            break
-                    except TypeError:
-                        pass  # incomparable stats form → cannot prune
-            if keep:
+            if _file_intersects_ranges(a.get("stats") or {}, key_ranges):
                 candidates[p] = a
         # (2) exact touched-file set: which candidate files hold a changed key
         touched: list[str] = []
         if candidates:
             cand_paths = [os.path.join(self.data_dir, p) for p in candidates]
-            keys = changes.select(*pk_cols).distinct()
-            touched_abs = [
-                r["_f"]
-                for r in spark.read.schema(schema)
+            if n_keys <= self.merge_broadcast_key_limit:
+                keyed, key_join = F.broadcast(keys), "broadcast"
+            else:
+                # backfill-scale change sets must not be collected to the
+                # driver: hash-shuffle both sides on the pk instead
+                keyed, key_join = keys.hint("shuffle_hash"), "shuffle_hash"
+            probe = (
+                spark.read.schema(schema)
                 .option("basePath", os.path.join(self.data_dir, table))
                 .parquet(*cand_paths)
                 .withColumn("_f", F.input_file_name())
-                .join(F.broadcast(keys), on=pk_cols, how="left_semi")
+                .join(keyed, on=pk_cols, how="left_semi")
                 .select("_f")
                 .distinct()
-                .collect()
-            ]
+            )
+            touched_abs = [r["_f"] for r in probe.collect()]
+            try:
+                self._last_key_join_plan = (
+                    probe._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception:
+                self._last_key_join_plan = None
             # input_file_name() yields PERCENT-ENCODED file: URIs (a
             # partition dir `region=a b` comes back as `region=a%20b`);
             # decode the URI path before relativizing or the remove
@@ -871,10 +1012,15 @@ class DeltaLogFormat(TableFormat):
                     f"is not an active file of {table!r} — path "
                     "normalization bug or concurrent layout change"
                 )
+        if keys is not None:
+            keys.unpersist()
         self.last_merge_stats = {
             "active": len(active),
             "candidates": len(candidates),
             "touched": len(touched),
+            "n_change_keys": n_keys,
+            "key_join": key_join,
+            "key_ranges": {c: len(r) for c, r in key_ranges.items()},
         }
         # (3) copy-on-write rewrite of touched rows + the changes;
         # the rewrite preserves the table's partition layout so every

@@ -790,3 +790,116 @@ def test_read_where_all_conjunctive_pruning(spark, tmp_path):
     assert _rows(out2) == sorted(
         (x, y, float(x * 100 + y)) for x in (38, 39) for y in range(40)
     )
+
+
+def test_merge_range_cover_prunes_outlier_change_set(spark, tmp_path):
+    """VERDICT r7 item 1: a change set holding two DISTANT keys must not
+    force reading every active file. The old single [min,max] box
+    covered the whole key space; the bounded range cover (sorted-key
+    widest-gap cuts) keeps candidates ≈ touched."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    width, n_files = 100, 20
+    fmt.init({"docs": spark.createDataFrame(
+        [(i, f"b{i}") for i in range(width)], "id long, body string"
+    ).coalesce(1)})
+    for f in range(1, n_files):
+        lo = f * width
+        fmt.append("docs", spark.createDataFrame(
+            [(i, f"b{i}") for i in range(lo, lo + width)],
+            "id long, body string").coalesce(1))
+
+    # one key in the first file's range, one in the last file's range
+    changes = spark.createDataFrame(
+        [(5, _ts(1), "update", "edited-5"),
+         (n_files * width - 7, _ts(1), "update", "edited-hi")],
+        "id long, ts timestamp, type string, body string")
+    fmt.merge(spark, "docs", changes, ["id"])
+    stats = fmt.last_merge_stats
+    assert stats["active"] == n_files
+    assert stats["touched"] == 2
+    assert stats["candidates"] == 2, (
+        f"range cover should prune to the two holding files, got "
+        f"{stats['candidates']}")
+    assert stats["key_ranges"] == {"id": 2}
+    # values landed
+    got = dict(
+        (r.id, r.body)
+        for r in fmt.read(spark, "docs")
+        .filter(F.col("id").isin(5, n_files * width - 7)).collect())
+    assert got == {5: "edited-5", n_files * width - 7: "edited-hi"}
+
+
+def test_merge_range_cover_caps_and_falls_back(spark, tmp_path):
+    """The cover is bounded: more key clusters than merge_key_ranges
+    still yields at most merge_key_ranges ranges (a correct, looser
+    cover); a key count above merge_range_summary_key_limit falls back
+    to the single global box — both stay exact on the touched set."""
+    fmt = DeltaLogFormat(
+        str(tmp_path / "t"), merge_key_ranges=3,
+        merge_range_summary_key_limit=4)
+    width, n_files = 50, 10
+    fmt.init({"m": spark.createDataFrame(
+        [(i, 0.0) for i in range(width)], "id long, v double").coalesce(1)})
+    for f in range(1, n_files):
+        fmt.append("m", spark.createDataFrame(
+            [(i, 0.0) for i in range(f * width, (f + 1) * width)],
+            "id long, v double").coalesce(1))
+
+    # 5 distinct keys in 5 different files > summary limit 4 → global box
+    ch = spark.createDataFrame(
+        [(k * width + 1, _ts(1), "update", 1.0) for k in range(0, 10, 2)],
+        "id long, ts timestamp, type string, v double")
+    fmt.merge(spark, "m", ch, ["id"])
+    assert fmt.last_merge_stats["key_ranges"] == {"id": 1}  # box fallback
+    assert fmt.last_merge_stats["touched"] == 5
+
+    # 3 distinct keys, cap 3 → at most 3 ranges, exact touch unchanged
+    ch2 = spark.createDataFrame(
+        [(k * width + 2, _ts(2), "update", 2.0) for k in (1, 4, 8)],
+        "id long, ts timestamp, type string, v double")
+    fmt.merge(spark, "m", ch2, ["id"])
+    assert fmt.last_merge_stats["key_ranges"]["id"] <= 3
+    # pruning still effective under the cap: candidates well below the
+    # active file count (the first merge's rewrite files carry wide
+    # [min,max] boxes, so candidates may exceed touched — stats pruning
+    # can never see inside a wide file; that is compaction's job)
+    assert fmt.last_merge_stats["touched"] >= 2
+    assert (fmt.last_merge_stats["touched"]
+            <= fmt.last_merge_stats["candidates"]
+            < fmt.last_merge_stats["active"])
+    got = dict((r.id, r.v) for r in fmt.read(spark, "m").filter(
+        F.col("id").isin(52, 202, 402)).collect())
+    assert got == {52: 2.0, 202: 2.0, 402: 2.0}
+
+
+def test_merge_broadcast_gate_switches_to_shuffle_join(spark, tmp_path):
+    """VERDICT r7 item 2: above merge_broadcast_key_limit the exact-
+    touch semi-join must not broadcast the change keys (a backfill-scale
+    merge would exceed broadcast limits) — the physical plan switches to
+    a shuffled hash join and the touched set is identical."""
+    def build(root, **kw):
+        fmt = DeltaLogFormat(root, **kw)
+        fmt.init({"m": spark.createDataFrame(
+            [(i, 0.0) for i in range(100)], "id long, v double").coalesce(1)})
+        fmt.append("m", spark.createDataFrame(
+            [(i, 0.0) for i in range(100, 200)],
+            "id long, v double").coalesce(1))
+        ch = spark.createDataFrame(
+            [(i, _ts(1), "update", 1.0) for i in range(40, 60)],
+            "id long, ts timestamp, type string, v double")
+        fmt.merge(spark, "m", ch, ["id"])
+        return fmt
+
+    small = build(str(tmp_path / "bcast"))
+    assert small.last_merge_stats["key_join"] == "broadcast"
+    assert "BroadcastHashJoin" in (small._last_key_join_plan or "")
+
+    big = build(str(tmp_path / "shuffle"), merge_broadcast_key_limit=5)
+    assert big.last_merge_stats["key_join"] == "shuffle_hash"
+    assert "BroadcastHashJoin" not in (big._last_key_join_plan or "x")
+    assert "ShuffledHashJoin" in (big._last_key_join_plan or "")
+
+    # identical outcomes either way
+    assert big.last_merge_stats["touched"] == \
+        small.last_merge_stats["touched"] == 1
+    assert _rows(big.read(spark, "m")) == _rows(small.read(spark, "m"))
