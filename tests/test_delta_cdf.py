@@ -465,3 +465,96 @@ def test_arrow_batches_beat_tuple_path_2x(spark, tmp_path):
     assert t_arrow * 2 <= t_tuple, (
         f"arrow path {t_arrow:.3f}s not 2x faster than tuple "
         f"{t_tuple:.3f}s")
+
+
+def test_additive_evolution_old_files_stream_null_for_new_columns(
+    spark, tmp_path
+):
+    """Schema-evolution law (VERDICT r7 item 5): a subscription started
+    AFTER an additive widening reads the whole history in the widened
+    schema — files from before the widening stream NULL for the new
+    columns."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init({"acct": spark.createDataFrame(
+        [(1, 1.0)], "id long, v double")})                      # v0 narrow
+    fmt.append("acct", spark.createDataFrame(
+        [(2, 2.0, "x")], "id long, v double, tag string"))      # v1 widened
+    out = _run_stream(spark, fmt.root, "acct",
+                      str(tmp_path / "ckpt"), "cdf_widen")
+    assert set(out.columns) == {"id", "v", "tag", "type", "_commit_version"}
+    assert _rows(out.select("id", "v", "tag", "type")) == _rows([
+        (1, 1.0, None, "insert"), (2, 2.0, "x", "insert")])
+
+
+def test_restart_picks_up_widened_schema(spark, tmp_path):
+    """A subscription pinned on the narrow schema keeps streaming across
+    an additive widening (new columns simply invisible); a RESTART on
+    the same checkpoint re-resolves the schema and delivers subsequent
+    versions with the new column."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init({"acct": spark.createDataFrame(
+        [(1, 1.0)], "id long, v double")})
+    ckpt = str(tmp_path / "ckpt")
+    first_cols: list = []
+    acc: list = []
+
+    def sink(df, _bid):
+        first_cols.append(df.columns)
+        acc.extend(df.collect())
+
+    q = (read_change_stream(spark, fmt.root, "acct")
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        fmt.append("acct", spark.createDataFrame(
+            [(2, 2.0, "x")], "id long, v double, tag string"))  # v1 widened
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    # pinned narrow: the widened version streamed WITHOUT the new column
+    assert all("tag" not in cols for cols in first_cols)
+    assert sorted((r["id"], r["v"]) for r in acc) == [(1, 1.0), (2, 2.0)]
+
+    fmt.append("acct", spark.createDataFrame(
+        [(3, 3.0, "y")], "id long, v double, tag string"))      # v2
+    second = _run_stream_recoverable(spark, fmt.root, "acct", ckpt)
+    assert [(r["id"], r["v"], r["tag"], r["_commit_version"])
+            for r in second] == [(3, 3.0, "y", 2)]
+
+
+def test_non_additive_change_fails_loudly_even_with_skip(spark, tmp_path):
+    """A drop/retype is never silently passed over: a column dropped
+    while the subscription is live kills the stream with a clear error
+    even under onNonCdf=skip, and a fresh subscription whose range
+    crosses a historical retype refuses to start."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init({"acct": spark.createDataFrame(
+        [(1, 1.0, "a")], "id long, v double, tag string")})
+    q = (read_change_stream(spark, fmt.root, "acct", onNonCdf="skip")
+         .writeStream.format("memory").queryName("cdf_drop")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+        # overwrite that DROPS tag lands mid-subscription
+        fmt.commit({"acct": spark.createDataFrame(
+            [(1, 1.0)], "id long, v double")}, batch_id=0)
+        with pytest.raises(Exception, match="drops column 'tag'"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass
+
+    # historical retype: fresh subscription from v0 crosses it → loud
+    fmt2 = DeltaLogFormat(str(tmp_path / "t2"), enable_cdf=True)
+    fmt2.init({"acct": spark.createDataFrame(
+        [(1, 1.0)], "id long, v double")})
+    fmt2.commit({"acct": spark.createDataFrame(
+        [(1, "one")], "id long, v string")}, batch_id=0)  # retype v
+    with pytest.raises(Exception, match="retypes column 'v'"):
+        _run_stream(spark, fmt2.root, "acct",
+                    str(tmp_path / "ckpt2"), "cdf_retype", onNonCdf="skip")
