@@ -128,3 +128,41 @@ def test_streaming_cdc_merge_into_table(spark, tmp_path):
     # time travel: v1 (after batch 0) shows the intermediate state
     mid = {r.id: r.name for r in fmt.read(spark, "acct", version=1).collect()}
     assert mid == {1: "a2", 2: "b"}
+
+
+def test_live_loop_capstone_matches_batch_recompute(spark, sf_dir):
+    """q206's law, independent of the DuckDB oracle: the aggregate the
+    change-feed subscription maintained incrementally (snapshot → two
+    merges → streamed continuous_agg_step) equals a from-scratch batch
+    recompute of the final state — the reference's snapshot-then-live
+    contract (core.clj:154-182) closed end to end."""
+    from pyspark.sql import functions as F
+
+    from cdc_init_spark.plans import QUERIES
+    from cdc_init_spark.plans.delta import _customer_change_set
+    from cdc_init_spark.streaming.apply import apply_changes
+    from cdc_init_spark.tables import load_table
+
+    got = {
+        r["c_nationkey"]: (r["sum_bal"], r["n_rows"])
+        for r in QUERIES["q206_delta_live_loop"](spark, sf_dir).collect()
+    }
+
+    base = load_table(spark, sf_dir, "customer")
+    final = apply_changes(
+        base, _customer_change_set(spark, sf_dir), ["c_custkey"], "ts"
+    )
+    # group membership resolves from the BASE row (incremental_agg's
+    # immutable-group contract; update rows carry NULL c_nationkey)
+    want = {
+        r["c_nationkey"]: (r["s"], r["n"])
+        for r in final.select("c_custkey", "c_acctbal")
+        .join(base.select("c_custkey", "c_nationkey"), "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(F.sum("c_acctbal").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1], f"nation {k} row count"
+        assert abs(got[k][0] - want[k][0]) < 1e-4, f"nation {k} sum"

@@ -133,14 +133,15 @@ def test_live_registry_stalest_cohort_inside_budget_window():
         assert window <= set(never) | set(stale)
 
 
-def test_corpus_frozen_at_195():
+def test_corpus_frozen_at_196():
     """VERDICT r3 item 3 froze the registry at 192; VERDICT r6 "Next
-    round" item 1 granted the one principled exception — the three
-    DeltaLogFormat entries (q203–q205), the round-6 ACID component's
-    only path into the driver's hard correctness gate. Frozen again at
-    195."""
-    assert len(QUERIES) == 195
-    assert len(ORACLE) >= 178
+    round" item 1 granted the q203–q205 DeltaLogFormat exception (195);
+    VERDICT r7 "Next round" item 4 sanctioned exactly one more — q206,
+    the full snapshot-then-live lifecycle capstone (seed → change-feed
+    subscription → incremental view maintenance) as a single
+    driver-gated artifact. Frozen again at 196."""
+    assert len(QUERIES) == 196
+    assert len(ORACLE) >= 179
 
 
 def test_corpus_md_in_sync():
