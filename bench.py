@@ -205,6 +205,49 @@ def main() -> None:
             total -= timings[name] - dt
             timings[name] = dt
 
+    # Auto-retime LOAD-FLAGGED entries after a decay window (VERDICT r7
+    # item 6): a query timed during a contention spike gets one more
+    # sample once the spike passes, instead of shipping a flagged number
+    # for hand-adjudication. A flag survives only when the retime itself
+    # still ran on a contended host — so the committed artifact carries
+    # flags for genuine sustained co-tenant load, not transient spikes.
+    loads = sorted(query_load.values())
+    median_load = loads[len(loads) // 2] if loads else 0.0
+    flag_threshold = max(2 * median_load, median_load + 8.0)
+    flagged = sorted(
+        n for n, l1 in {**query_load, **retime_load}.items()
+        if l1 > flag_threshold
+    )
+    flag_retime = {"attempted": len(flagged), "waited_sec": 0.0}
+    if flagged:
+        # bounded decay wait: 1-min loadavg roughly halves per idle
+        # minute; 3 minutes clears any self-load, and a co-tenant that
+        # outlasts it shows up in the retime sample and keeps the flag
+        t_wait = time.perf_counter()
+        while (
+            _loadavg()[0] > max(2.0, 0.25 * median_load)
+            and time.perf_counter() - t_wait < 180.0
+        ):
+            time.sleep(5.0)
+        flag_retime["waited_sec"] = round(time.perf_counter() - t_wait, 1)
+    still_flagged: list[str] = []
+    for name in flagged:
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        if _loadavg()[0] > flag_threshold:
+            still_flagged.append(name)  # retime is ALSO contended
+        t0 = time.perf_counter()
+        try:
+            materialize(QUERIES[name](spark, sf_dir))
+        except Exception:  # noqa: BLE001 — keep the earlier timing
+            continue
+        dt = round(time.perf_counter() - t0, 3)
+        if dt < timings[name]:
+            retimed.setdefault(name, timings[name])
+            total -= timings[name] - dt
+            timings[name] = dt
+    host["flag_retime"] = flag_retime
+
     for name, dt in pipeline_benches(spark, sf_dir, warm_dir).items():
         timings[name] = dt
         total += dt
@@ -215,14 +258,11 @@ def main() -> None:
     # 1-min loadavg during the run includes our own executors, so the
     # cheap signal is calibration drift (start vs end probes disagreeing
     # means some window of the run was on a different-speed host) plus
-    # per-query loadavg spikes far above the steady self-load.
-    loads = sorted(query_load.values())
-    median_load = loads[len(loads) // 2] if loads else 0.0
+    # per-query loadavg spikes far above the steady self-load. Entries
+    # whose post-decay retime ran quiet were UNFLAGGED above — their
+    # recorded min now includes a trustworthy sample.
     host["median_query_load1"] = round(median_load, 2)
-    host["load_flagged"] = sorted(
-        n for n, l1 in {**query_load, **retime_load}.items()
-        if l1 > max(2 * median_load, median_load + 8.0)
-    )
+    host["load_flagged"] = still_flagged
     host["calib_drift_pct"] = (
         round(
             100.0
