@@ -71,7 +71,7 @@ def _parse_version_entry(root: str, version: int) -> dict:
             "startingVersion horizon or retain more log entries"
         )
     out: dict = {"operation": None, "adds": {}, "removes": {},
-                 "cdc": {}, "cdcMeta": set(), "meta": {}}
+                 "cdc": {}, "cdcMeta": set(), "meta": {}, "dvs": {}}
     with open(path) as f:
         for line in f:
             a = json.loads(line)
@@ -89,6 +89,8 @@ def _parse_version_entry(root: str, version: int) -> dict:
                 out["cdcMeta"].add(a["cdcMeta"]["table"])
             elif "metaData" in a:
                 out["meta"][a["metaData"]["table"]] = a["metaData"]
+            elif "dv" in a:
+                out["dvs"].setdefault(a["dv"]["table"], []).append(a["dv"])
     return out
 
 
@@ -232,7 +234,10 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             removes = entry["removes"].get(self.table, [])
             if entry["operation"] == "compact":
                 continue  # physical rewrite, zero logical change
-            if removes:
+            if removes or entry["dvs"].get(self.table):
+                # removes (overwrite/restore/CoW merge) and deletion
+                # vectors (MoR merge) both change rows the adds alone
+                # cannot express
                 if self.on_non_cdf == "skip":
                     continue
                 raise ValueError(

@@ -233,9 +233,17 @@ def _file_intersects_ranges(stats: dict, ranges: dict[str, list[tuple]]) -> bool
 
 class _Snapshot:
     """Replayed log state: active files per table, schemas, partition
-    specs, the batch-id watermark, and the version it represents."""
+    specs, the batch-id watermark, deletion vectors (merge-on-read),
+    and the version it represents."""
 
-    __slots__ = ("version", "adds", "schemas", "partition_cols", "last_batch_id")
+    __slots__ = (
+        "version",
+        "adds",
+        "schemas",
+        "partition_cols",
+        "last_batch_id",
+        "dvs",
+    )
 
     def __init__(self):
         self.version = -1
@@ -243,6 +251,13 @@ class _Snapshot:
         self.schemas: dict[str, str] = {}  # table -> Spark schema json
         self.partition_cols: dict[str, list[str]] = {}
         self.last_batch_id = -1
+        #: merge-on-read deletion vectors: table -> dv path -> {"cols":
+        #: key column names, "applies_to": set of DATA paths the delete
+        #: keys still apply to}. A dv suppresses its keys' rows in
+        #: exactly the files it names (the merge's touched set at plan
+        #: time — never files added later). Removing a data file prunes
+        #: it from every dv; a dv whose applies_to empties is dead.
+        self.dvs: dict[str, dict[str, dict]] = {}
 
     def apply(self, action: dict) -> None:
         if "add" in action:
@@ -263,6 +278,20 @@ class _Snapshot:
                     f"{r['path']!r} of table {r['table']!r}"
                 )
             del active[r["path"]]
+            # a retired file's rows are gone; any dv rows targeting it
+            # are materialized/dead for that file
+            tdvs = self.dvs.get(r["table"], {})
+            for dv_path in list(tdvs):
+                tdvs[dv_path]["applies_to"].discard(r["path"])
+                if not tdvs[dv_path]["applies_to"]:
+                    del tdvs[dv_path]
+        elif "dv" in action:
+            d = action["dv"]
+            if d["applies_to"]:  # a dv targeting nothing is dead on arrival
+                self.dvs.setdefault(d["table"], {})[d["path"]] = {
+                    "cols": list(d["cols"]),
+                    "applies_to": set(d["applies_to"]),
+                }
         elif "txn" in action:
             self.last_batch_id = max(
                 self.last_batch_id, action["txn"]["batch_id"]
@@ -293,6 +322,7 @@ class DeltaLogFormat(TableFormat):
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "_data")
         self.cdc_dir = os.path.join(root, "_cdc")
+        self.dv_dir = os.path.join(root, "_dv")
         self.checkpoint_interval = checkpoint_interval
         #: change-data feed: when True, merge() also persists the exact
         #: keyed DML set of each commit as parquet under _cdc/{table},
@@ -424,6 +454,22 @@ class DeltaLogFormat(TableFormat):
                         else None,
                     }
                 )
+        for table, tdvs in snap.dvs.items():
+            for p, info in tdvs.items():
+                rows.append(
+                    {
+                        "kind": "dv",
+                        "table": table,
+                        "path": p,
+                        "dv_info": json.dumps(
+                            {
+                                "cols": info["cols"],
+                                "applies_to": sorted(info["applies_to"]),
+                            },
+                            sort_keys=True,
+                        ),
+                    }
+                )
         for table, sj in snap.schemas.items():
             rows.append(
                 {
@@ -445,6 +491,7 @@ class DeltaLogFormat(TableFormat):
             ("batch_id", pa.int64()),
             ("schema_json", pa.string()),
             ("partition_cols", pa.string()),
+            ("dv_info", pa.string()),
         ]
         t = pa.table(
             {
@@ -489,6 +536,12 @@ class DeltaLogFormat(TableFormat):
                 if row.get("partition_values"):
                     a["partitionValues"] = json.loads(row["partition_values"])
                 snap.adds.setdefault(a["table"], {})[a["path"]] = a
+            elif row["kind"] == "dv":
+                info = json.loads(row["dv_info"])
+                snap.dvs.setdefault(row["table"], {})[row["path"]] = {
+                    "cols": info["cols"],
+                    "applies_to": set(info["applies_to"]),
+                }
             elif row["kind"] == "metaData":
                 snap.schemas[row["table"]] = row["schema_json"]
                 snap.partition_cols[row["table"]] = json.loads(
@@ -631,6 +684,35 @@ class DeltaLogFormat(TableFormat):
         for a in cdc_adds:
             try:
                 os.unlink(os.path.join(self.cdc_dir, a["path"]))
+            except OSError:
+                pass
+
+    def _write_dv_files(self, table: str, keys: DataFrame) -> list[str]:
+        """Persist a merge-on-read commit's delete-key set (the pk
+        columns of every touched key) as immutable parquet under
+        ``_dv/{table}`` — the equality-delete files the read path
+        anti-joins against the files the commit's ``dv`` action names."""
+        tdir = os.path.join(self.dv_dir, table)
+        os.makedirs(tdir, exist_ok=True)
+        staging = os.path.join(self.root, f"_staging-dv-{uuid.uuid4().hex}")
+        keys.write.parquet(staging)
+        out = []
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, name)
+            if _file_stats(src)["rows"] == 0:
+                continue
+            final = f"dv-{uuid.uuid4().hex}.parquet"
+            os.replace(src, os.path.join(tdir, final))
+            out.append(f"{table}/{final}")
+        shutil.rmtree(staging)
+        return out
+
+    def _abandon_dv(self, dv_paths: list[str]) -> None:
+        for p in dv_paths:
+            try:
+                os.unlink(os.path.join(self.dv_dir, p))
             except OSError:
                 pass
 
@@ -808,15 +890,16 @@ class DeltaLogFormat(TableFormat):
         snap = self._snapshot(version)
         return self._read_files(spark, snap, table, snap.adds.get(table, {}))
 
-    def _read_files(
-        self, spark: SparkSession, snap: _Snapshot, table: str, files: dict
+    def _scan(
+        self,
+        spark: SparkSession,
+        snap: _Snapshot,
+        table: str,
+        schema: StructType,
+        rel_paths: list[str],
     ) -> DataFrame:
-        if table not in snap.schemas:
-            raise ValueError(f"unknown table {table!r} at v{snap.version}")
-        schema = StructType.fromJson(json.loads(snap.schemas[table]))
-        if not files:
-            return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.data_dir, p) for p in files]
+        """Raw scan of the given data files (no deletion vectors)."""
+        paths = [os.path.join(self.data_dir, p) for p in rel_paths]
         missing = [p for p in paths if not os.path.exists(p)]
         if missing:
             raise ValueError(
@@ -833,6 +916,51 @@ class DeltaLogFormat(TableFormat):
             .parquet(*paths)
             .select(*[f.name for f in schema.fields])
         )
+
+    def _read_files(
+        self, spark: SparkSession, snap: _Snapshot, table: str, files: dict
+    ) -> DataFrame:
+        """Snapshot read of the given active files WITH merge-on-read
+        deletion vectors applied: files are grouped by the set of dvs
+        that target them, each group anti-joins the union of its delete
+        keys (an equality-delete in the Iceberg-v2 sense — the keys are
+        the engine's pk vocabulary), and groups union back together.
+        Files no dv targets — the overwhelming majority of a big table —
+        scan exactly as before, zero extra work. Delete-key frames are
+        change-set-sized; Spark's own size estimation broadcasts them
+        when small (no hint forced, so a backfill-scale dv degrades to a
+        shuffle anti-join instead of an OOM)."""
+        if table not in snap.schemas:
+            raise ValueError(f"unknown table {table!r} at v{snap.version}")
+        schema = StructType.fromJson(json.loads(snap.schemas[table]))
+        if not files:
+            return spark.createDataFrame([], schema)
+        tdvs = snap.dvs.get(table, {})
+        groups: dict[frozenset, list[str]] = {}
+        for p in files:
+            applicable = frozenset(
+                dvp for dvp, info in tdvs.items() if p in info["applies_to"]
+            )
+            groups.setdefault(applicable, []).append(p)
+        parts: list[DataFrame] = []
+        for dvset, rel_paths in groups.items():
+            df = self._scan(spark, snap, table, schema, rel_paths)
+            for dvp in sorted(dvset):
+                info = tdvs[dvp]
+                full = os.path.join(self.dv_dir, dvp)
+                if not os.path.exists(full):
+                    raise ValueError(
+                        f"version {snap.version} of {table!r} references "
+                        f"vacuumed deletion vector {dvp}; time travel below "
+                        "the vacuum horizon is gone by design"
+                    )
+                keys = spark.read.parquet(full).select(*info["cols"]).distinct()
+                df = df.join(keys, on=info["cols"], how="left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def latest_version(self) -> int:
         return self._snapshot().version
@@ -906,11 +1034,22 @@ class DeltaLogFormat(TableFormat):
         order_col: str = "ts",
         type_col: str = "type",
         batch_id: int | None = None,
+        strategy: str = "cow",
     ) -> int:
-        """Copy-on-write MERGE: apply a keyed DML change set
-        (insert/update/delete — the engine's CDC vocabulary,
-        streaming/apply.py) rewriting ONLY the files that contain
-        matched keys.
+        """MERGE: apply a keyed DML change set (insert/update/delete —
+        the engine's CDC vocabulary, streaming/apply.py).
+
+        ``strategy="cow"`` (default) rewrites ONLY the files that
+        contain matched keys (copy-on-write). ``strategy="mor"``
+        (merge-on-read, VERDICT r7 item 8; the Delta deletion-vector /
+        Iceberg-v2 equality-delete shape) rewrites NOTHING: it writes
+        the upserted rows as new files plus one delete-key file under
+        ``_dv/{table}`` whose ``dv`` action names exactly the touched
+        files it suppresses keys in — write amplification drops from
+        O(touched files) to O(change set), at the cost of an anti-join
+        on read. ``compact()`` is the reconciler: it reads through the
+        dvs and retires them. Law (pytest): MoR read ≡ CoW read on the
+        same change set.
 
         Plan: (1) file-skip — prune active files whose pk-range stats
         cannot intersect the change keys' bounded RANGE COVER (up to
@@ -930,8 +1069,14 @@ class DeltaLogFormat(TableFormat):
         table's file set after planning (re-run against the new state).
         Returns the committed version, or -1 for a replayed batch_id.
         """
-        from cdc_init_spark.streaming.apply import apply_changes
+        from cdc_init_spark.streaming.apply import (
+            UPSERT_TYPES,
+            apply_changes,
+            compact_changes,
+        )
 
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"unknown merge strategy {strategy!r}")
         snap = self._snapshot()
         if batch_id is not None and batch_id <= snap.last_batch_id:
             return -1
@@ -1012,8 +1157,6 @@ class DeltaLogFormat(TableFormat):
                     f"is not an active file of {table!r} — path "
                     "normalization bug or concurrent layout change"
                 )
-        if keys is not None:
-            keys.unpersist()
         self.last_merge_stats = {
             "active": len(active),
             "candidates": len(candidates),
@@ -1021,59 +1164,111 @@ class DeltaLogFormat(TableFormat):
             "n_change_keys": n_keys,
             "key_join": key_join,
             "key_ranges": {c: len(r) for c, r in key_ranges.items()},
+            "strategy": strategy,
         }
-        # (3) copy-on-write rewrite of touched rows + the changes;
-        # the rewrite preserves the table's partition layout so every
-        # active file sits under a consistent col=value structure
-        if touched:
-            old_rows = (
-                spark.read.schema(schema)
-                .option("basePath", os.path.join(self.data_dir, table))
-                .parquet(*[os.path.join(self.data_dir, p) for p in touched])
-                .select(*[f.name for f in schema.fields])
-            )
-        else:
-            old_rows = spark.createDataFrame([], schema)
-        rewritten = apply_changes(old_rows, changes, pk_cols, order_col, type_col)
-        adds = self._write_data_files(
-            table, rewritten, snap.partition_cols.get(table)
+        # the touched files' CURRENT rows — read through any existing
+        # deletion vectors (a prior MoR merge's suppressed keys must not
+        # resurrect in a rewrite) from committed, immutable bytes
+        old_rows = self._read_files(
+            spark, snap, table, {p: active[p] for p in touched}
         )
+        spec = snap.partition_cols.get(table)
+        dv_paths: list[str] = []
+        if strategy == "mor":
+            # (3-mor) write ONLY the change set: the latest upserted row
+            # per key becomes new data files; every touched key goes
+            # into a delete-key file that suppresses its old versions in
+            # exactly the touched files. Nothing is rewritten.
+            latest = compact_changes(changes, pk_cols, order_col)
+            upserts = latest.filter(
+                F.col(type_col).isin(*UPSERT_TYPES)
+            ).select(*[f.name for f in schema.fields])
+            adds = self._write_data_files(table, upserts, spec)
+            if touched:
+                # small key sets collapse to one delete file (a tiny
+                # file per shuffle partition would just multiply the
+                # read path's anti-join inputs); backfill-scale sets
+                # keep their partitioning
+                dv_paths = self._write_dv_files(
+                    table,
+                    keys.coalesce(1)
+                    if n_keys <= self.merge_broadcast_key_limit
+                    else keys,
+                )
+        else:
+            # (3-cow) rewrite of touched rows + the changes; the rewrite
+            # preserves the table's partition layout so every active
+            # file sits under a consistent col=value structure
+            rewritten = apply_changes(
+                old_rows, changes, pk_cols, order_col, type_col
+            )
+            adds = self._write_data_files(table, rewritten, spec)
+        if keys is not None:
+            keys.unpersist()
         cdc_adds: list[dict] = []
-        actions: list[dict] = [{"commitInfo": {"operation": "merge"}}]
+        actions: list[dict] = [
+            {"commitInfo": {"operation": "merge" if strategy == "cow"
+                            else "merge-mor"}}
+        ]
         if self.enable_cdf:
             # the commit's exact DML set (what actually changed, post-
             # compaction — NOT the raw input change frame, which may
-            # contain no-ops); diffing touched-old vs the files JUST
-            # WRITTEN is exact because untouched files are identical on
-            # both sides. Reading the adds back — instead of re-executing
-            # the lazy `rewritten` plan — guarantees the change feed
-            # matches the committed bytes even when the input change
-            # frame is non-deterministic (ADVICE r7, delta_log.py:812),
-            # and avoids a second execution of the merge plan.
+            # contain no-ops); diffing touched-old vs the state JUST
+            # COMMITTED is exact because untouched files are identical on
+            # both sides. Reading the committed files back — instead of
+            # re-executing the lazy merge plan — guarantees the change
+            # feed matches the committed bytes even when the input change
+            # frame is non-deterministic (ADVICE r7, delta_log.py:812).
+            # For MoR the new touched-region state is (old rows minus the
+            # delete keys) ∪ the added rows — all committed bytes.
             from cdc_init_spark.streaming.apply import diff_snapshots
 
+            new_region = self._read_adds(spark, table, adds, schema)
+            if dv_paths:
+                dv_keys = (
+                    spark.read.parquet(
+                        *[os.path.join(self.dv_dir, p) for p in dv_paths]
+                    )
+                    .select(*pk_cols)
+                    .distinct()
+                )
+                new_region = old_rows.join(
+                    dv_keys, on=pk_cols, how="left_anti"
+                ).unionByName(new_region)
             cdc_adds = self._write_cdc_files(
-                table,
-                diff_snapshots(
-                    old_rows, self._read_adds(spark, table, adds, schema), pk_cols
-                ),
+                table, diff_snapshots(old_rows, new_region, pk_cols)
             )
             # marker: CDF was captured for this table in this commit
             # (present even when the diff is empty, so the stream reader
             # can distinguish "no logical change" from "CDF not enabled")
             actions.append({"cdcMeta": {"table": table}})
             actions.extend({"cdc": a} for a in cdc_adds)
-        for p in touched:
-            actions.append({"remove": {"table": table, "path": p}})
+        if strategy == "mor":
+            actions.extend(
+                {"dv": {"table": table, "path": p, "cols": pk_cols,
+                        "applies_to": sorted(touched)}}
+                for p in dv_paths
+            )
+        else:
+            for p in touched:
+                actions.append({"remove": {"table": table, "path": p}})
         actions.extend({"add": a} for a in adds)
         actions.append(
             {"txn": {"batch_id": batch_id if batch_id is not None
                      else snap.last_batch_id}}
         )
+
+        def _dv_state(s: _Snapshot) -> dict:
+            return {
+                p: (info["cols"], sorted(info["applies_to"]))
+                for p, info in s.dvs.get(table, {}).items()
+            }
+
         if not self._try_write_commit(snap.version + 1, actions):
             cur = self._snapshot()
             if (
                 set(cur.adds.get(table, {})) == set(active)
+                and _dv_state(cur) == _dv_state(snap)
                 and (cur.partition_cols.get(table) or [])
                 == (snap.partition_cols.get(table) or [])
                 and (batch_id is None or batch_id > cur.last_batch_id)
@@ -1084,6 +1279,7 @@ class DeltaLogFormat(TableFormat):
                     return cur.version + 1
             self._abandon(adds)
             self._abandon_cdc(cdc_adds)
+            self._abandon_dv(dv_paths)
             raise CommitConflictError(
                 f"concurrent commit changed {table!r}; re-run merge"
             )
@@ -1244,6 +1440,16 @@ class DeltaLogFormat(TableFormat):
                     f"cannot restore to v{version}: {table!r} file "
                     f"{missing[0]} was vacuumed"
                 )
+        for table, tdvs in target.dvs.items():
+            missing = [
+                p for p in tdvs
+                if not os.path.exists(os.path.join(self.dv_dir, p))
+            ]
+            if missing:
+                raise ValueError(
+                    f"cannot restore to v{version}: {table!r} deletion "
+                    f"vector {missing[0]} was vacuumed"
+                )
         while True:
             cur = self._snapshot()
             actions: list[dict] = [
@@ -1266,6 +1472,15 @@ class DeltaLogFormat(TableFormat):
                     actions.append({"remove": {"table": table, "path": p}})
                 for a in target.adds.get(table, {}).values():
                     actions.append({"add": a})
+                # the target's deletion vectors are part of its live set
+                # (the removes above already retired the current dvs via
+                # applies_to pruning)
+                for p, info in target.dvs.get(table, {}).items():
+                    actions.append(
+                        {"dv": {"table": table, "path": p,
+                                "cols": info["cols"],
+                                "applies_to": sorted(info["applies_to"])}}
+                    )
             actions.append({"txn": {"batch_id": cur.last_batch_id}})
             nxt = cur.version + 1
             if self._try_write_commit(nxt, actions):
@@ -1352,16 +1567,20 @@ class DeltaLogFormat(TableFormat):
         if not 0 <= horizon <= latest:
             raise ValueError(f"horizon must be in [0, {latest}]")
         live: set[str] = set()
+        live_dv: set[str] = set()
         for v in range(horizon, latest + 1):
             snap = self._snapshot(v)
             for table_files in snap.adds.values():
                 live.update(table_files)
+            for tdvs in snap.dvs.values():
+                live_dv.update(tdvs)
         live_cdc = self._cdc_refs(horizon, latest)
         cutoff = time.time() - retention_s
         candidates: list[tuple[str, str]] = []
         for base, live_set in (
             (self.data_dir, live),
             (self.cdc_dir, live_cdc),
+            (self.dv_dir, live_dv),
         ):
             if not os.path.isdir(base):
                 continue
@@ -1387,11 +1606,14 @@ class DeltaLogFormat(TableFormat):
         Returned paths: data files table-relative, change-data files
         prefixed ``_cdc/``."""
         spared: set[str] = set()
+        spared_dv: set[str] = set()
         new_latest = self._snapshot().version
         for v in range(max(horizon, latest + 1), new_latest + 1):
             snap = self._snapshot(v)
             for table_files in snap.adds.values():
                 spared.update(table_files)
+            for tdvs in snap.dvs.values():
+                spared_dv.update(tdvs)
         spared_cdc = self._cdc_refs(latest + 1, new_latest)
         deleted = []
         for base, rel in candidates:
@@ -1399,9 +1621,16 @@ class DeltaLogFormat(TableFormat):
                 continue
             if base == self.cdc_dir and rel in spared_cdc:
                 continue
+            if base == self.dv_dir and rel in spared_dv:
+                continue
             try:
                 os.unlink(os.path.join(base, rel))
             except FileNotFoundError:
                 continue
-            deleted.append(rel if base == self.data_dir else f"_cdc/{rel}")
+            if base == self.data_dir:
+                deleted.append(rel)
+            elif base == self.cdc_dir:
+                deleted.append(f"_cdc/{rel}")
+            else:
+                deleted.append(f"_dv/{rel}")
         return sorted(deleted)

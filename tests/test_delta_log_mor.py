@@ -1,0 +1,227 @@
+"""Merge-on-read (deletion vectors) for DeltaLogFormat — VERDICT r7
+item 8 (stretch). Laws:
+
+- MoR read ≡ CoW read on the same change set, at every version;
+- MoR writes O(change set): pre-existing data files are untouched
+  byte-for-byte (inode-verified), only upsert files + a delete-key file
+  appear;
+- dvs apply to exactly the files the merge touched — never to rows
+  added later (stacking two MoR merges on the same key keeps the latest);
+- compact() is the reconciler: it materializes the dvs and retires them;
+- checkpoint replay, restore, and vacuum all carry/collect dvs;
+- a CoW rewrite over dv'd files never resurrects suppressed rows;
+- the change feed treats a no-CDF MoR version as non-row-expressible
+  (loud), and with enable_cdf the streamed diff matches the batch diff.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_init_spark.sources.delta_log import DeltaLogFormat
+
+
+def _ts(minute):
+    return datetime(2026, 1, 1, 12, minute)
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, 0 if v is None else v) for v in t),
+    )
+
+
+CH_SCHEMA = "id long, ts timestamp, type string, name string, v double"
+
+
+def _seed(spark, fmt):
+    """3 single-file chunks, ids 0-9 / 10-19 / 20-29."""
+    for lo in (0, 10, 20):
+        df = spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(lo, lo + 10)],
+            "id long, name string, v double").coalesce(1)
+        if lo == 0:
+            fmt.init({"t": df})
+        else:
+            fmt.append("t", df)
+
+
+def _changes(spark):
+    """update id=3, delete id=15, insert id=99 — touches files 1 and 2,
+    leaves file 3 alone."""
+    return spark.createDataFrame(
+        [(3, _ts(1), "update", "n3b", 3.5),
+         (15, _ts(1), "delete", None, None),
+         (99, _ts(1), "insert", "n99", 99.0)], CH_SCHEMA)
+
+
+def _data_inodes(fmt, table):
+    out = {}
+    tdir = os.path.join(fmt.data_dir, table)
+    for dirpath, _d, names in os.walk(tdir):
+        for n in names:
+            full = os.path.join(dirpath, n)
+            out[os.path.relpath(full, tdir)] = os.stat(full).st_ino
+    return out
+
+
+def test_mor_read_equals_cow_read_and_compact_reconciles(spark, tmp_path):
+    cow = DeltaLogFormat(str(tmp_path / "cow"))
+    mor = DeltaLogFormat(str(tmp_path / "mor"))
+    _seed(spark, cow)
+    _seed(spark, mor)
+    cow.merge(spark, "t", _changes(spark), ["id"], batch_id=0)
+    mor.merge(spark, "t", _changes(spark), ["id"], batch_id=0,
+              strategy="mor")
+    assert mor.last_merge_stats["strategy"] == "mor"
+    assert mor.last_merge_stats["touched"] == 2  # files 1 and 2
+    want = _rows(cow.read(spark, "t"))
+    assert _rows(mor.read(spark, "t")) == want
+    # the dv is live and names exactly the touched files
+    snap = mor._snapshot()
+    assert len(snap.dvs.get("t", {})) == 1
+    (info,) = snap.dvs["t"].values()
+    assert info["cols"] == ["id"] and len(info["applies_to"]) == 2
+
+    # compact reconciles: same rows, dvs retired
+    mor.compact(spark, "t", target_files=2)
+    assert _rows(mor.read(spark, "t")) == want
+    assert mor._snapshot().dvs.get("t", {}) == {}
+
+
+def test_mor_writes_only_the_delta(spark, tmp_path):
+    """Write amplification is O(change set): every pre-existing data
+    file survives with the same inode; the commit adds only the upsert
+    file(s) and a delete-key file."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    _seed(spark, fmt)
+    before = _data_inodes(fmt, "t")
+    fmt.merge(spark, "t", _changes(spark), ["id"], batch_id=0,
+              strategy="mor")
+    after = _data_inodes(fmt, "t")
+    assert all(after[p] == ino for p, ino in before.items()), \
+        "MoR rewrote a pre-existing data file"
+    assert len(after) > len(before)  # the upsert rows landed as new files
+    dv_files = os.listdir(os.path.join(fmt.dv_dir, "t"))
+    assert len(dv_files) >= 1
+
+
+def test_mor_stacking_keeps_latest_and_time_travel_holds(spark, tmp_path):
+    """A second MoR merge re-updating the same key: its dv applies to
+    the files IT touched (including the first merge's upsert file), so
+    the read keeps exactly the latest row. Time travel to v-1 still sees
+    the intermediate state; to v-2 the original."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    _seed(spark, fmt)  # v0..v2
+    for i, val in enumerate((3.5, 3.75)):
+        fmt.merge(spark, "t", spark.createDataFrame(
+            [(3, _ts(1 + i), "update", f"n3-{i}", val)], CH_SCHEMA),
+            ["id"], batch_id=i, strategy="mor")  # v3, v4
+    got = fmt.read(spark, "t").filter(F.col("id") == 3)
+    assert _rows(got) == [(3, "n3-1", 3.75)]
+    assert fmt.read(spark, "t").count() == 30
+    assert _rows(fmt.read(spark, "t", version=3).filter(
+        F.col("id") == 3)) == [(3, "n3-0", 3.5)]
+    assert _rows(fmt.read(spark, "t", version=2).filter(
+        F.col("id") == 3)) == [(3, "n3", 3.0)]
+
+
+def test_cow_rewrite_over_dv_files_never_resurrects(spark, tmp_path):
+    """A CoW merge whose touched set includes dv'd files must read them
+    THROUGH the dvs — the rewrite materializes the suppression instead
+    of resurrecting deleted/superseded rows."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    _seed(spark, fmt)
+    fmt.merge(spark, "t", spark.createDataFrame(
+        [(15, _ts(1), "delete", None, None)], CH_SCHEMA),
+        ["id"], batch_id=0, strategy="mor")
+    # CoW merge touching the same file (key 16 lives beside deleted 15)
+    fmt.merge(spark, "t", spark.createDataFrame(
+        [(16, _ts(2), "update", "n16b", 16.5)], CH_SCHEMA),
+        ["id"], batch_id=1)  # default cow
+    got = fmt.read(spark, "t")
+    assert got.filter(F.col("id") == 15).count() == 0  # stayed dead
+    assert _rows(got.filter(F.col("id") == 16)) == [(16, "n16b", 16.5)]
+    assert got.count() == 29
+    # the CoW rewrite retired the dv for that file; no dv should remain
+    assert fmt._snapshot().dvs.get("t", {}) == {}
+
+
+def test_mor_checkpoint_replay_and_restore_carry_dvs(spark, tmp_path):
+    fmt = DeltaLogFormat(str(tmp_path / "t"), checkpoint_interval=2)
+    _seed(spark, fmt)                                   # v0 v1 v2 (ckpt@2)
+    fmt.merge(spark, "t", _changes(spark), ["id"], batch_id=0,
+              strategy="mor")                           # v3
+    fmt.append("t", spark.createDataFrame(
+        [(50, "n50", 50.0)], "id long, name string, v double"))  # v4 (ckpt@4)
+    want = _rows(fmt.read(spark, "t"))
+
+    # fresh instance: state comes from checkpoint v4 + empty tail
+    fresh = DeltaLogFormat(str(tmp_path / "t"))
+    assert _rows(fresh.read(spark, "t")) == want
+    assert len(fresh._snapshot().dvs.get("t", {})) == 1
+
+    # restore to the dv version after moving past it
+    fmt.compact(spark, "t", target_files=1)             # v5: dvs retired
+    assert fmt._snapshot().dvs.get("t", {}) == {}
+    v = fmt.restore(3)
+    restored = DeltaLogFormat(str(tmp_path / "t"))
+    assert len(restored._snapshot().dvs.get("t", {})) == 1
+    pre_append = [t for t in want if t[0] != 50]
+    assert _rows(fmt.read(spark, "t", version=v)) == pre_append
+
+
+def test_mor_vacuum_collects_dead_dvs_and_fails_loud_below_horizon(
+    spark, tmp_path
+):
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    _seed(spark, fmt)                                    # v0..v2
+    fmt.merge(spark, "t", _changes(spark), ["id"], batch_id=0,
+              strategy="mor")                            # v3 (dv)
+    fmt.compact(spark, "t", target_files=1)              # v4: dv dead
+    deleted = fmt.vacuum(horizon=4, retention_s=0.0)
+    assert any(p.startswith("_dv/") for p in deleted)
+    with pytest.raises(ValueError, match="vacuum"):
+        fmt.read(spark, "t", version=3).collect()
+
+
+def test_mor_cdf_stream_matches_batch_diff(spark, tmp_path):
+    from cdc_init_spark.sources.delta_cdf import read_change_stream
+
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    _seed(spark, fmt)
+    fmt.merge(spark, "t", _changes(spark), ["id"], batch_id=0,
+              strategy="mor")                            # v3
+    want = _rows(fmt.changes_between(spark, "t", 2, 3, ["id"])
+                 .select("id", "name", "v", "type"))
+    assert len(want) == 3  # update + delete + insert
+    q = (read_change_stream(spark, fmt.root, "t", startingVersion="3")
+         .writeStream.format("memory").queryName("mor_cdf")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.table("mor_cdf")
+    assert _rows(got.select("id", "name", "v", "type")) == want
+
+    # without CDF, a MoR version is non-row-expressible: loud by default
+    fmt2 = DeltaLogFormat(str(tmp_path / "t2"))
+    _seed(spark, fmt2)
+    fmt2.merge(spark, "t2m" if False else "t", _changes(spark), ["id"],
+               batch_id=0, strategy="mor")
+    with pytest.raises(Exception, match="enable_cdf|onNonCdf"):
+        q2 = (read_change_stream(spark, fmt2.root, "t", startingVersion="3")
+              .writeStream.format("memory").queryName("mor_cdf_err")
+              .option("checkpointLocation", str(tmp_path / "ckpt2")).start())
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+            q2.awaitTermination()
