@@ -153,6 +153,13 @@ def _change_key_ranges(
     forced reading every active file prunes to the files actually
     holding those keys.
 
+    Why a range cover and not a Bloom filter of the change keys: file
+    stats are [min,max] boxes, and a Bloom answers point membership —
+    testing a box against a Bloom would require enumerating the box's
+    values (unbounded for floats/strings). Ranges intersect boxes
+    directly, prune exactly as well for clustered-or-outlier key
+    distributions, and cost one sorted pass instead of per-key hashing.
+
     Computed distributedly: one min/max aggregate + one lag-window over
     the distinct keys collecting only the (max_ranges - 1) widest-gap
     cut rows. The window is a single-partition sort of the DISTINCT
