@@ -34,22 +34,34 @@ def _loadavg() -> list[float]:
 
 
 def _calibration_probe() -> float:
-    """Fixed-work single-thread probe (~0.2 s on an idle host): zlib
-    over a deterministic buffer. The probe's wall time is the host-speed
-    yardstick — two bench runs are comparable only when their probes
-    agree (BASELINE.md comparison rule). Deterministic work, no
-    allocation churn, immune to Spark state."""
+    """Fixed-work single-thread probe (~0.15-0.2 s on this host when
+    healthy): zlib over a deterministic buffer. The probe's wall time is
+    the host-speed yardstick — two bench runs are comparable only when
+    their probes agree (BASELINE.md comparison rule). Deterministic
+    work, no allocation churn, immune to Spark state.
+
+    Since r8: a 0.5 s busy-spin warms the core out of any idle
+    frequency-scaling state (the r8 start probe on a load-0.01 host read
+    slower than the end probe after full load — clock ramp, not
+    contention), and the reported figure is the MIN of 3 passes (the
+    best pass is the least-perturbed estimate of true host speed)."""
     import time as _time
     import zlib
 
     buf = bytes(range(256)) * 4096  # 1 MiB, deterministic
     t0 = _time.perf_counter()
+    while _time.perf_counter() - t0 < 0.5:  # wake the clock governor
+        zlib.compress(buf, level=1)
+    best = None
     acc = 0
-    for i in range(40):
-        acc ^= len(zlib.compress(buf, level=6)) + i
-    dt = _time.perf_counter() - t0
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        for i in range(40):
+            acc ^= len(zlib.compress(buf, level=6)) + i
+        dt = _time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
     assert acc != -1  # keep the loop un-elidable
-    return round(dt, 4)
+    return round(best, 4)
 
 
 def pipeline_benches(
