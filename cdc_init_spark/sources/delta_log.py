@@ -374,6 +374,10 @@ class DeltaLogFormat(TableFormat):
         #: (driver-side string) — lets tests assert the broadcast gate
         #: actually switched join strategies
         self._last_key_join_plan: str | None = None
+        #: which path served the last changes_between call:
+        #: "cdc-files" (O(delta) stored change data) or "diff" (exact
+        #: one-join snapshot diff)
+        self.last_changes_path: str | None = None
 
     # -- log primitives ------------------------------------------------------
 
@@ -851,7 +855,9 @@ class DeltaLogFormat(TableFormat):
                         name, diff_snapshots(old_state, new_state, pks)
                     )
                     cdc_files.extend(files)
-                    actions.append({"cdcMeta": {"table": name}})
+                    actions.append(
+                        {"cdcMeta": {"table": name, "pk_cols": pks}}
+                    )
                     actions.extend({"cdc": f} for f in files)
             for name, df in tables.items():
                 # overwrite retires every old file, so even a breaking
@@ -1247,8 +1253,11 @@ class DeltaLogFormat(TableFormat):
             )
             # marker: CDF was captured for this table in this commit
             # (present even when the diff is empty, so the stream reader
-            # can distinguish "no logical change" from "CDF not enabled")
-            actions.append({"cdcMeta": {"table": table}})
+            # can distinguish "no logical change" from "CDF not enabled");
+            # pk_cols records the key vocabulary the diff was taken
+            # under — the stored files are a valid fast-path CDC read
+            # only for the same keys
+            actions.append({"cdcMeta": {"table": table, "pk_cols": pk_cols}})
             actions.extend({"cdc": a} for a in cdc_adds)
         if strategy == "mor":
             actions.extend(
@@ -1506,14 +1515,94 @@ class DeltaLogFormat(TableFormat):
         keyed DML set transforming version ``v_old`` into ``v_new`` —
         one PK full-outer join via streaming/apply.diff_snapshots, so
         ``apply_changes(read(v_old), result) ≡ read(v_new)`` by the
-        diff law already pinned in test_apply."""
+        diff law already pinned in test_apply.
+
+        **Fast path (r8):** a single-version span whose commit captured
+        change data (``enable_cdf``) reads the stored ``_cdc`` files
+        directly — they ARE the exact diff, derived from the committed
+        bytes at commit time — so the CDC read costs O(change set), not
+        two table scans. At 100 TB that is the difference between a
+        metadata-plus-delta read and scanning the table twice. Wider
+        spans (and spans whose log entries are archived or lack CDF)
+        keep the exact one-join diff: per-version DML sets do not
+        compose into a minimal diff (an insert-then-delete pair must
+        vanish entirely). Law (pytest): fast path ≡ diff path.
+        ``last_changes_path`` records which path served the last call."""
         from cdc_init_spark.streaming.apply import diff_snapshots
 
+        if v_new == v_old + 1:
+            fast = self._changes_of_version(spark, table, v_new, pk_cols)
+            if fast is not None:
+                self.last_changes_path = "cdc-files"
+                return fast
+        self.last_changes_path = "diff"
         return diff_snapshots(
             self.read(spark, table, version=v_old),
             self.read(spark, table, version=v_new),
             pk_cols,
         )
+
+    def _changes_of_version(
+        self, spark: SparkSession, table: str, version: int, pk_cols: list[str]
+    ) -> DataFrame | None:
+        """The stored change data of one committed version in
+        diff_snapshots column order (pk..., type, data...), or None when
+        the fast path does not apply (no cdcMeta for the table, entry
+        archived behind a checkpoint, or the stored key columns disagree
+        with ``pk_cols``)."""
+        from pyspark.sql.types import StringType, StructField
+        from pyspark.sql.types import StructType as _ST
+
+        path = self._log_path(version)
+        if not os.path.exists(path):
+            return None
+        has_meta = False
+        cdc_files: list[str] = []
+        with open(path) as f:
+            for line in f:
+                a = json.loads(line)
+                if "cdcMeta" in a and a["cdcMeta"]["table"] == table:
+                    # the stored diff is the fast-path answer ONLY under
+                    # the key vocabulary it was captured with — a diff
+                    # keyed on (id) cannot answer a (id, name)-keyed CDC
+                    # read (a name change is an update there, not a
+                    # delete+insert). Entries from before pk recording
+                    # (r7) carry no pk_cols and take the exact-diff path.
+                    has_meta = a["cdcMeta"].get("pk_cols") == pk_cols
+                elif "cdc" in a and a["cdc"]["table"] == table:
+                    cdc_files.append(a["cdc"]["path"])
+        if not has_meta:
+            return None
+        snap = self._snapshot(version)
+        schema = StructType.fromJson(json.loads(snap.schemas[table]))
+        data_cols = [f.name for f in schema.fields if f.name not in pk_cols]
+        out_cols = [*pk_cols, "type", *data_cols]
+        if not cdc_files:
+            # captured, and the diff was empty: a committed logical no-op
+            by_name = {f.name: f for f in schema.fields}
+            return spark.createDataFrame(
+                [],
+                _ST(
+                    [
+                        StructField("type", StringType())
+                        if c == "type"
+                        else by_name[c]
+                        for c in out_cols
+                    ]
+                ),
+            )
+        full = [os.path.join(self.cdc_dir, p) for p in cdc_files]
+        missing = [p for p in full if not os.path.exists(p)]
+        if missing:
+            raise ValueError(
+                f"version {version} change data was vacuumed "
+                f"(e.g. {missing[0]}); CDC reads below the vacuum horizon "
+                "are gone by design"
+            )
+        df = spark.read.parquet(*full)
+        if set(out_cols) - set(df.columns):
+            return None  # stored under different key columns: exact diff
+        return df.select(*out_cols)
 
     def vacuum(
         self,

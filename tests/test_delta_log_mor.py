@@ -225,3 +225,43 @@ def test_mor_cdf_stream_matches_batch_diff(spark, tmp_path):
         finally:
             q2.stop()
             q2.awaitTermination()
+
+
+def test_changes_between_fast_path_equals_diff(spark, tmp_path):
+    """r8: a single-version CDC read on a CDF table serves the STORED
+    change files (O(change set), no table scans) and equals the exact
+    snapshot diff — for CoW merges, MoR merges, and captured overwrites;
+    wider spans and no-CDF tables keep the diff path."""
+    from cdc_init_spark.streaming.apply import diff_snapshots
+
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    _seed(spark, fmt)                                          # v0..v2
+    fmt.merge(spark, "t", _changes(spark), ["id"], batch_id=0)  # v3 cow
+    fmt.merge(spark, "t", spark.createDataFrame(
+        [(7, _ts(2), "update", "n7b", 7.5)], CH_SCHEMA),
+        ["id"], batch_id=1, strategy="mor")                     # v4 mor
+    fmt.commit({"t": fmt.read(spark, "t").withColumn(
+        "v", F.col("v") + 100.0)}, batch_id=2,
+        cdc_pk_cols={"t": ["id"]})                              # v5 overwrite
+
+    for v in (3, 4, 5):
+        got = fmt.changes_between(spark, "t", v - 1, v, ["id"])
+        assert fmt.last_changes_path == "cdc-files", f"v{v}"
+        want = diff_snapshots(
+            fmt.read(spark, "t", version=v - 1),
+            fmt.read(spark, "t", version=v), ["id"])
+        assert _rows(got) == _rows(want), f"v{v}"
+        assert got.columns == want.columns
+
+    # wider span: exact diff path
+    fmt.changes_between(spark, "t", 2, 5, ["id"])
+    assert fmt.last_changes_path == "diff"
+    # mismatched key columns: falls back to the exact diff
+    fmt.changes_between(spark, "t", 3, 4, ["id", "name"])
+    assert fmt.last_changes_path == "diff"
+    # no-CDF table: diff path
+    fmt2 = DeltaLogFormat(str(tmp_path / "nc"))
+    _seed(spark, fmt2)
+    fmt2.merge(spark, "t", _changes(spark), ["id"], batch_id=0)
+    fmt2.changes_between(spark, "t", 2, 3, ["id"])
+    assert fmt2.last_changes_path == "diff"
