@@ -160,6 +160,96 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOR_STATE_ORACLE = """
+    WITH latest AS (
+      SELECT user_id,
+             max_by(event_type, ts) AS op,
+             max_by(value, ts) AS new_bal
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+      GROUP BY user_id
+    )
+    SELECT c.c_custkey,
+           ROUND(CASE WHEN l.user_id IS NOT NULL THEN l.new_bal
+                      ELSE c.c_acctbal END, 4) AS acctbal
+    FROM customer c
+    LEFT JOIN latest l ON l.user_id = c.c_custkey AND l.op <> 'error'
+    WHERE NOT EXISTS (
+      SELECT 1 FROM latest d WHERE d.user_id = c.c_custkey AND d.op = 'error'
+    )
+    AND c.c_custkey % 7 <> 3
+    ORDER BY c.c_custkey
+    """
+
+
+def _mor_table(spark: SparkSession, sf_dir: str, name: str):
+    """Shared q207/q208 setup: two stacked merge-on-read merges — the
+    q203 change set (v1) then a delete of every 7th customer (v2) —
+    against the customer snapshot. Neither merge rewrites a data file;
+    both suppress old rows via deletion-vector key files."""
+    from cdc_init_spark.sources.delta_log import DeltaLogFormat
+
+    c = load_table(spark, sf_dir, "customer")
+    fmt = DeltaLogFormat(_workdir(name, sf_dir))
+    fmt.init({"customer": c})
+    fmt.merge(
+        spark, "customer", _customer_change_set(spark, sf_dir),
+        pk_cols=["c_custkey"], order_col="ts", batch_id=0, strategy="mor",
+    )
+    deletes = c.filter(F.col("c_custkey") % 7 == 3).select(
+        "c_custkey",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("delete").alias("type"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    fmt.merge(
+        spark, "customer", deletes, pk_cols=["c_custkey"],
+        order_col="ts", batch_id=1, strategy="mor",
+    )
+    return fmt
+
+
+def _mor_projection(df: DataFrame) -> DataFrame:
+    return df.select(
+        "c_custkey", round_compat(F.col("c_acctbal"), 4).alias("acctbal")
+    ).orderBy("c_custkey")
+
+
+@query("q207_delta_mor_read", oracle=_MOR_STATE_ORACLE)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read through the format (VERDICT r7 stretch item 8; the
+    Delta deletion-vector / Iceberg-v2 equality-delete shape): two
+    stacked ``strategy="mor"`` merges — the q203 DML set (v1), then a
+    delete of every 7th customer (v2) — write ZERO rewritten files;
+    each commit adds only its change rows plus a delete-key file scoped
+    to the files it suppresses keys in. The read plans the anti-join of
+    dv keys against exactly the files each dv applies to
+    (sources/delta_log.py:_read_files), so the oracle hash gates: dv
+    scoping, stacked-dv composition across versions (v2's delete must
+    also suppress rows v1 ADDED), and upsert-over-dv precedence."""
+    return _mor_projection(
+        _mor_table(spark, sf_dir, "q207").read(spark, "customer")
+    )
+
+
+@query("q208_delta_mor_compact", oracle=_MOR_STATE_ORACLE)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact() as the merge-on-read reconciler: after the q207 merges,
+    compaction reads THROUGH the deletion vectors, rewrites the layout,
+    and retires every dv — the read-optimized state must be
+    byte-equivalent to the dv-applied state (same oracle as q207). A
+    reconciler that drops suppressed keys incorrectly, resurrects
+    dv-deleted rows, or leaves a dangling dv action is a hash mismatch
+    (or a loud read failure on the vacuumed dv file)."""
+    fmt = _mor_table(spark, sf_dir, "q208")
+    fmt.compact(spark, "customer", target_files=2)
+    if fmt._snapshot().dvs.get("customer"):
+        raise AssertionError("compact() left live deletion vectors behind")
+    return _mor_projection(fmt.read(spark, "customer"))
+
+
 @query(
     "q205_delta_cdc_read",
     oracle="""

@@ -1048,9 +1048,19 @@ class DeltaLogFormat(TableFormat):
         type_col: str = "type",
         batch_id: int | None = None,
         strategy: str = "cow",
+        evolve_schema: bool = False,
     ) -> int:
         """MERGE: apply a keyed DML change set (insert/update/delete —
         the engine's CDC vocabulary, streaming/apply.py).
+
+        ``evolve_schema=True`` (the Delta ``mergeSchema`` /
+        ``schema.autoMerge`` analog): a change frame carrying NEW data
+        columns widens the table schema in the same commit — untouched
+        files read the additions as NULL (the append path's additive
+        rule), pre-merge versions keep the old schema under time travel,
+        and renames/drops/retypes still raise. With the default False,
+        extra change columns are ignored (apply_changes' documented
+        contract) — the table schema never moves under a plain merge.
 
         ``strategy="cow"`` (default) rewrites ONLY the files that
         contain matched keys (copy-on-write). ``strategy="mor"``
@@ -1095,6 +1105,38 @@ class DeltaLogFormat(TableFormat):
             return -1
         active = snap.adds.get(table, {})
         schema = StructType.fromJson(json.loads(snap.schemas[table]))
+        meta_action: dict | None = None
+        if evolve_schema:
+            # the change frame's DATA columns (order/type are DML
+            # metadata, never table columns)
+            data_changes = changes.drop(order_col, type_col)
+            change_kind = self._schema_change(
+                snap.schemas[table], data_changes
+            )
+            if change_kind == "breaking":
+                raise ValueError(
+                    f"merge into {table!r} with evolve_schema would "
+                    "rename/drop/retype columns; only additive evolution "
+                    "is allowed outside an overwrite commit"
+                )
+            if change_kind == "additive":
+                old_names = {f.name for f in schema.fields}
+                schema = StructType(
+                    list(schema.fields)
+                    + [
+                        f
+                        for f in data_changes.schema.fields
+                        if f.name not in old_names
+                    ]
+                )
+                meta_action = {
+                    "metaData": {
+                        "table": table,
+                        "schema_json": schema.json(),
+                        "partition_cols": snap.partition_cols.get(table)
+                        or [],
+                    }
+                }
 
         # distinct change keys, shared by the range summary, the
         # broadcast gate, and the exact-touch semi-join (rows with a
@@ -1185,6 +1227,15 @@ class DeltaLogFormat(TableFormat):
         old_rows = self._read_files(
             spark, snap, table, {p: active[p] for p in touched}
         )
+        if meta_action is not None:
+            # widen the pre-merge rows to the evolved schema (NULL for
+            # the new columns — the same value old FILES will read as)
+            old_names = set(old_rows.columns)
+            for f in schema.fields:
+                if f.name not in old_names:
+                    old_rows = old_rows.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
         spec = snap.partition_cols.get(table)
         dv_paths: list[str] = []
         if strategy == "mor":
@@ -1223,6 +1274,8 @@ class DeltaLogFormat(TableFormat):
             {"commitInfo": {"operation": "merge" if strategy == "cow"
                             else "merge-mor"}}
         ]
+        if meta_action is not None:
+            actions.append(meta_action)
         if self.enable_cdf:
             # the commit's exact DML set (what actually changed, post-
             # compaction — NOT the raw input change frame, which may
@@ -1287,6 +1340,9 @@ class DeltaLogFormat(TableFormat):
                 and _dv_state(cur) == _dv_state(snap)
                 and (cur.partition_cols.get(table) or [])
                 == (snap.partition_cols.get(table) or [])
+                # a concurrent schema change invalidates both the widened
+                # old_rows and a pending metaData action — conflict
+                and cur.schemas.get(table) == snap.schemas.get(table)
                 and (batch_id is None or batch_id > cur.last_batch_id)
             ):
                 # winner touched other tables only: our read set is intact

@@ -26,7 +26,10 @@ def test_bench_json_contract():
         env=env,
         capture_output=True,
         text=True,
-        timeout=900,
+        # quiet-host wall at sf0.001 is ~570 s (198 entries, the six
+        # delta-format queries do real table IO); 1500 gives the same
+        # ~2.6x contention headroom the 900 gave the 196-entry corpus
+        timeout=1500,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     # Stdout line: must fit the driver's 2000-char tail capture (rounds 1

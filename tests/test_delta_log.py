@@ -903,3 +903,58 @@ def test_merge_broadcast_gate_switches_to_shuffle_join(spark, tmp_path):
     assert big.last_merge_stats["touched"] == \
         small.last_merge_stats["touched"] == 1
     assert _rows(big.read(spark, "m")) == _rows(small.read(spark, "m"))
+
+
+@pytest.mark.parametrize("strategy", ["cow", "mor"])
+def test_merge_schema_evolution_additive(spark, tmp_path, strategy):
+    """merge(evolve_schema=True) — the Delta mergeSchema analog — under
+    BOTH physical strategies: a change frame carrying a new data column
+    widens the table schema in the merge commit itself. Untouched rows
+    (and untouched old FILES) read the addition as NULL, upserted rows
+    carry values, pre-merge versions keep the old schema under time
+    travel, and breaking changes raise before any file is written."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    fmt.init({"d": spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, s string")})
+    ch = spark.createDataFrame(
+        [(2, _ts(1), "update", "b2", 0.9), (4, _ts(1), "insert", "d", 0.4)],
+        "id long, ts timestamp, type string, s string, score double")
+    v = fmt.merge(spark, "d", ch, ["id"], batch_id=0, strategy=strategy,
+                  evolve_schema=True)
+    got = {r.id: (r.s, r.score) for r in fmt.read(spark, "d").collect()}
+    assert got == {1: ("a", None), 2: ("b2", 0.9),
+                   3: ("c", None), 4: ("d", 0.4)}
+    # pre-merge version keeps the old two-column schema
+    assert fmt.read(spark, "d", version=v - 1).columns == ["id", "s"]
+    # a later plain merge sees (and must supply) the widened schema
+    assert fmt.read(spark, "d").columns == ["id", "s", "score"]
+    # breaking evolution raises and leaves no orphans
+    with pytest.raises(ValueError, match="additive"):
+        fmt.merge(spark, "d", spark.createDataFrame(
+            [(2, _ts(2), "update", 7)],
+            "id long, ts timestamp, type string, s long"),
+            ["id"], batch_id=1, strategy=strategy, evolve_schema=True)
+    assert fmt.vacuum(horizon=0, retention_s=0.0) == []
+    # default evolve_schema=False: extra columns ignored (apply_changes'
+    # documented contract) — schema does not move
+    fmt2 = DeltaLogFormat(str(tmp_path / "t2"))
+    fmt2.init({"d": spark.createDataFrame([(1, "a")], "id long, s string")})
+    fmt2.merge(spark, "d", ch, ["id"], batch_id=0, strategy=strategy)
+    assert fmt2.read(spark, "d").columns == ["id", "s"]
+
+
+def test_merge_schema_evolution_feeds_cdf(spark, tmp_path):
+    """Evolution × change-data feed: a CDF-enabled evolving merge writes
+    change files in the WIDENED schema (the diff is taken between the
+    NULL-widened old rows and the committed new bytes), so a downstream
+    changes_between read carries the new column."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init({"d": spark.createDataFrame([(1, "a"), (2, "b")],
+                                         "id long, s string")})
+    ch = spark.createDataFrame(
+        [(2, _ts(1), "update", "b2", 0.9)],
+        "id long, ts timestamp, type string, s string, score double")
+    v = fmt.merge(spark, "d", ch, ["id"], batch_id=0, evolve_schema=True)
+    d = fmt.changes_between(spark, "d", v - 1, v, ["id"])
+    rows = {r.id: (r.type, r.s, r.score) for r in d.collect()}
+    assert rows == {2: ("update", "b2", 0.9)}

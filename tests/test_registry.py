@@ -139,9 +139,12 @@ def test_corpus_frozen_at_196():
     VERDICT r7 "Next round" item 4 sanctioned exactly one more — q206,
     the full snapshot-then-live lifecycle capstone (seed → change-feed
     subscription → incremental view maintenance) as a single
-    driver-gated artifact. Frozen again at 196."""
-    assert len(QUERIES) == 196
-    assert len(ORACLE) >= 179
+    driver-gated artifact. VERDICT r7 stretch item 8 (merge-on-read) is
+    gated by q207 (stacked deletion-vector read) and q208 (compact as
+    the dv reconciler) — "every operator you claim as done needs BOTH a
+    queries() entry and an oracle_sql() entry". Frozen again at 198."""
+    assert len(QUERIES) == 198
+    assert len(ORACLE) >= 181
 
 
 def test_corpus_md_in_sync():
