@@ -250,6 +250,7 @@ class _Snapshot:
         "partition_cols",
         "last_batch_id",
         "dvs",
+        "constraints",
     )
 
     def __init__(self):
@@ -265,6 +266,10 @@ class _Snapshot:
         #: time — never files added later). Removing a data file prunes
         #: it from every dv; a dv whose applies_to empties is dead.
         self.dvs: dict[str, dict[str, dict]] = {}
+        #: CHECK constraints: table -> name -> SQL boolean expression.
+        #: Enforced on every data write (NULL passes, SQL semantics);
+        #: added only after the existing rows are verified to satisfy it.
+        self.constraints: dict[str, dict[str, str]] = {}
 
     def apply(self, action: dict) -> None:
         if "add" in action:
@@ -307,6 +312,12 @@ class _Snapshot:
             m = action["metaData"]
             self.schemas[m["table"]] = m["schema_json"]
             self.partition_cols[m["table"]] = m.get("partition_cols", [])
+        elif "constraint" in action:
+            c = action["constraint"]
+            self.constraints.setdefault(c["table"], {})[c["name"]] = c["expr"]
+        elif "unconstraint" in action:
+            u = action["unconstraint"]
+            self.constraints.get(u["table"], {}).pop(u["name"], None)
 
 
 class DeltaLogFormat(TableFormat):
@@ -387,12 +398,43 @@ class DeltaLogFormat(TableFormat):
     def _ckpt_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
 
+    def _commit_ts(self, version: int) -> float | None:
+        """The in-commit timestamp of ``version``'s log entry (its first
+        line is always the commitInfo action), or None when the entry is
+        gone or predates timestamps."""
+        path = self._log_path(version)
+        if version < 0 or not os.path.exists(path):
+            return None
+        with open(path) as f:
+            first = f.readline()
+        if not first:
+            return None
+        return json.loads(first).get("commitInfo", {}).get("ts")
+
     def _try_write_commit(self, version: int, actions: list[dict]) -> bool:
         """Put-if-absent creation of the version's log entry via the
         CommitStore seam (locally: fsync'd temp + atomic hard link;
         object stores: conditional put — see sources/commit_store.py).
         Readers can never observe a partial entry — the name appears
-        fully written or not at all."""
+        fully written or not at all.
+
+        Stamps an IN-COMMIT timestamp (the Delta inCommitTimestamp
+        shape) into the commitInfo action: ``max(wall clock, previous
+        version's ts)``, so the version→timestamp mapping is monotonic
+        even under clock skew between writers — what timestamp-based
+        time travel sorts by. OCC guarantees one writer per version, so
+        reading the predecessor's ts is race-free."""
+        if actions and "commitInfo" in actions[0]:
+            prev = self._commit_ts(version - 1)
+            actions = [
+                {
+                    "commitInfo": {
+                        **actions[0]["commitInfo"],
+                        "ts": max(time.time(), prev or 0.0),
+                    }
+                },
+                *actions[1:],
+            ]
         payload = "".join(
             json.dumps(a, sort_keys=True) + "\n" for a in actions
         ).encode()
@@ -492,6 +534,17 @@ class DeltaLogFormat(TableFormat):
                     ),
                 }
             )
+        for table, cs in snap.constraints.items():
+            for cname, expr in cs.items():
+                rows.append(
+                    {
+                        "kind": "constraint",
+                        "table": table,
+                        "constraint_json": json.dumps(
+                            {"name": cname, "expr": expr}, sort_keys=True
+                        ),
+                    }
+                )
         rows.append({"kind": "txn", "batch_id": snap.last_batch_id})
         cols = [
             ("kind", pa.string()),
@@ -503,6 +556,7 @@ class DeltaLogFormat(TableFormat):
             ("schema_json", pa.string()),
             ("partition_cols", pa.string()),
             ("dv_info", pa.string()),
+            ("constraint_json", pa.string()),
         ]
         t = pa.table(
             {
@@ -558,6 +612,11 @@ class DeltaLogFormat(TableFormat):
                 snap.partition_cols[row["table"]] = json.loads(
                     row["partition_cols"] or "[]"
                 )
+            elif row["kind"] == "constraint":
+                c = json.loads(row["constraint_json"])
+                snap.constraints.setdefault(row["table"], {})[c["name"]] = c[
+                    "expr"
+                ]
             elif row["kind"] == "txn":
                 snap.last_batch_id = max(snap.last_batch_id, row["batch_id"])
         snap.version = version
@@ -578,6 +637,35 @@ class DeltaLogFormat(TableFormat):
             return float(raw)
         return unquote(raw)
 
+    def _enforce_constraints(self, table: str, df: DataFrame) -> DataFrame:
+        """Weave the table's CHECK constraints into ``df`` so they are
+        evaluated DURING the write pass itself (no second scan, no
+        window for unvalidated bytes): each constraint becomes an
+        ``assert_true`` wrapped around the first output column — the
+        row's value is unchanged when the check passes, the Spark task
+        (and therefore the whole write, before any commit) fails when it
+        doesn't. NULL results pass, per SQL CHECK semantics."""
+        checks = self._snapshot().constraints.get(table, {})
+        if not checks:
+            return df
+        first = df.columns[0]
+        guarded = F.col(first)
+        for cname in sorted(checks):
+            ok = F.coalesce(F.expr(checks[cname]), F.lit(True))
+            guarded = F.when(
+                F.assert_true(
+                    ok,
+                    F.concat(
+                        F.lit(
+                            f"CHECK constraint {cname!r} violated on "
+                            f"{table!r}: {checks[cname]}"
+                        )
+                    ),
+                ).isNull(),
+                guarded,
+            )
+        return df.withColumn(first, guarded)
+
     def _write_data_files(
         self,
         table: str,
@@ -594,10 +682,17 @@ class DeltaLogFormat(TableFormat):
         tdir = os.path.join(self.data_dir, table)
         os.makedirs(tdir, exist_ok=True)
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        df = self._enforce_constraints(table, df)
         writer = df.write
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.parquet(staging)
+        try:
+            writer.parquet(staging)
+        except Exception:
+            # a failed write (e.g. a CHECK constraint firing mid-task)
+            # must not leave staged bytes behind
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         dtypes = dict(df.dtypes)
         adds = []
         for dirpath, _dirs, names in os.walk(staging):
@@ -898,10 +993,50 @@ class DeltaLogFormat(TableFormat):
                     new_adds[name] = self._write_data_files(name, df, cur_spec)
 
     def read(
-        self, spark: SparkSession, table: str, version: int | None = None
+        self,
+        spark: SparkSession,
+        table: str,
+        version: int | None = None,
+        timestamp=None,
     ) -> DataFrame:
+        """Snapshot read, optionally time-traveled by ``version``
+        (VERSION AS OF) or ``timestamp`` (TIMESTAMP AS OF — epoch
+        seconds or datetime, resolved via in-commit timestamps)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
         snap = self._snapshot(version)
         return self._read_files(spark, snap, table, snap.adds.get(table, {}))
+
+    def version_at_timestamp(self, ts) -> int:
+        """TIMESTAMP AS OF resolution: the newest version whose
+        in-commit timestamp is at or before ``ts`` (epoch seconds or a
+        datetime). In-commit stamps are monotonic by construction
+        (_try_write_commit), so the scan over still-present log entries
+        is a total order; entries archived behind a checkpoint resolve
+        only while their json files remain — below that, resolution
+        raises rather than guessing (same contract as vacuumed time
+        travel)."""
+        from datetime import datetime as _dt
+
+        if isinstance(ts, _dt):
+            ts = ts.timestamp()
+        best = None
+        for name in os.listdir(self.log_dir):
+            if not (name.endswith(".json") and name[:20].isdigit()):
+                continue
+            v = int(name[:20])
+            cts = self._commit_ts(v)
+            if cts is not None and cts <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no resolvable version at or before timestamp {ts} "
+                "(before the table's first commit, or its log entry was "
+                "archived)"
+            )
+        return best
 
     def _scan(
         self,
@@ -995,12 +1130,22 @@ class DeltaLogFormat(TableFormat):
         Returns the committed version, or -1 for a replayed batch_id."""
         pre = self._snapshot()
         spec_used = pre.partition_cols.get(table)
+        checks_used = pre.constraints.get(table, {})
         adds = self._write_data_files(table, df, spec_used)
         while True:
             snap = self._snapshot()
             if batch_id is not None and batch_id <= snap.last_batch_id:
                 self._abandon(adds)
                 return -1
+            if snap.constraints.get(table, {}) != checks_used:
+                # a concurrent add_constraint validated the table WITHOUT
+                # our staged files; re-write them so the new checks run
+                # against our rows before they can become visible
+                self._abandon(adds)
+                checks_used = snap.constraints.get(table, {})
+                spec_used = snap.partition_cols.get(table)
+                adds = self._write_data_files(table, df, spec_used)
+                continue
             if (snap.partition_cols.get(table) or []) != (spec_used or []):
                 # a concurrent overwrite re-specced the table's partition
                 # layout: our files sit under the OLD col=value structure
@@ -1343,6 +1488,9 @@ class DeltaLogFormat(TableFormat):
                 # a concurrent schema change invalidates both the widened
                 # old_rows and a pending metaData action — conflict
                 and cur.schemas.get(table) == snap.schemas.get(table)
+                # our files were validated against the OLD constraint set
+                and cur.constraints.get(table, {})
+                == snap.constraints.get(table, {})
                 and (batch_id is None or batch_id > cur.last_batch_id)
             ):
                 # winner touched other tables only: our read set is intact
@@ -1483,16 +1631,164 @@ class DeltaLogFormat(TableFormat):
             path = self._log_path(v)
             if not os.path.exists(path):
                 continue
-            row = {"version": v, "operation": None, "batch_id": None}
+            row = {
+                "version": v, "operation": None, "batch_id": None, "ts": None,
+            }
             with open(path) as f:
                 for line in f:
                     a = json.loads(line)
                     if "commitInfo" in a:
                         row["operation"] = a["commitInfo"].get("operation")
+                        row["ts"] = a["commitInfo"].get("ts")
                     elif "txn" in a:
                         row["batch_id"] = a["txn"]["batch_id"]
             out.append(row)
         return out
+
+    def clone(self, spark: SparkSession, src: str, dst: str) -> int:
+        """CLONE ``src`` into a new table ``dst`` (the Delta SHALLOW
+        CLONE shape, realized with hard links so the clone is
+        vacuum-safe): one commit carrying ``dst``'s metaData (schema,
+        partition spec, constraints), hard-linked twins of every active
+        data file and deletion vector, and remapped dv applies_to sets.
+        Cost is O(active files) metadata + directory entries — ZERO data
+        bytes move, which is the entire point at 100 TB (dev/test forks,
+        point-in-time experiment tables). Because each table owns its
+        own directory entry to the shared inode, vacuuming either table
+        afterwards can never invalidate the other — the failure mode a
+        path-reference shallow clone (Delta's) hits when the source is
+        vacuumed. The two tables evolve independently from the commit
+        on. ``spark`` is unused (metadata-only op) but kept for API
+        symmetry with the other table-level verbs."""
+        while True:
+            snap = self._snapshot()
+            if src not in snap.schemas:
+                raise ValueError(f"unknown table {src!r}")
+            if dst in snap.schemas:
+                raise ValueError(f"table {dst!r} already exists")
+            actions: list[dict] = [
+                {"commitInfo": {"operation": f"clone({src}->{dst})"}},
+                {
+                    "metaData": {
+                        "table": dst,
+                        "schema_json": snap.schemas[src],
+                        "partition_cols": snap.partition_cols.get(src, []),
+                    }
+                },
+            ]
+
+            def _twin(rel_path: str) -> str:
+                return f"{dst}/{rel_path.split('/', 1)[1]}"
+
+            linked: list[str] = []  # (root-relative) undo list
+            try:
+                for p, a in snap.adds.get(src, {}).items():
+                    dstp = _twin(p)
+                    dst_abs = os.path.join(self.data_dir, dstp)
+                    os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+                    os.link(os.path.join(self.data_dir, p), dst_abs)
+                    linked.append(dst_abs)
+                    na = dict(a)
+                    na["table"], na["path"] = dst, dstp
+                    actions.append({"add": na})
+                for p, info in snap.dvs.get(src, {}).items():
+                    dstp = _twin(p)
+                    dst_abs = os.path.join(self.dv_dir, dstp)
+                    os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+                    os.link(os.path.join(self.dv_dir, p), dst_abs)
+                    linked.append(dst_abs)
+                    actions.append(
+                        {
+                            "dv": {
+                                "table": dst,
+                                "path": dstp,
+                                "cols": list(info["cols"]),
+                                "applies_to": sorted(
+                                    _twin(t) for t in info["applies_to"]
+                                ),
+                            }
+                        }
+                    )
+            except OSError:
+                for f in linked:
+                    try:
+                        os.unlink(f)
+                    except OSError:
+                        pass
+                raise
+            for cname, expr in snap.constraints.get(src, {}).items():
+                actions.append(
+                    {"constraint": {"table": dst, "name": cname,
+                                    "expr": expr}}
+                )
+            actions.append({"txn": {"batch_id": snap.last_batch_id}})
+            if self._try_write_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(snap.version + 1)
+                return snap.version + 1
+            # lost the OCC race: drop our links and re-plan against the
+            # winner's state (the source's file set may have changed)
+            for f in linked:
+                try:
+                    os.unlink(f)
+                except OSError:
+                    pass
+
+    def add_constraint(
+        self, spark: SparkSession, table: str, name: str, expr: str
+    ) -> int:
+        """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr): verify every
+        EXISTING row satisfies ``expr`` (one filter-scan, like Delta),
+        then commit the constraint; every subsequent data write enforces
+        it inside the write pass (_enforce_constraints). NULL results
+        pass, per SQL CHECK semantics. Losing an OCC race re-validates
+        against the winner's state before retrying — the constraint can
+        never land over rows it was not checked against."""
+        while True:
+            snap = self._snapshot()
+            if table not in snap.schemas:
+                raise ValueError(f"unknown table {table!r}")
+            if name in snap.constraints.get(table, {}):
+                raise ValueError(
+                    f"constraint {name!r} already exists on {table!r}"
+                )
+            cur = self._read_files(
+                spark, snap, table, snap.adds.get(table, {})
+            )
+            bad = (
+                cur.filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot add CHECK constraint {name!r} to {table!r}: "
+                    f"existing rows violate {expr!r}"
+                )
+            actions = [
+                {"commitInfo": {"operation": f"add-constraint({name})"}},
+                {"constraint": {"table": table, "name": name, "expr": expr}},
+                {"txn": {"batch_id": snap.last_batch_id}},
+            ]
+            if self._try_write_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(snap.version + 1)
+                return snap.version + 1
+
+    def drop_constraint(self, table: str, name: str) -> int:
+        """ALTER TABLE ... DROP CONSTRAINT: stop enforcing ``name`` from
+        the committed version on. Dropping an unknown name raises (the
+        caller believed something was enforced; silence would hide it)."""
+        while True:
+            snap = self._snapshot()
+            if name not in snap.constraints.get(table, {}):
+                raise ValueError(f"no constraint {name!r} on {table!r}")
+            actions = [
+                {"commitInfo": {"operation": f"drop-constraint({name})"}},
+                {"unconstraint": {"table": table, "name": name}},
+                {"txn": {"batch_id": snap.last_batch_id}},
+            ]
+            if self._try_write_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(snap.version + 1)
+                return snap.version + 1
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... VERSION AS OF: commit a NEW version whose
@@ -1553,6 +1849,21 @@ class DeltaLogFormat(TableFormat):
                                 "cols": info["cols"],
                                 "applies_to": sorted(info["applies_to"])}}
                     )
+                # constraint state is part of the version being restored:
+                # retire what the target didn't have, (re)assert what it did
+                cur_cs = cur.constraints.get(table, {})
+                tgt_cs = target.constraints.get(table, {})
+                for cname in cur_cs:
+                    if cname not in tgt_cs:
+                        actions.append(
+                            {"unconstraint": {"table": table, "name": cname}}
+                        )
+                for cname, expr in tgt_cs.items():
+                    if cur_cs.get(cname) != expr:
+                        actions.append(
+                            {"constraint": {"table": table, "name": cname,
+                                            "expr": expr}}
+                        )
             actions.append({"txn": {"batch_id": cur.last_batch_id}})
             nxt = cur.version + 1
             if self._try_write_commit(nxt, actions):

@@ -592,7 +592,9 @@ def test_history_restore_and_cdc_read(spark, tmp_path):
     assert v == 4
     assert _rows(fmt.read(spark, "a")) == _rows(fmt.read(spark, "a", version=1))
     assert _data_inodes(fmt, "a") == inodes  # one log entry, zero data IO
-    assert fmt.history()[0] == {
+    head = fmt.history()[0]
+    assert head["ts"] is not None  # in-commit timestamp stamped
+    assert {k: head[k] for k in ("version", "operation", "batch_id")} == {
         "version": 4, "operation": "restore(v1)", "batch_id": 0}
     # post-restore history still time-travels to the pre-restore head
     assert _rows(fmt.read(spark, "a", version=3)) == _rows(
@@ -958,3 +960,180 @@ def test_merge_schema_evolution_feeds_cdf(spark, tmp_path):
     d = fmt.changes_between(spark, "d", v - 1, v, ["id"])
     rows = {r.id: (r.type, r.s, r.score) for r in d.collect()}
     assert rows == {2: ("update", "b2", 0.9)}
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF over in-commit timestamps: stamps are monotone
+    non-decreasing across versions, read(timestamp=ts_of(v)) ≡
+    read(version=v) for every version, a timestamp between two commits
+    resolves to the earlier one, after the latest resolves to the
+    latest, and before the first raises."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    fmt.init({"d": spark.createDataFrame([(0, 0.0)], "id long, v double")})
+    for i in range(1, 4):
+        fmt.append("d", spark.createDataFrame(
+            [(i, float(i))], "id long, v double"))
+    hist = {h["version"]: h["ts"] for h in fmt.history()}
+    assert all(hist[v] is not None for v in range(4))
+    assert all(hist[v] <= hist[v + 1] for v in range(3))
+    for v in range(4):
+        assert fmt.version_at_timestamp(hist[v]) == v or (
+            # equal stamps collapse to the newest version with that stamp
+            hist[fmt.version_at_timestamp(hist[v])] == hist[v]
+        )
+        assert _rows(fmt.read(spark, "d", timestamp=hist[v])) == _rows(
+            fmt.read(spark, "d",
+                     version=fmt.version_at_timestamp(hist[v]))
+        )
+    assert fmt.version_at_timestamp(hist[3] + 3600) == 3
+    with pytest.raises(ValueError, match="before the table's first"):
+        fmt.version_at_timestamp(hist[0] - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        fmt.read(spark, "d", version=1, timestamp=hist[1])
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """CHECK constraints (the Delta ADD CONSTRAINT shape): enforcement
+    happens inside the write pass on EVERY data path — append, CoW
+    merge, MoR merge, overwrite commit — a violating write fails before
+    any version is committed and leaves no orphan files; NULL results
+    pass (SQL semantics); drop_constraint re-opens the gate."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    fmt.init({"d": spark.createDataFrame(
+        [(1, 10.0), (2, None)], "id long, v double")})
+    v = fmt.add_constraint(spark, "d", "v_pos", "v > 0")  # NULL row passes
+    assert v == 1
+    pre = fmt.latest_version()
+
+    bad_append = spark.createDataFrame([(3, -1.0)], "id long, v double")
+    with pytest.raises(Exception, match="v_pos"):
+        fmt.append("d", bad_append)
+    ch = "id long, ts timestamp, type string, v double"
+    for strat in ("cow", "mor"):
+        with pytest.raises(Exception, match="v_pos"):
+            fmt.merge(spark, "d", spark.createDataFrame(
+                [(1, _ts(1), "update", -5.0)], ch), ["id"], strategy=strat)
+    with pytest.raises(Exception, match="v_pos"):
+        fmt.commit({"d": bad_append}, batch_id=99)
+    assert fmt.latest_version() == pre  # nothing committed
+    assert fmt.vacuum(horizon=0, retention_s=0.0) == []  # nothing leaked
+    assert {r.id for r in fmt.read(spark, "d").collect()} == {1, 2}
+
+    # passing writes still flow; NULL keeps passing
+    fmt.append("d", spark.createDataFrame(
+        [(3, 4.0), (4, None)], "id long, v double"))
+    assert fmt.read(spark, "d").count() == 4
+
+    # drop re-opens the gate
+    fmt.drop_constraint("d", "v_pos")
+    fmt.append("d", bad_append)
+    assert fmt.read(spark, "d").count() == 5
+    with pytest.raises(ValueError, match="no constraint"):
+        fmt.drop_constraint("d", "v_pos")
+
+
+def test_add_constraint_validates_existing_rows_and_replays(spark, tmp_path):
+    """add_constraint scans the CURRENT rows first (it can never land
+    over violating data), survives checkpoint replay on a fresh
+    instance, and restore() carries constraint state with the version."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"), checkpoint_interval=2)
+    fmt.init({"d": spark.createDataFrame([(1, -3.0)], "id long, v double")})
+    with pytest.raises(ValueError, match="existing rows violate"):
+        fmt.add_constraint(spark, "d", "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="unknown table"):
+        fmt.add_constraint(spark, "nope", "c", "1 = 1")
+
+    # make the data comply, add the constraint, cross a checkpoint
+    fmt.merge(spark, "d", spark.createDataFrame(
+        [(1, _ts(1), "update", 3.0)],
+        "id long, ts timestamp, type string, v double"), ["id"])
+    v_con = fmt.add_constraint(spark, "d", "v_pos", "v > 0")  # v2 (ckpt)
+    with pytest.raises(ValueError, match="already exists"):
+        fmt.add_constraint(spark, "d", "v_pos", "v > 0")
+    fmt.append("d", spark.createDataFrame([(2, 1.0)], "id long, v double"))
+
+    fresh = DeltaLogFormat(str(tmp_path / "t"))  # replays via checkpoint
+    with pytest.raises(Exception, match="v_pos"):
+        fresh.append("d", spark.createDataFrame(
+            [(9, -9.0)], "id long, v double"))
+
+    # restore to the pre-constraint version drops the constraint...
+    fmt.restore(v_con - 1)
+    fmt.append("d", spark.createDataFrame([(9, -9.0)], "id long, v double"))
+    # ...and restoring forward to the constrained version re-raises it
+    # only if the data complies — it doesn't (the -9 row), but restore
+    # itself is metadata-only so it lands; the NEXT write enforces
+    v_back = fmt.restore(v_con)
+    assert "v_pos" in fmt._snapshot().constraints.get("d", {})
+    with pytest.raises(Exception, match="v_pos"):
+        fmt.append("d", spark.createDataFrame(
+            [(10, -1.0)], "id long, v double"))
+    assert fmt.latest_version() == v_back
+
+
+def test_shallow_clone_zero_copy_and_independent_evolution(spark, tmp_path):
+    """CLONE (Delta shallow-clone shape, realized with hard links so the
+    clone is vacuum-safe): cloning a table costs O(files) metadata and
+    zero data bytes — every cloned file shares its source's inode — and
+    the two tables evolve independently afterwards: writes to one never
+    appear in the other, and vacuuming the source below its horizon
+    never breaks the clone (each holds its own directory entry)."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    fmt.init({"src": spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double")})
+    fmt.add_constraint(spark, "src", "v_nonneg", "v >= 0")
+    v = fmt.clone(spark, "src", "dst")
+
+    # zero-copy: every dst file is a hard link of a src file
+    src_inodes = set(_data_inodes(fmt, "src").values())
+    dst_inodes = set(_data_inodes(fmt, "dst").values())
+    assert dst_inodes == src_inodes
+    assert _rows(fmt.read(spark, "dst")) == _rows(fmt.read(spark, "src"))
+
+    # metadata came along: schema, partition spec, constraints
+    assert "v_nonneg" in fmt._snapshot().constraints.get("dst", {})
+    with pytest.raises(Exception, match="v_nonneg"):
+        fmt.append("dst", spark.createDataFrame(
+            [(99, -1.0)], "id long, v double"))
+
+    # independent evolution: a merge on dst rewrites dst only
+    fmt.merge(spark, "dst", spark.createDataFrame(
+        [(3, _ts(1), "update", 33.0)],
+        "id long, ts timestamp, type string, v double"), ["id"])
+    assert _rows(fmt.read(spark, "src").filter(F.col("id") == 3)) == [(3, 3.0)]
+    assert _rows(fmt.read(spark, "dst").filter(F.col("id") == 3)) == [(3, 33.0)]
+
+    # vacuum after the divergence: src's retired files may go, but the
+    # clone still reads (hard links keep the shared bytes alive)
+    fmt.vacuum(horizon=fmt.latest_version(), retention_s=0.0)
+    assert fmt.read(spark, "dst").count() == 10
+    assert fmt.read(spark, "src").count() == 10
+
+    # cloning over an existing table refuses loudly
+    with pytest.raises(ValueError, match="already exists"):
+        fmt.clone(spark, "src", "dst")
+    with pytest.raises(ValueError, match="unknown table"):
+        fmt.clone(spark, "nope", "x")
+
+
+def test_clone_of_mor_table_carries_dv_state(spark, tmp_path):
+    """Cloning a table that has live deletion vectors: the clone links
+    the dv files too and suppresses the same keys — a clone taken
+    between a MoR merge and its compaction reads identically to the
+    source."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    fmt.init({"src": spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double")})
+    fmt.merge(spark, "src", spark.createDataFrame(
+        [(4, _ts(1), "delete", None)],
+        "id long, ts timestamp, type string, v double"),
+        ["id"], strategy="mor")
+    fmt.clone(spark, "src", "dst")
+    assert fmt._snapshot().dvs.get("dst")
+    assert fmt.read(spark, "dst").count() == 9
+    assert _rows(fmt.read(spark, "dst")) == _rows(fmt.read(spark, "src"))
+    # compacting the CLONE retires only the clone's dvs
+    fmt.compact(spark, "dst", target_files=1)
+    assert fmt._snapshot().dvs.get("dst", {}) == {}
+    assert fmt._snapshot().dvs.get("src")
+    assert fmt.read(spark, "src").count() == 9
