@@ -558,3 +558,63 @@ def test_non_additive_change_fails_loudly_even_with_skip(spark, tmp_path):
     with pytest.raises(Exception, match="retypes column 'v'"):
         _run_stream(spark, fmt2.root, "acct",
                     str(tmp_path / "ckpt2"), "cdf_retype", onNonCdf="skip")
+
+
+def test_metadata_only_and_other_table_commits_stream_as_noops(
+    spark, tmp_path
+):
+    """A live subscription must survive commits that change no rows of
+    its table: add/drop constraint (metadata-only versions) and a
+    shallow clone (which touches only the DESTINATION table). Each such
+    version advances the offset and delivers zero rows — never an
+    error, never a phantom row."""
+    root = str(tmp_path / "t")
+    fmt = DeltaLogFormat(root, enable_cdf=True)
+    fmt.init({"acct": spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, v double")})
+    ckpt = str(tmp_path / "ck")
+    first = _run_stream_recoverable(spark, root, "acct", ckpt)
+    assert len(first) == 2  # the seed snapshot
+
+    fmt.add_constraint(spark, "acct", "v_pos", "v > 0")     # v1
+    fmt.clone(spark, "acct", "acct_dev")                    # v2
+    fmt.drop_constraint("acct", "v_pos")                    # v3
+    fmt.append("acct", spark.createDataFrame(               # v4: real rows
+        [(3, 30.0)], "id long, v double"))
+    second = _run_stream_recoverable(spark, root, "acct", ckpt)
+    assert _rows([tuple(r) for r in second]) == _rows(
+        [(3, 30.0, "insert", 4)]
+    )  # exactly the append — v1-v3 delivered nothing and failed nothing
+
+
+def test_subscribing_to_a_clone_streams_its_snapshot(spark, tmp_path):
+    """A clone's linked files ARE the destination table's initial
+    snapshot: a fresh subscription on the clone streams them as inserts
+    (the same seed-then-live contract as init). If the source carried
+    LIVE deletion vectors at clone time, the linked adds alone would
+    resurrect suppressed rows — that version must refuse to stream
+    (onNonCdf=error) rather than lie."""
+    root = str(tmp_path / "t")
+    fmt = DeltaLogFormat(root, enable_cdf=True)
+    fmt.init({"src": spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double")})
+    fmt.clone(spark, "src", "plain")                        # v1: no dvs
+    got = _run_stream(spark, root, "plain", str(tmp_path / "ck1"), "clone_a",
+                      startingVersion=1)
+    assert _rows(got) == _rows(
+        [(1, 10.0, "insert", 1), (2, 20.0, "insert", 1),
+         (3, 30.0, "insert", 1)]
+    )
+
+    fmt.merge(spark, "src", spark.createDataFrame(
+        [(2, _ts(1), "delete", None)],
+        "id long, ts timestamp, type string, v double"),
+        ["id"], strategy="mor")                             # v2: live dv
+    fmt.clone(spark, "src", "dv_clone")                     # v3
+    with pytest.raises(Exception, match="row-level change data"):
+        _run_stream(spark, root, "dv_clone", str(tmp_path / "ck2"),
+                    "clone_b", startingVersion=3)
+    # explicit skip passes over it, delivering nothing rather than lies
+    got = _run_stream(spark, root, "dv_clone", str(tmp_path / "ck3"),
+                      "clone_c", startingVersion=3, onNonCdf="skip")
+    assert got.count() == 0
