@@ -318,6 +318,15 @@ class _Snapshot:
         elif "unconstraint" in action:
             u = action["unconstraint"]
             self.constraints.get(u["table"], {}).pop(u["name"], None)
+        elif "dropTable" in action:
+            # emitted by restore() for tables the target version didn't
+            # have: without it, restoring below a table's creation would
+            # leave a ghost (schema with zero files) that reads as empty
+            # instead of not existing
+            t = action["dropTable"]["table"]
+            for store in (self.adds, self.schemas, self.partition_cols,
+                          self.dvs, self.constraints):
+                store.pop(t, None)
 
 
 class DeltaLogFormat(TableFormat):
@@ -1823,7 +1832,7 @@ class DeltaLogFormat(TableFormat):
             actions: list[dict] = [
                 {"commitInfo": {"operation": f"restore(v{version})"}}
             ]
-            for table in set(cur.adds) | set(target.adds):
+            for table in set(cur.schemas) | set(target.schemas):
                 if table in target.schemas:
                     actions.append(
                         {
@@ -1836,6 +1845,13 @@ class DeltaLogFormat(TableFormat):
                             }
                         }
                     )
+                else:
+                    # the table didn't exist at the target version: drop
+                    # it entirely — dropTable retires its files, dvs,
+                    # and constraints in one action (explicit removes
+                    # would reference paths dropTable already cleared)
+                    actions.append({"dropTable": {"table": table}})
+                    continue
                 for p in cur.adds.get(table, {}):
                     actions.append({"remove": {"table": table, "path": p}})
                 for a in target.adds.get(table, {}).values():

@@ -396,34 +396,44 @@ def test_schema_evolution_additive_append(spark, tmp_path):
 
 
 def test_randomized_op_sequence_matches_model(spark, tmp_path):
-    """Seeded randomized differential: a 20-op interleaving of
-    append / merge / overwrite-commit / compact against a driver-side
-    dict model. After every committed version the table equals the
-    model, and at the end three time-travel reads equal the recorded
-    model history — the whole-format law the individual tests sample."""
+    """Seeded randomized differential over the WHOLE op vocabulary:
+    a 26-op interleaving of append / CoW merge / MoR merge / overwrite-
+    commit / compact / shallow clone / add+drop constraint / restore,
+    against a driver-side dict model (one dict per table). After every
+    committed version every table equals its model; at the end three
+    time-travel reads equal the recorded model history — the whole-
+    format law the individual tests sample."""
     import random
 
     rng = random.Random(20260815)
     fmt = DeltaLogFormat(str(tmp_path / "t"), checkpoint_interval=4)
-    model = {i: float(i) for i in range(5)}
+    tables = {"x": {i: float(i) for i in range(5)}}
     fmt.init({"x": spark.createDataFrame(
-        sorted(model.items()), "id long, v double")})
-    history = [dict(model)]  # history[v] = model at version v
-    next_id, batch = 100, 0
+        sorted(tables["x"].items()), "id long, v double")})
+    #: history[v] = {table: model} at version v
+    history = [{t: dict(m) for t, m in tables.items()}]
+    next_id, batch, n_clones = 100, 0, 0
 
     def df_of(mapping):
         return spark.createDataFrame(
             sorted(mapping.items()), "id long, v double")
 
-    for step in range(20):
-        op = rng.choice(["append", "append", "merge", "merge", "merge",
-                         "overwrite", "compact"])
+    ops_seen = []
+    for step in range(26):
+        op = rng.choice(["append", "append", "merge", "merge", "merge_mor",
+                         "merge_mor", "overwrite", "compact", "clone",
+                         "constraint", "restore"])
+        if op == "clone" and n_clones >= 3:
+            op = "compact"
+        ops_seen.append(op)
         if op == "append":
-            rows = {next_id + k: rng.uniform(0, 100) for k in range(rng.randint(1, 3))}
+            rows = {next_id + k: rng.uniform(0, 100)
+                    for k in range(rng.randint(1, 3))}
             next_id += 10
             v = fmt.append("x", df_of(rows))
-            model.update(rows)
-        elif op == "merge":
+            tables["x"].update(rows)
+        elif op in ("merge", "merge_mor"):
+            model = tables["x"]
             changes, used = [], set()
             for _ in range(rng.randint(1, 4)):
                 if model and rng.random() < 0.6:
@@ -451,29 +461,64 @@ def test_randomized_op_sequence_matches_model(spark, tmp_path):
                 spark, "x",
                 spark.createDataFrame(
                     changes, "id long, ts timestamp, type string, v double"),
-                ["id"], batch_id=batch)
+                ["id"], batch_id=batch,
+                strategy="mor" if op == "merge_mor" else "cow")
         elif op == "overwrite":
-            model = {next_id + k: rng.uniform(0, 100) for k in range(3)}
+            tables["x"] = {next_id + k: rng.uniform(0, 100) for k in range(3)}
             next_id += 10
             batch += 1
-            assert fmt.commit({"x": df_of(model)}, batch_id=batch) is True
+            assert fmt.commit({"x": df_of(tables["x"])}, batch_id=batch) is True
             v = fmt.latest_version()
-        else:  # compact
-            v = fmt.compact(spark, "x", target_files=2)
-        history.append(dict(model))
+        elif op == "clone":
+            n_clones += 1
+            name = f"c{step}"
+            v = fmt.clone(spark, "x", name)
+            tables[name] = dict(tables["x"])
+        elif op == "constraint":
+            # toggle a (vacuously true) CHECK constraint on x: pure
+            # metadata versions interleaved through the op stream —
+            # checkpoint replay, restore, and clones must all carry them
+            if "v_ok" in fmt._snapshot().constraints.get("x", {}):
+                v = fmt.drop_constraint("x", "v_ok")
+            else:
+                v = fmt.add_constraint(spark, "x", "v_ok", "v >= -1.0")
+        else:  # restore
+            r = rng.randrange(len(history))
+            v = fmt.restore(r)
+            tables = {t: dict(m) for t, m in history[r].items()}
+        history.append({t: dict(m) for t, m in tables.items()})
         assert v == len(history) - 1
-        got = {r.id: r.v for r in fmt.read(spark, "x").collect()}
-        assert got == pytest.approx(model), f"divergence after step {step} ({op})"
+        live = {
+            t for t in fmt._snapshot().schemas
+        }
+        assert live == set(tables), f"table set diverged after {step} ({op})"
+        got = {r_.id: r_.v for r_ in fmt.read(spark, "x").collect()}
+        assert got == pytest.approx(tables["x"]), \
+            f"divergence after step {step} ({op})"
+
+    # the seeded stream exercised the whole vocabulary (a seed change
+    # that silently drops an op kind would hollow the test out)
+    assert set(ops_seen) >= {"append", "merge", "merge_mor", "overwrite",
+                             "compact", "clone", "constraint", "restore"}, \
+        f"op stream lost coverage: {sorted(set(ops_seen))}"
+
+    # every surviving table (clones included) equals its model
+    for t, model in tables.items():
+        got = {r_.id: r_.v for r_ in fmt.read(spark, t).collect()}
+        assert got == pytest.approx(model), f"table {t} diverged"
 
     # time travel across the whole run equals the recorded history
     for v in sorted(rng.sample(range(len(history)), 3)):
-        got = {r.id: r.v for r in fmt.read(spark, "x", version=v).collect()}
-        assert got == pytest.approx(history[v]), f"time travel to v{v}"
+        snap_tables = history[v]
+        for t, model in snap_tables.items():
+            got = {r_.id: r_.v for r_ in fmt.read(spark, t, version=v).collect()}
+            assert got == pytest.approx(model), f"time travel to v{v}/{t}"
     # vacuum to the latest version, then only the head survives
     latest = fmt.latest_version()
     fmt.vacuum(horizon=latest, retention_s=0.0)
-    got = {r.id: r.v for r in fmt.read(spark, "x").collect()}
-    assert got == pytest.approx(history[latest])
+    for t, model in tables.items():
+        got = {r_.id: r_.v for r_ in fmt.read(spark, t).collect()}
+        assert got == pytest.approx(model)
 
 
 def test_merge_io_proportionality_many_files(spark, tmp_path):
