@@ -41,7 +41,20 @@ spec, delta.io PROTOCOL.md; Iceberg's spec is the same shape):
   ``vacuum(horizon)`` deletes data files unreferenced by versions ≥
   horizon (orphans from crashed writers included — a writer that died
   after writing data but before its log link left garbage, not a
-  half-commit).
+  half-commit). ``read`` travels by version OR by timestamp (in-commit
+  timestamps, monotone under clock skew); ``restore`` re-references any
+  un-vacuumed version in one metadata commit, dropping tables the
+  target didn't have.
+- **Merge-on-read + maintenance verbs.** ``merge(strategy="mor")``
+  writes deletion vectors instead of rewriting files (O(change set)
+  commits; ``compact`` reconciles); ``merge(evolve_schema=True)`` widens
+  the schema additively in the merge commit; ``add_constraint`` /
+  ``drop_constraint`` enforce CHECK expressions inside every write
+  pass; ``clone`` forks a table zero-copy via hard links (vacuum-safe
+  shallow clone); ``compact(zorder_by=...)`` restores multi-column
+  skipping; ``enable_cdf`` captures per-commit change data that
+  ``changes_between`` and the streaming source (sources/delta_cdf.py)
+  read back O(delta).
 
 The TableFormat contract (atomic visibility, batch-id replay
 idempotence, monotonic versions) is proven by running the SAME pytest

@@ -211,3 +211,52 @@ def test_multiwriter_op_stress(spark, tmp_path):
     fmt.vacuum(horizon=latest, retention_s=0.0)
     got2 = {r.id: r.v for r in fmt.read(spark, "acct").collect()}
     assert got2 == got
+
+
+def test_racing_clones_and_constraints_all_land_once(spark, tmp_path):
+    """Metadata verbs under thread races: N threads each clone the same
+    source to a DISTINCT name while another thread toggles a constraint
+    — every verb retries through lost OCC rounds and lands exactly once,
+    the final table set is source + all N clones, every clone equals the
+    source (the clone re-plans against the winner's state after a lost
+    race, so no clone carries a stale file list), and no hard link or
+    data file leaks (vacuum finds nothing)."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    fmt.init({"src": spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "id long, v double")})
+    want = sorted((r.id, r.v) for r in fmt.read(spark, "src").collect())
+
+    errs: list = []
+    n = 4
+
+    def do_clone(k):
+        try:
+            DeltaLogFormat(str(tmp_path / "t")).clone(spark, "src", f"c{k}")
+        except Exception as e:  # pragma: no cover - failure surface
+            errs.append(e)
+
+    def do_constraints():
+        f = DeltaLogFormat(str(tmp_path / "t"))
+        try:
+            f.add_constraint(spark, "src", "ok", "v >= 0")
+            f.drop_constraint("src", "ok")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=do_clone, args=(k,)) for k in range(n)]
+    threads.append(threading.Thread(target=do_constraints))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    snap = fmt._snapshot()
+    assert set(snap.schemas) == {"src"} | {f"c{k}" for k in range(n)}
+    assert snap.constraints.get("src", {}) == {}  # add then drop both landed
+    for k in range(n):
+        got = sorted((r.id, r.v) for r in fmt.read(spark, f"c{k}").collect())
+        assert got == want, f"clone c{k} diverged"
+    # n+2 metadata commits on top of init, each exactly once
+    assert fmt.latest_version() == n + 2
+    assert fmt.vacuum(horizon=0, retention_s=0.0) == []
