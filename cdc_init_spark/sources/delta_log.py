@@ -50,7 +50,9 @@ spec, delta.io PROTOCOL.md; Iceberg's spec is the same shape):
   commits; ``compact`` reconciles); ``merge(evolve_schema=True)`` widens
   the schema additively in the merge commit; ``add_constraint`` /
   ``drop_constraint`` enforce CHECK expressions inside every write
-  pass; ``clone`` forks a table zero-copy via hard links (vacuum-safe
+  pass; ``delete``/``update`` are predicate DML — stats prune, exact
+  touch set, rewrite of only the files holding a match, optional
+  keyed CDF capture; ``clone`` forks a table zero-copy via hard links (vacuum-safe
   shallow clone); ``compact(zorder_by=...)`` restores multi-column
   skipping; ``enable_cdf`` captures per-commit change data that
   ``changes_between`` and the streaming source (sources/delta_cdf.py)
@@ -223,6 +225,15 @@ def _change_key_ranges(
             ranges.append((cur_lo, hi))
         out[c] = ranges
     return out
+
+
+def _uri_to_local(uri: str) -> str:
+    """input_file_name() yields PERCENT-ENCODED file: URIs (a partition
+    dir ``region=a b`` comes back as ``region=a%20b``); decode the URI
+    path before relativizing or a remove would reference a path the log
+    never added (ADVICE r6, delta_log.py:668)."""
+    parsed = urlparse(uri)
+    return unquote(parsed.path) if parsed.scheme else uri
 
 
 def _file_intersects_ranges(stats: dict, ranges: dict[str, list[tuple]]) -> bool:
@@ -403,6 +414,11 @@ class DeltaLogFormat(TableFormat):
         #: contract is touched ≪ active for selective change sets,
         #: asserted by the proportionality pytest
         self.last_merge_stats: dict | None = None
+        #: planning counters from the last delete()/update() on this
+        #: instance — {"op", "active", "candidates", "touched"}; the
+        #: proportionality contract is touched ≪ active for selective
+        #: predicates, same as merge
+        self.last_rewrite_stats: dict | None = None
         #: final physical plan of the last merge's exact-touch semi-join
         #: (driver-side string) — lets tests assert the broadcast gate
         #: actually switched join strategies
@@ -1359,17 +1375,9 @@ class DeltaLogFormat(TableFormat):
                 )
             except Exception:
                 self._last_key_join_plan = None
-            # input_file_name() yields PERCENT-ENCODED file: URIs (a
-            # partition dir `region=a b` comes back as `region=a%20b`);
-            # decode the URI path before relativizing or the remove
-            # would reference a path the log never added (ADVICE r6,
-            # delta_log.py:668)
-            def _local(uri: str) -> str:
-                parsed = urlparse(uri)
-                return unquote(parsed.path) if parsed.scheme else uri
-
             touched = [
-                os.path.relpath(_local(f), self.data_dir).replace(os.sep, "/")
+                os.path.relpath(_uri_to_local(f), self.data_dir)
+                .replace(os.sep, "/")
                 for f in touched_abs
             ]
             bad = [p for p in touched if p not in active]
@@ -1528,6 +1536,195 @@ class DeltaLogFormat(TableFormat):
         self._maybe_checkpoint(snap.version + 1)
         return snap.version + 1
 
+    # -- predicate DML (DELETE / UPDATE) -------------------------------------
+
+    def delete(
+        self,
+        spark: SparkSession,
+        table: str,
+        predicates: dict[str, tuple],
+        where: str | None = None,
+        pk_cols: list[str] | None = None,
+        batch_id: int | None = None,
+    ) -> int:
+        """DELETE FROM table WHERE ...: drop every row matching the
+        condition — ``predicates`` ({column: (lo, hi)}, the file-skip
+        ranges, ANDed) plus an optional residual SQL ``where`` — by
+        rewriting ONLY the files that hold a matching row. Rows where
+        the condition is NULL do not match (SQL semantics). Plan and
+        cost are the merge CoW shape: stats prune → exact touch set via
+        one filtered scan of the candidates → rewrite of survivors; at
+        100 TB a partition-scoped delete reads the partition, never the
+        table. ``pk_cols`` (with ``enable_cdf``) captures the deleted
+        rows as keyed change data so live subscriptions stream them;
+        without it the version is not row-expressible to subscribers
+        (same contract as overwrite without ``cdc_pk_cols``). Returns
+        the committed version, or -1 when nothing matched (no version
+        is created) or the batch id was already applied."""
+        return self._rewrite_where(
+            spark, table, predicates, where, None, pk_cols, batch_id
+        )
+
+    def update(
+        self,
+        spark: SparkSession,
+        table: str,
+        set_exprs: dict[str, str],
+        predicates: dict[str, tuple],
+        where: str | None = None,
+        pk_cols: list[str] | None = None,
+        batch_id: int | None = None,
+    ) -> int:
+        """UPDATE table SET col = expr, ... WHERE ...: rewrite matching
+        rows with ``set_exprs`` (SQL expressions, may reference the
+        row's own columns) in exactly the files that hold one — same
+        planner, pruning, CDF capture, and return contract as
+        ``delete``. Assigning to a column not in the schema (or to a
+        partition column) raises before any IO."""
+        if not set_exprs:
+            raise ValueError("update needs at least one SET expression")
+        return self._rewrite_where(
+            spark, table, predicates, where, set_exprs, pk_cols, batch_id
+        )
+
+    def _rewrite_where(
+        self,
+        spark: SparkSession,
+        table: str,
+        predicates: dict[str, tuple],
+        where: str | None,
+        set_exprs: dict[str, str] | None,
+        pk_cols: list[str] | None,
+        batch_id: int | None,
+    ) -> int:
+        snap = self._snapshot()
+        if batch_id is not None and batch_id <= snap.last_batch_id:
+            return -1
+        if table not in snap.schemas:
+            raise ValueError(f"unknown table {table!r}")
+        schema = StructType.fromJson(json.loads(snap.schemas[table]))
+        colnames = {f.name for f in schema.fields}
+        spec = snap.partition_cols.get(table) or []
+        if set_exprs:
+            bad = set(set_exprs) - colnames
+            if bad:
+                raise ValueError(f"SET references unknown columns {bad}")
+            respec = set(set_exprs) & set(spec)
+            if respec:
+                raise ValueError(
+                    f"SET cannot assign partition columns {respec}; "
+                    "rewrite the partition layout with commit(partition_by=)"
+                )
+        active = snap.adds.get(table, {})
+        # (1) stats prune on the declared ranges
+        candidates = self._prune_files_by_ranges(active, predicates)
+        # the full row condition: ranges AND residual, NULL = no match
+        cond = F.lit(True)
+        for column, (lo, hi) in predicates.items():
+            if lo is not None:
+                cond = cond & (F.col(column) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(column) <= F.lit(hi))
+        if where is not None:
+            cond = cond & F.expr(where)
+        cond = F.coalesce(cond, F.lit(False))
+        # (2) exact touch set — only candidate files holding a match
+        touched: list[str] = []
+        if candidates:
+            probe = (
+                spark.read.schema(schema)
+                .option("basePath", os.path.join(self.data_dir, table))
+                .parquet(*[os.path.join(self.data_dir, p) for p in candidates])
+                .withColumn("_f", F.input_file_name())
+                .filter(cond)
+                .select("_f")
+                .distinct()
+            )
+            touched = [
+                os.path.relpath(_uri_to_local(r["_f"]), self.data_dir)
+                .replace(os.sep, "/")
+                for r in probe.collect()
+            ]
+            bad_paths = [p for p in touched if p not in active]
+            if bad_paths:
+                raise ValueError(
+                    f"rewrite planning produced touched path "
+                    f"{bad_paths[0]!r} that is not an active file of "
+                    f"{table!r}"
+                )
+        self.last_rewrite_stats = {
+            "op": "update" if set_exprs else "delete",
+            "active": len(active),
+            "candidates": len(candidates),
+            "touched": len(touched),
+        }
+        if not touched:
+            return -1  # nothing matched: no version, by contract
+        # (3) rewrite the touched files only (read THROUGH deletion
+        # vectors — suppressed rows must not resurrect)
+        old_rows = self._read_files(
+            spark, snap, table, {p: active[p] for p in touched}
+        )
+        if set_exprs:
+            new_region = old_rows.withColumns(
+                {
+                    c: F.when(cond, F.expr(e)).otherwise(F.col(c))
+                    for c, e in set_exprs.items()
+                }
+            )
+        else:
+            new_region = old_rows.filter(~cond)
+        adds = self._write_data_files(table, new_region, spec or None)
+        cdc_adds: list[dict] = []
+        actions: list[dict] = [
+            {"commitInfo": {"operation": self.last_rewrite_stats["op"]}}
+        ]
+        if self.enable_cdf and pk_cols:
+            from cdc_init_spark.streaming.apply import diff_snapshots
+
+            committed = self._read_adds(spark, table, adds, schema)
+            cdc_adds = self._write_cdc_files(
+                table, diff_snapshots(old_rows, committed, pk_cols)
+            )
+            actions.append({"cdcMeta": {"table": table, "pk_cols": pk_cols}})
+            actions.extend({"cdc": a} for a in cdc_adds)
+        actions.extend(
+            {"remove": {"table": table, "path": p}} for p in touched
+        )
+        actions.extend({"add": a} for a in adds)
+        actions.append(
+            {"txn": {"batch_id": batch_id if batch_id is not None
+                     else snap.last_batch_id}}
+        )
+
+        def _dv_state(s: _Snapshot) -> dict:
+            return {
+                p: (info["cols"], sorted(info["applies_to"]))
+                for p, info in s.dvs.get(table, {}).items()
+            }
+
+        if not self._try_write_commit(snap.version + 1, actions):
+            cur = self._snapshot()
+            if (
+                set(cur.adds.get(table, {})) == set(active)
+                and _dv_state(cur) == _dv_state(snap)
+                and (cur.partition_cols.get(table) or []) == spec
+                and cur.schemas.get(table) == snap.schemas.get(table)
+                and cur.constraints.get(table, {})
+                == snap.constraints.get(table, {})
+                and (batch_id is None or batch_id > cur.last_batch_id)
+            ):
+                if self._try_write_commit(cur.version + 1, actions):
+                    self._maybe_checkpoint(cur.version + 1)
+                    return cur.version + 1
+            self._abandon(adds)
+            self._abandon_cdc(cdc_adds)
+            raise CommitConflictError(
+                f"concurrent commit changed {table!r}; re-run the rewrite"
+            )
+        self._maybe_checkpoint(snap.version + 1)
+        return snap.version + 1
+
     # -- file skipping on read ----------------------------------------------
 
     def read_where(
@@ -1551,6 +1748,36 @@ class DeltaLogFormat(TableFormat):
             spark, table, {column: (lo, hi)}, version=version
         )
 
+    @staticmethod
+    def _prune_files_by_ranges(
+        active: dict, predicates: dict[str, tuple]
+    ) -> dict:
+        """Files whose footer [min,max] stats COULD intersect every
+        predicate range — the shared file-skipping kernel of
+        read_where_all and the delete/update rewrite planner. A file
+        with no stats for a column is kept (the residual filter
+        decides); incomparable stats forms likewise."""
+        kept = {}
+        for p, a in active.items():
+            st = a.get("stats") or {}
+            keep = True
+            for column, (lo, hi) in predicates.items():
+                fmin = (st.get("min") or {}).get(column)
+                fmax = (st.get("max") or {}).get(column)
+                if fmin is None or fmax is None:
+                    continue
+                try:
+                    if (hi is not None and fmin > hi) or (
+                        lo is not None and fmax < lo
+                    ):
+                        keep = False
+                        break
+                except TypeError:
+                    pass
+            if keep:
+                kept[p] = a
+        return kept
+
     def read_where_all(
         self,
         spark: SparkSession,
@@ -1568,25 +1795,7 @@ class DeltaLogFormat(TableFormat):
         Returns (df, files_total, files_read)."""
         snap = self._snapshot(version)
         active = snap.adds.get(table, {})
-        kept = {}
-        for p, a in active.items():
-            st = a.get("stats") or {}
-            keep = True
-            for column, (lo, hi) in predicates.items():
-                fmin = (st.get("min") or {}).get(column)
-                fmax = (st.get("max") or {}).get(column)
-                if fmin is None or fmax is None:
-                    continue  # no stats for this column → cannot prune on it
-                try:
-                    if (hi is not None and fmin > hi) or (
-                        lo is not None and fmax < lo
-                    ):
-                        keep = False
-                        break
-                except TypeError:
-                    pass  # incomparable stats form → keep, residual decides
-            if keep:
-                kept[p] = a
+        kept = self._prune_files_by_ranges(active, predicates)
         df = self._read_files(spark, snap, table, kept)
         for column, (lo, hi) in predicates.items():
             if lo is not None:

@@ -1182,3 +1182,141 @@ def test_clone_of_mor_table_carries_dv_state(spark, tmp_path):
     assert fmt._snapshot().dvs.get("dst", {}) == {}
     assert fmt._snapshot().dvs.get("src")
     assert fmt.read(spark, "src").count() == 9
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    """DELETE FROM ... WHERE: rows matching (range predicates AND
+    residual) disappear; rows where the condition is NULL stay (SQL
+    semantics); files without a match keep their inodes (O(touched)
+    write IO, counters prove the prune); nothing matched → no version;
+    dv-suppressed rows never resurrect through the rewrite."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    rows = [(i, float(i) if i != 7 else None) for i in range(30)]
+    frames = [spark.createDataFrame(rows[k:k + 10], "id long, v double")
+              .coalesce(1) for k in (0, 10, 20)]
+    fmt.init({"d": frames[0]})
+    fmt.append("d", frames[1])
+    fmt.append("d", frames[2])
+    # MoR-delete id=12 first: the later predicate delete must read
+    # through the dv, not resurrect it into the rewrite
+    fmt.merge(spark, "d", spark.createDataFrame(
+        [(12, _ts(0), "delete", None)],
+        "id long, ts timestamp, type string, v double"),
+        ["id"], batch_id=0, strategy="mor")
+    before = _data_inodes(fmt, "d")
+
+    # delete ids 0-14 with odd v (id 7 has v NULL -> condition NULL -> kept)
+    v = fmt.delete(spark, "d", {"id": (0, 14)}, where="v % 2 = 1")
+    assert v == fmt.latest_version()
+    st = fmt.last_rewrite_stats
+    # 3 active files (the MoR delete added no data file, only a dv)
+    assert st["op"] == "delete" and st["active"] == 3
+    assert st["candidates"] == 2  # file 3 (ids 20-29) stats-pruned
+    assert st["touched"] == 2     # both low files hold odd ids
+    got = {r.id for r in fmt.read(spark, "d").collect()}
+    want = set(range(30)) - {12} - {
+        i for i in range(15) if i % 2 == 1 and i != 7  # 7: v NULL, kept
+    }
+    assert got == want
+    assert 7 in got  # NULL condition kept the row
+    after = _data_inodes(fmt, "d")
+    survivors = set(before) & set(after)
+    assert all(before[p] == after[p] for p in survivors)
+    assert any(p in after for p in before), "untouched file was rewritten"
+
+    # nothing-matched: no version created
+    pre = fmt.latest_version()
+    assert fmt.delete(spark, "d", {"id": (500, 600)}) == -1
+    assert fmt.latest_version() == pre
+    # time travel: pre-delete version still has the deleted ids
+    assert 1 in {r.id for r in fmt.read(spark, "d", version=v - 1).collect()}
+
+
+def test_update_where_set_and_cdf_capture(spark, tmp_path):
+    """UPDATE ... SET col = expr WHERE: matching rows take the new
+    values (expressions may read the row), others are byte-identical;
+    with enable_cdf + pk_cols the commit captures keyed change data so
+    changes_between serves it O(delta) and a live subscription streams
+    exactly the updated rows; SET on unknown or partition columns
+    raises before any IO."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init({"d": spark.createDataFrame(
+        [(i, float(i), "x") for i in range(20)],
+        "id long, v double, tag string")})
+    v = fmt.update(
+        spark, "d", {"v": "v * 10", "tag": "'hot'"},
+        {"id": (5, 8)}, pk_cols=["id"], batch_id=1,
+    )
+    got = {r.id: (r.v, r.tag) for r in fmt.read(spark, "d").collect()}
+    for i in range(20):
+        assert got[i] == ((i * 10.0, "hot") if 5 <= i <= 8
+                          else (float(i), "x"))
+    # CDC fast path serves the stored capture
+    d = fmt.changes_between(spark, "d", v - 1, v, ["id"])
+    assert fmt.last_changes_path == "cdc-files"
+    assert sorted((r.id, r.type, r.v, r.tag) for r in d.collect()) == [
+        (i, "update", i * 10.0, "hot") for i in range(5, 9)
+    ]
+    # live subscription streams the same rows
+    from cdc_init_spark.sources.delta_cdf import read_change_stream
+
+    q = (
+        read_change_stream(spark, fmt.root, "d", startingVersion=v)
+        .writeStream.format("memory").queryName("upd_feed")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert sorted(
+        (r.id, r.type, r.v) for r in spark.table("upd_feed").collect()
+    ) == [(i, "update", i * 10.0) for i in range(5, 9)]
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        fmt.update(spark, "d", {"nope": "1"}, {"id": (0, 1)})
+    with pytest.raises(ValueError, match="at least one SET"):
+        fmt.update(spark, "d", {}, {"id": (0, 1)})
+    # partitioned table: SET on the partition column refuses
+    fmt2 = DeltaLogFormat(str(tmp_path / "p"))
+    fmt2.init({"e": spark.createDataFrame(
+        [(1, "a", 1.0)], "id long, region string, v double")},
+        partition_by={"e": ["region"]})
+    with pytest.raises(ValueError, match="partition columns"):
+        fmt2.update(spark, "e", {"region": "'b'"}, {"id": (1, 1)})
+
+
+def test_delete_update_equal_recompute_oracle(spark, tmp_path):
+    """Differential law: delete/update through the format equal the
+    same operations computed relationally on the pre-state (the
+    filter/withColumn oracle), including constraint enforcement — an
+    UPDATE whose result violates a CHECK constraint fails pre-commit
+    and changes nothing."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(i, float(i % 7), f"s{i % 3}") for i in range(50)],
+        "id long, v double, s string")
+    fmt.init({"d": base})
+    fmt.add_constraint(spark, "d", "v_small", "v < 1000")
+
+    fmt.delete(spark, "d", {"v": (2.0, 4.0)}, where="s = 's1'")
+    oracle = base.filter(
+        ~F.coalesce((F.col("v") >= 2.0) & (F.col("v") <= 4.0)
+                    & (F.col("s") == "s1"), F.lit(False)))
+    assert _rows(fmt.read(spark, "d")) == _rows(oracle)
+
+    fmt.update(spark, "d", {"v": "v + 0.5"}, {"id": (10, 19)})
+    cond = F.coalesce((F.col("id") >= 10) & (F.col("id") <= 19),
+                      F.lit(False))
+    oracle = oracle.withColumn(
+        "v", F.when(cond, F.col("v") + 0.5).otherwise(F.col("v")))
+    assert _rows(fmt.read(spark, "d")) == _rows(oracle)
+
+    # constraint fires inside the rewrite: nothing commits, no orphans
+    pre = fmt.latest_version()
+    with pytest.raises(Exception, match="v_small"):
+        fmt.update(spark, "d", {"v": "v + 10000"}, {"id": (0, 4)})
+    assert fmt.latest_version() == pre
+    assert fmt.vacuum(horizon=0, retention_s=0.0) == []
+    assert _rows(fmt.read(spark, "d")) == _rows(oracle)
