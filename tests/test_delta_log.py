@@ -397,8 +397,9 @@ def test_schema_evolution_additive_append(spark, tmp_path):
 
 def test_randomized_op_sequence_matches_model(spark, tmp_path):
     """Seeded randomized differential over the WHOLE op vocabulary:
-    a 26-op interleaving of append / CoW merge / MoR merge / overwrite-
-    commit / compact / shallow clone / add+drop constraint / restore,
+    a 34-op interleaving of append / CoW merge / MoR merge / predicate
+    delete / predicate update / overwrite-commit / compact / shallow
+    clone / add+drop constraint / restore,
     against a driver-side dict model (one dict per table). After every
     committed version every table equals its model; at the end three
     time-travel reads equal the recorded model history — the whole-
@@ -419,10 +420,11 @@ def test_randomized_op_sequence_matches_model(spark, tmp_path):
             sorted(mapping.items()), "id long, v double")
 
     ops_seen = []
-    for step in range(26):
+    for step in range(34):
         op = rng.choice(["append", "append", "merge", "merge", "merge_mor",
                          "merge_mor", "overwrite", "compact", "clone",
-                         "constraint", "restore"])
+                         "constraint", "restore", "delete_where",
+                         "update_where"])
         if op == "clone" and n_clones >= 3:
             op = "compact"
         ops_seen.append(op)
@@ -482,6 +484,28 @@ def test_randomized_op_sequence_matches_model(spark, tmp_path):
                 v = fmt.drop_constraint("x", "v_ok")
             else:
                 v = fmt.add_constraint(spark, "x", "v_ok", "v >= -1.0")
+        elif op == "delete_where":
+            model = tables["x"]
+            lo = rng.choice(sorted(model))
+            hi = lo + rng.randint(0, 20)
+            v = fmt.delete(spark, "x", {"id": (lo, hi)})
+            doomed = [k for k in model if lo <= k <= hi]
+            if not doomed:
+                assert v == -1  # nothing matched: no version by contract
+                continue
+            for k in doomed:
+                model.pop(k)
+        elif op == "update_where":
+            model = tables["x"]
+            lo = rng.choice(sorted(model))
+            hi = lo + rng.randint(0, 20)
+            v = fmt.update(spark, "x", {"v": "v + 1000"}, {"id": (lo, hi)})
+            hit = [k for k in model if lo <= k <= hi]
+            if not hit:
+                assert v == -1
+                continue
+            for k in hit:
+                model[k] += 1000
         else:  # restore
             r = rng.randrange(len(history))
             v = fmt.restore(r)
@@ -499,7 +523,8 @@ def test_randomized_op_sequence_matches_model(spark, tmp_path):
     # the seeded stream exercised the whole vocabulary (a seed change
     # that silently drops an op kind would hollow the test out)
     assert set(ops_seen) >= {"append", "merge", "merge_mor", "overwrite",
-                             "compact", "clone", "constraint", "restore"}, \
+                             "compact", "clone", "constraint", "restore",
+                             "delete_where", "update_where"}, \
         f"op stream lost coverage: {sorted(set(ops_seen))}"
 
     # every surviving table (clones included) equals its model
