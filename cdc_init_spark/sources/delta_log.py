@@ -75,6 +75,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -224,6 +225,127 @@ def _change_key_ranges(
                 cur_lo = nxt
             ranges.append((cur_lo, hi))
         out[c] = ranges
+    return out
+
+
+#: sentinel for "token is not a literal this parser understands" —
+#: distinct from None, which _ranges_from_where uses for open range ends
+_NO_LIT = object()
+
+_WHERE_CMP_RE = re.compile(
+    r"^\s*`?([A-Za-z_]\w*)`?\s*(>=|<=|==|=|>|<)\s*(.+?)\s*$"
+)
+_WHERE_BETWEEN_RE = re.compile(
+    r"`?([A-Za-z_]\w*)`?\s+between\s+(\S+)\s+and\s+(\S+)", re.IGNORECASE
+)
+_WHERE_IN_RE = re.compile(
+    r"`?([A-Za-z_]\w*)`?\s+in\s+\(([^()]*)\)", re.IGNORECASE
+)
+
+
+def _parse_where_literal(tok: str):
+    """A bare SQL literal → its Python value (int, float, or
+    single-quoted string), or the _NO_LIT sentinel for anything this
+    conservative parser does not understand (column refs, functions,
+    NULL — those terms simply contribute no pruning)."""
+    tok = tok.strip()
+    if (
+        len(tok) >= 2
+        and tok[0] == "'"
+        and tok[-1] == "'"
+        and "'" not in tok[1:-1]
+    ):
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return _NO_LIT
+
+
+def _ranges_from_where(where: str | None) -> dict[str, tuple]:
+    """Derive {column: (lo, hi)} file-skip ranges from the simple
+    conjunctive ``col <op> literal`` terms of a raw SQL ``where``
+    string (VERDICT r8 item 1) — so the common SQL shapes (a GDPR-style
+    ``DELETE WHERE user_id = X``, ``ts BETWEEN a AND b``,
+    ``k IN (...)``) prune files even when the caller declared no
+    explicit ``predicates``. The reference's clear-queue verb
+    (sql/queue/clear_queue.sql:1-3) generalized: predicate DML must not
+    read the whole table to delete a key's rows.
+
+    Strictly CONSERVATIVE: every returned range is a NECESSARY condition
+    of the where (a term of its top-level AND), so pruning a file whose
+    stats cannot intersect it can never drop a matching row. Anything
+    the parser is unsure about contributes nothing:
+
+    - an OR / NOT anywhere → no derived ranges at all (terms are no
+      longer individually necessary);
+    - BETWEEN and IN(...) lists of bare literals are extracted first;
+      any OTHER parenthesized text (function calls) stops the AND split;
+    - a term that isn't ``col <op> literal`` (arithmetic, column-to-
+      column, NULL checks) is ignored;
+    - strict < / > keep the closed-range cover (a superset — correct
+      for pruning, exactness comes from the residual row filter).
+
+    Multiple terms on one column intersect. The caller intersects the
+    result with any DECLARED predicate ranges; the row condition itself
+    is untouched (derived ranges are pruning-only, so even a missed
+    term costs only read amplification, never correctness)."""
+    if not where:
+        return {}
+    if re.search(r"\bor\b|\bnot\b", where, re.IGNORECASE):
+        return {}
+    out: dict[str, tuple] = {}
+
+    def tighten(col: str, lo, hi) -> None:
+        plo, phi = out.get(col, (None, None))
+        try:
+            if lo is not None:
+                plo = lo if plo is None else max(plo, lo)
+            if hi is not None:
+                phi = hi if phi is None else min(phi, hi)
+        except TypeError:
+            return  # mixed-type terms on one column: keep the prior range
+        out[col] = (plo, phi)
+
+    s = where
+    for m in _WHERE_BETWEEN_RE.finditer(s):
+        lo = _parse_where_literal(m.group(2))
+        hi = _parse_where_literal(m.group(3))
+        if lo is not _NO_LIT and hi is not _NO_LIT:
+            tighten(m.group(1), lo, hi)
+    s = _WHERE_BETWEEN_RE.sub(" 1=1 ", s)
+    for m in _WHERE_IN_RE.finditer(s):
+        lits = [
+            _parse_where_literal(t)
+            for t in m.group(2).split(",")
+            if t.strip()
+        ]
+        if lits and all(v is not _NO_LIT for v in lits):
+            try:
+                tighten(m.group(1), min(lits), max(lits))
+            except TypeError:
+                pass
+    s = _WHERE_IN_RE.sub(" 1=1 ", s)
+    if "(" in s or ")" in s:
+        return out  # leftover parens: don't risk splitting inside them
+    for term in re.split(r"\band\b", s, flags=re.IGNORECASE):
+        m = _WHERE_CMP_RE.match(term)
+        if m is None:
+            continue
+        col, op = m.group(1), m.group(2)
+        lit = _parse_where_literal(m.group(3))
+        if lit is _NO_LIT:
+            continue
+        if op in ("=", "=="):
+            tighten(col, lit, lit)
+        elif op in (">", ">="):
+            tighten(col, lit, None)
+        else:
+            tighten(col, None, lit)
     return out
 
 
@@ -461,9 +583,16 @@ class DeltaLogFormat(TableFormat):
         version's ts)``, so the version→timestamp mapping is monotonic
         even under clock skew between writers — what timestamp-based
         time travel sorts by. OCC guarantees one writer per version, so
-        reading the predecessor's ts is race-free."""
+        reading the predecessor's ts is race-free. When the
+        predecessor's JSON entry is archived behind a checkpoint, the
+        monotonic floor comes from the ``_last_checkpoint`` pointer's
+        persisted ts instead of bare wall clock — otherwise clock skew
+        could stamp a commit BELOW archived versions' stamps, breaking
+        version_at_timestamp's total order (ADVICE r8, delta_log:466)."""
         if actions and "commitInfo" in actions[0]:
             prev = self._commit_ts(version - 1)
+            if prev is None and version > 0:
+                prev = self._checkpoint_floor_ts()
             actions = [
                 {
                     "commitInfo": {
@@ -477,6 +606,17 @@ class DeltaLogFormat(TableFormat):
             json.dumps(a, sort_keys=True) + "\n" for a in actions
         ).encode()
         return self.commit_store.put_if_absent(self._log_path(version), payload)
+
+    def _checkpoint_floor_ts(self) -> float:
+        """The newest checkpointed version's in-commit timestamp, as
+        persisted in the ``_last_checkpoint`` pointer — the monotonic
+        floor for commits whose predecessor's log entry was archived.
+        0.0 when no pointer exists or it predates ts recording."""
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        if not os.path.exists(ptr):
+            return 0.0
+        with open(ptr) as f:
+            return json.load(f).get("ts") or 0.0
 
     def _latest_checkpoint_leq(self, version: int | None) -> int | None:
         ptr = os.path.join(self.log_dir, "_last_checkpoint")
@@ -619,7 +759,12 @@ class DeltaLogFormat(TableFormat):
         fsync_dir(self.log_dir)
         ptr_tmp = os.path.join(self.log_dir, f".lc-{uuid.uuid4().hex}")
         with open(ptr_tmp, "w") as f:
-            json.dump({"version": version}, f)
+            # the checkpointed version's in-commit ts rides along as the
+            # monotonic floor for commits made after its JSON entry (and
+            # its predecessors') are archived — see _checkpoint_floor_ts
+            json.dump(
+                {"version": version, "ts": self._commit_ts(version)}, f
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(ptr_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
@@ -675,15 +820,23 @@ class DeltaLogFormat(TableFormat):
             return float(raw)
         return unquote(raw)
 
-    def _enforce_constraints(self, table: str, df: DataFrame) -> DataFrame:
+    def _enforce_constraints(
+        self, table: str, df: DataFrame, checks: dict[str, str] | None = None
+    ) -> DataFrame:
         """Weave the table's CHECK constraints into ``df`` so they are
         evaluated DURING the write pass itself (no second scan, no
         window for unvalidated bytes): each constraint becomes an
         ``assert_true`` wrapped around the first output column — the
         row's value is unchanged when the check passes, the Spark task
         (and therefore the whole write, before any commit) fails when it
-        doesn't. NULL results pass, per SQL CHECK semantics."""
-        checks = self._snapshot().constraints.get(table, {})
+        doesn't. NULL results pass, per SQL CHECK semantics.
+
+        ``checks`` pins the exact constraint set the caller planned
+        against (so OCC retry loops can compare what was ENFORCED, not
+        what happened to be current mid-write); None reads the latest
+        snapshot's set."""
+        if checks is None:
+            checks = self._snapshot().constraints.get(table, {})
         if not checks:
             return df
         first = df.columns[0]
@@ -709,6 +862,7 @@ class DeltaLogFormat(TableFormat):
         table: str,
         df: DataFrame,
         partition_cols: list[str] | None = None,
+        checks: dict[str, str] | None = None,
     ) -> list[dict]:
         """Spark-write ``df`` (Hive-partitioned when the table has a
         partition spec), promote the part files to immutable
@@ -720,7 +874,7 @@ class DeltaLogFormat(TableFormat):
         tdir = os.path.join(self.data_dir, table)
         os.makedirs(tdir, exist_ok=True)
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
-        df = self._enforce_constraints(table, df)
+        df = self._enforce_constraints(table, df, checks)
         writer = df.write
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
@@ -949,8 +1103,13 @@ class DeltaLogFormat(TableFormat):
             return snap.partition_cols.get(name)
 
         specs_used = {name: spec_of(name) for name in tables}
+        checks_used = {
+            name: snap.constraints.get(name, {}) for name in tables
+        }
         new_adds: dict[str, list[dict]] = {
-            name: self._write_data_files(name, df, specs_used[name])
+            name: self._write_data_files(
+                name, df, specs_used[name], checks_used[name]
+            )
             for name, df in tables.items()
         }
         cdc_files: list[dict] = []
@@ -1022,13 +1181,25 @@ class DeltaLogFormat(TableFormat):
             # if the winner changed a table's partition spec, files laid
             # out under the old col=value structure must NOT be committed
             # against the new metaData — rewrite them under the current
-            # spec (ADVICE r6, delta_log.py:470)
+            # spec (ADVICE r6, delta_log.py:470). Likewise a winner's
+            # add_constraint validated the table WITHOUT our staged
+            # files; they were CHECK-enforced against the OLD set only,
+            # so committing them now would land rows never validated
+            # against the active constraint — rewrite so the new checks
+            # run against our rows before they can become visible
+            # (ADVICE r8, delta_log.py:1026; mirrors append()'s guard).
             for name, df in tables.items():
                 cur_spec = spec_of(name)
-                if (cur_spec or []) != (specs_used[name] or []):
+                cur_checks = snap.constraints.get(name, {})
+                if (cur_spec or []) != (specs_used[name] or []) or (
+                    cur_checks != checks_used[name]
+                ):
                     self._abandon(new_adds[name])
                     specs_used[name] = cur_spec
-                    new_adds[name] = self._write_data_files(name, df, cur_spec)
+                    checks_used[name] = cur_checks
+                    new_adds[name] = self._write_data_files(
+                        name, df, cur_spec, cur_checks
+                    )
 
     def read(
         self,
@@ -1616,8 +1787,27 @@ class DeltaLogFormat(TableFormat):
                     "rewrite the partition layout with commit(partition_by=)"
                 )
         active = snap.adds.get(table, {})
-        # (1) stats prune on the declared ranges
-        candidates = self._prune_files_by_ranges(active, predicates)
+        # (1) stats prune on the declared ranges INTERSECTED with ranges
+        # derived from the raw where string's simple conjunctive terms
+        # (VERDICT r8 item 1) — a where-only DELETE/UPDATE (the common
+        # SQL shape) prunes like a declared-range one instead of making
+        # every active file a candidate. Derived ranges are pruning-only
+        # supersets; the row condition below stays the exact truth.
+        prune_ranges = dict(predicates)
+        derived = _ranges_from_where(where)
+        for column, (dlo, dhi) in derived.items():
+            if column not in colnames:
+                continue  # not a real column: contributes no pruning
+            plo, phi = prune_ranges.get(column, (None, None))
+            try:
+                if dlo is not None:
+                    plo = dlo if plo is None else max(plo, dlo)
+                if dhi is not None:
+                    phi = dhi if phi is None else min(phi, dhi)
+            except TypeError:
+                continue  # incomparable with the declared range: keep it
+            prune_ranges[column] = (plo, phi)
+        candidates = self._prune_files_by_ranges(active, prune_ranges)
         # the full row condition: ranges AND residual, NULL = no match
         cond = F.lit(True)
         for column, (lo, hi) in predicates.items():
@@ -1657,6 +1847,12 @@ class DeltaLogFormat(TableFormat):
             "active": len(active),
             "candidates": len(candidates),
             "touched": len(touched),
+            # which columns the where-string parser contributed pruning
+            # ranges for (beyond the declared predicates) — lets tests
+            # and operators see that a where-only DML call still pruned
+            "derived_prune_cols": sorted(
+                c for c in derived if c in colnames
+            ),
         }
         if not touched:
             return -1  # nothing matched: no version, by contract
@@ -1672,6 +1868,21 @@ class DeltaLogFormat(TableFormat):
                     for c, e in set_exprs.items()
                 }
             )
+            # when/otherwise coercion can silently WIDEN a column (a
+            # string- or double-producing SET expression on a numeric
+            # column), committing parquet every subsequent read/compact
+            # fails on under spark.read.schema(stored schema). Reject
+            # before any IO (ADVICE r8, delta_log.py:1669).
+            declared = {f.name: f.dataType for f in schema.fields}
+            for f in new_region.schema.fields:
+                if f.name in set_exprs and f.dataType != declared[f.name]:
+                    raise ValueError(
+                        f"SET expression for {f.name!r} produces "
+                        f"{f.dataType.simpleString()} but the column is "
+                        f"declared {declared[f.name].simpleString()}; "
+                        "cast the expression to the column's type "
+                        "explicitly"
+                    )
         else:
             new_region = old_rows.filter(~cond)
         adds = self._write_data_files(table, new_region, spec or None)
@@ -1911,13 +2122,27 @@ class DeltaLogFormat(TableFormat):
             def _twin(rel_path: str) -> str:
                 return f"{dst}/{rel_path.split('/', 1)[1]}"
 
+            def _link_young(src_abs: str, dst_abs: str) -> None:
+                # A hard link shares the SOURCE inode's mtime, so an old
+                # source would make the not-yet-committed twin look like
+                # a stale orphan to a concurrent vacuum's retention guard
+                # (_vacuum_plan compares getmtime to the cutoff) — the
+                # vacuum would delete it and the committed clone's reads
+                # would fail forever. Bump the inode timestamp so the
+                # twin counts as young, exactly like an in-flight
+                # writer's fresh data files (ADVICE r8, delta_log:1920).
+                # The source is live (still referenced) so touching its
+                # shared mtime is harmless.
+                os.link(src_abs, dst_abs)
+                os.utime(dst_abs)
+
             linked: list[str] = []  # (root-relative) undo list
             try:
                 for p, a in snap.adds.get(src, {}).items():
                     dstp = _twin(p)
                     dst_abs = os.path.join(self.data_dir, dstp)
                     os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
-                    os.link(os.path.join(self.data_dir, p), dst_abs)
+                    _link_young(os.path.join(self.data_dir, p), dst_abs)
                     linked.append(dst_abs)
                     na = dict(a)
                     na["table"], na["path"] = dst, dstp
@@ -1926,7 +2151,7 @@ class DeltaLogFormat(TableFormat):
                     dstp = _twin(p)
                     dst_abs = os.path.join(self.dv_dir, dstp)
                     os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
-                    os.link(os.path.join(self.dv_dir, p), dst_abs)
+                    _link_young(os.path.join(self.dv_dir, p), dst_abs)
                     linked.append(dst_abs)
                     actions.append(
                         {

@@ -1345,3 +1345,229 @@ def test_delete_update_equal_recompute_oracle(spark, tmp_path):
     assert fmt.latest_version() == pre
     assert fmt.vacuum(horizon=0, retention_s=0.0) == []
     assert _rows(fmt.read(spark, "d")) == _rows(oracle)
+
+
+def test_clone_links_survive_concurrent_vacuum(spark, tmp_path):
+    """Vacuum-safety of an IN-FLIGHT clone (ADVICE r8): a clone's hard
+    links share the source inode's mtime, so on an old table the
+    not-yet-committed twins would look like stale orphans to a
+    concurrent vacuum's retention guard and be deleted before the clone
+    commits — leaving a committed clone whose reads fail forever. clone
+    bumps each twin's inode timestamp so the retention window protects
+    it like any in-flight writer's fresh files."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    fmt = DeltaLogFormat(root)
+    fmt.init({"d": spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double")})
+    # age the source data files well past the vacuum retention window
+    old = _time.time() - 3600.0
+    tdir = os.path.join(fmt.data_dir, "d")
+    for name in os.listdir(tdir):
+        os.utime(os.path.join(tdir, name), (old, old))
+
+    orig = fmt._try_write_commit
+
+    def racing_vacuum_then_commit(version, actions):
+        # between linking and the clone's log commit, a concurrent
+        # vacuum runs with a retention window the twins must fall inside
+        if any("clone" in (a.get("commitInfo") or {}).get("operation", "")
+               for a in actions):
+            DeltaLogFormat(root).vacuum(
+                horizon=fmt.latest_version(), retention_s=60.0)
+        return orig(version, actions)
+
+    fmt._try_write_commit = racing_vacuum_then_commit
+    try:
+        fmt.clone(spark, "d", "fork")
+    finally:
+        fmt._try_write_commit = orig
+    # the committed clone reads — its links survived the vacuum
+    assert _rows(fmt.read(spark, "fork")) == [(i, float(i))
+                                              for i in range(10)]
+
+
+def test_overwrite_occ_retry_revalidates_constraints(spark, tmp_path):
+    """An overwrite that loses its OCC race to a concurrent
+    add_constraint must re-enforce the NOW-ACTIVE constraint against
+    its staged files before retrying (ADVICE r8, delta_log.py:1026) —
+    otherwise rows never validated against the winning constraint land
+    in the table. The violating overwrite fails; a complying one lands
+    on retry."""
+    root = str(tmp_path / "t")
+    fmt = DeltaLogFormat(root)
+    fmt.init({"d": spark.createDataFrame([(1, 5.0)], "id long, v double")})
+
+    def race_in_constraint(victim):
+        """First commit attempt of ``victim`` loses to add_constraint."""
+        orig = victim._try_write_commit
+        state = {"raced": False}
+
+        def hook(version, actions):
+            op = next((a["commitInfo"].get("operation") for a in actions
+                       if "commitInfo" in a), None)
+            if op == "overwrite" and not state["raced"]:
+                state["raced"] = True
+                DeltaLogFormat(root).add_constraint(
+                    spark, "d", "v_pos", "v > 0")
+            return orig(version, actions)
+
+        victim._try_write_commit = hook
+        return orig
+
+    # violating overwrite: must FAIL (the retry re-runs the new check)
+    victim = DeltaLogFormat(root)
+    orig = race_in_constraint(victim)
+    try:
+        with pytest.raises(Exception, match="v_pos"):
+            victim.commit(
+                {"d": spark.createDataFrame([(2, -1.0)],
+                                            "id long, v double")},
+                batch_id=1)
+    finally:
+        victim._try_write_commit = orig
+    assert {r.v for r in fmt.read(spark, "d").collect()} == {5.0}
+    fmt.drop_constraint("d", "v_pos")
+
+    # complying overwrite under the same race: lands on retry, enforced
+    victim = DeltaLogFormat(root)
+    orig = race_in_constraint(victim)
+    try:
+        assert victim.commit(
+            {"d": spark.createDataFrame([(3, 7.0)], "id long, v double")},
+            batch_id=2)
+    finally:
+        victim._try_write_commit = orig
+    assert _rows(fmt.read(spark, "d")) == [(3, 7.0)]
+    assert "v_pos" in fmt._snapshot().constraints["d"]
+
+
+def test_update_set_rejects_type_widening(spark, tmp_path):
+    """A SET expression whose when/otherwise coercion would WIDEN the
+    column (string or double onto a numeric column) is rejected before
+    any IO (ADVICE r8, delta_log.py:1669) — otherwise the committed
+    parquet diverges from the stored schema and every subsequent read
+    fails. Type-preserving expressions still flow."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    fmt.init({"d": spark.createDataFrame(
+        [(i, i * 10) for i in range(5)], "id long, n int")})
+    pre = fmt.latest_version()
+    for bad in ("'abc'", "1.5", "cast(n as double) / 2"):
+        with pytest.raises(ValueError, match="declared"):
+            fmt.update(spark, "d", {"n": bad}, {"id": (0, 2)})
+    assert fmt.latest_version() == pre
+    assert fmt.vacuum(horizon=0, retention_s=0.0) == []  # no orphans
+    # a correctly-typed expression (explicit cast back) is fine
+    fmt.update(spark, "d", {"n": "cast(n * 2 as int)"}, {"id": (0, 2)})
+    got = {r.id: r.n for r in fmt.read(spark, "d").collect()}
+    assert got == {i: (i * 20 if i <= 2 else i * 10) for i in range(5)}
+
+
+def test_commit_ts_monotonic_after_log_archival(spark, tmp_path):
+    """In-commit timestamps stay monotonic even when the predecessor's
+    JSON log entry is archived behind a checkpoint (ADVICE r8,
+    delta_log.py:466): the floor comes from the _last_checkpoint
+    pointer's persisted ts, so a skewed-back wall clock cannot stamp a
+    commit below archived versions' stamps."""
+    import types
+
+    import cdc_init_spark.sources.delta_log as dl
+
+    fmt = DeltaLogFormat(str(tmp_path / "t"), checkpoint_interval=2)
+    fmt.init({"d": spark.createDataFrame([(0,)], "id long")})
+    fmt.append("d", spark.createDataFrame([(1,)], "id long"))
+    fmt.append("d", spark.createDataFrame([(2,)], "id long"))  # v2: ckpt
+    ts2 = fmt._commit_ts(2)
+    assert ts2 is not None
+    # archive every entry at or below the checkpoint (allowed by design)
+    for v in (0, 1, 2):
+        os.unlink(fmt._log_path(v))
+
+    skewed = ts2 - 9999.0  # a writer whose clock runs far behind
+    real_time = dl.time
+    dl.time = types.SimpleNamespace(time=lambda: skewed)
+    try:
+        v = fmt.append("d", spark.createDataFrame([(3,)], "id long"))
+    finally:
+        dl.time = real_time
+    assert fmt._commit_ts(v) >= ts2  # floor held despite the skew
+    # timestamp resolution over the surviving entries is still ordered
+    assert fmt.version_at_timestamp(fmt._commit_ts(v)) == v
+
+
+def test_ranges_from_where_parser():
+    """The conservative where→ranges parser (VERDICT r8 item 1):
+    conjunctive col-op-literal terms become pruning ranges; anything
+    uncertain contributes nothing (correctness never depends on it)."""
+    from cdc_init_spark.sources.delta_log import _ranges_from_where as rw
+
+    assert rw(None) == {}
+    assert rw("user_id = 42") == {"user_id": (42, 42)}
+    assert rw("id >= 5 AND id < 9") == {"id": (5, 9)}
+    assert rw("a = 1 and b = 'x'") == {"a": (1, 1), "b": ("x", "x")}
+    assert rw("ts between '2020-01' and '2020-06'") == {
+        "ts": ("2020-01", "2020-06")
+    }
+    assert rw("k IN (7, 3, 11)") == {"k": (3, 11)}
+    assert rw("v > 1.5 AND k in (2,4) AND s = 'q'") == {
+        "v": (1.5, None), "k": (2, 4), "s": ("q", "q")
+    }
+    # uncertainty → no ranges (or only the certain part), never wrong
+    assert rw("a = 1 OR b = 2") == {}
+    assert rw("NOT (a = 1)") == {}
+    assert rw("v % 2 = 1") == {}          # arithmetic on the column
+    assert rw("a = b") == {}              # column-to-column
+    assert rw("upper(s) = 'A' AND a = 1") == {}  # parens stop the split
+    assert rw("k in (1,2) AND upper(s) = 'A'") == {"k": (1, 2)}  # IN kept
+    assert rw("a = 1 AND a = 3") == {"a": (3, 1)}  # intersect (empty)
+    assert rw("s is null") == {}
+
+
+def test_where_only_dml_prunes_files(spark, tmp_path):
+    """A where-only DELETE/UPDATE (no declared predicate ranges — the
+    GDPR ``DELETE WHERE user_id = X`` shape) must NOT read every active
+    file: ranges derived from the where's conjunctive terms drive the
+    same stats prune declared predicates do (VERDICT r8 item 1, the one
+    remaining full-scan-shaped path). candidates ≪ active, results
+    exact."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    frames = [
+        spark.createDataFrame(
+            [(i, float(i), f"s{i % 3}") for i in range(lo, lo + 10)],
+            "id long, v double, s string",
+        ).coalesce(1)
+        for lo in range(0, 100, 10)
+    ]
+    fmt.init({"d": frames[0]})
+    for fr in frames[1:]:
+        fmt.append("d", fr)
+    assert len(fmt._snapshot().adds["d"]) == 10
+
+    # where-only equality: exactly one file holds id 42
+    v = fmt.delete(spark, "d", {}, where="id = 42")
+    st = fmt.last_rewrite_stats
+    assert st["active"] == 10 and st["candidates"] == 1
+    assert st["touched"] == 1 and st["derived_prune_cols"] == ["id"]
+    assert v > 0
+    assert 42 not in {r.id for r in fmt.read(spark, "d").collect()}
+
+    # where-only conjunction with a residual term the parser skips:
+    # pruning rides the id range, exactness rides the residual
+    fmt.update(spark, "d", {"v": "v + 100"}, {},
+               where="id BETWEEN 20 AND 29 AND s = 's1'")
+    st = fmt.last_rewrite_stats
+    assert st["candidates"] == 1 and st["derived_prune_cols"] == ["id", "s"]
+    got = {r.id: r.v for r in fmt.read(spark, "d").collect()}
+    for i in range(100):
+        if i == 42:
+            continue
+        want = float(i) + (100 if 20 <= i <= 29 and i % 3 == 1 else 0)
+        assert got[i] == want
+
+    # an OR keeps every candidate (no unsound pruning) and stays exact
+    fmt.delete(spark, "d", {}, where="id = 3 OR id = 93")
+    st = fmt.last_rewrite_stats
+    assert st["candidates"] == 10 and st["derived_prune_cols"] == []
+    left = {r.id for r in fmt.read(spark, "d").collect()}
+    assert 3 not in left and 93 not in left and 4 in left
