@@ -110,6 +110,17 @@ class DeltaCdfDataSource(DataSource):
       one giant one. After a checkpoint restart the FIRST batch is
       uncapped (the reader can't know the committed offset before Spark
       hands it the start), subsequent batches are capped again.
+    - ``maxBytesPerBatch`` (default unlimited): cap a micro-batch by the
+      PLANNED bytes of the versions it covers (Delta's maxBytesPerTrigger
+      shape; VERDICT r8 item 6) — sizes come from the action log's
+      ``add``/``cdc`` file sizes, no data IO. Versions vary wildly in
+      size after merge-on-read (a dv-only commit is tiny, its compaction
+      huge), so a version-count cap alone cannot bound executor memory.
+      A batch always advances at least ONE version — a single version
+      larger than the cap forms its own oversized batch rather than
+      stalling the stream. Composes with ``maxVersionsPerBatch``
+      (whichever cap hits first) and shares its uncapped-first-batch
+      restart rule.
     """
 
     @classmethod
@@ -139,6 +150,7 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         self.starting_version = int(options.get("startingversion", 0))
         self.on_non_cdf = str(options.get("onnoncdf", "error")).lower()
         self.max_versions = int(options.get("maxversionsperbatch", 0))
+        self.max_bytes = int(options.get("maxbytesperbatch", 0))
         #: high-water mark of the last offset THIS reader incarnation
         #: returned — the base the per-batch version cap advances from.
         #: Deliberately NOT seeded by initialOffset: Spark may recreate
@@ -175,10 +187,55 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         # stream even though the subscriber asked to skip them.
         floor = self.starting_version - 1
         latest = max(_snapshot(self.root).version, floor)
-        if self.max_versions > 0 and self._planned_end is not None:
-            latest = min(latest, self._planned_end + self.max_versions)
+        if self._planned_end is not None and (
+            self.max_versions > 0 or self.max_bytes > 0
+        ):
+            capped = self._planned_end
+            n_versions = planned_bytes = 0
+            while capped < latest:
+                size = self._version_bytes(capped + 1)
+                if n_versions >= 1 and (
+                    (self.max_versions > 0
+                     and n_versions >= self.max_versions)
+                    or (self.max_bytes > 0
+                        and planned_bytes + size > self.max_bytes)
+                ):
+                    break
+                capped += 1
+                n_versions += 1
+                planned_bytes += size
+            latest = capped
         self._planned_end = latest
         return {"version": latest}
+
+    def _version_bytes(self, version: int) -> int:
+        """Planned bytes one version contributes to a batch for THIS
+        table, from the action log's recorded file sizes (metadata only
+        — the log entry is the index): cdc files when the commit
+        captured change data, else its add files. Actions from before
+        size recording fall back to one stat call; archived or
+        unreadable entries plan as 0 (partitions() raises the real
+        error when the batch actually covers them)."""
+        try:
+            entry = _parse_version_entry(self.root, version)
+        except ValueError:
+            return 0
+        if self.table in entry["cdcMeta"]:
+            files = [("_cdc", c) for c in entry["cdc"].get(self.table, [])]
+        else:
+            files = [("_data", a) for a in entry["adds"].get(self.table, [])]
+        total = 0
+        for sub, action in files:
+            size = action.get("size")
+            if size is None:
+                try:
+                    size = os.path.getsize(
+                        os.path.join(self.root, sub, action["path"])
+                    )
+                except OSError:
+                    size = 0
+            total += size
+        return total
 
     def commit(self, end: dict) -> None:
         pass

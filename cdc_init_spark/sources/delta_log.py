@@ -973,8 +973,15 @@ class DeltaLogFormat(TableFormat):
             if _file_stats(src)["rows"] == 0:
                 continue
             final = f"cdc-{uuid.uuid4().hex}.parquet"
-            os.replace(src, os.path.join(tdir, final))
-            out.append({"table": table, "path": f"{table}/{final}"})
+            dst = os.path.join(tdir, final)
+            os.replace(src, dst)
+            # size rides along so the streaming source can plan
+            # byte-capped batches without stat-ing every file per trigger
+            out.append({
+                "table": table,
+                "path": f"{table}/{final}",
+                "size": os.path.getsize(dst),
+            })
         shutil.rmtree(staging)
         return out
 

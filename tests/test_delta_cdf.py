@@ -618,3 +618,79 @@ def test_subscribing_to_a_clone_streams_its_snapshot(spark, tmp_path):
     got = _run_stream(spark, root, "dv_clone", str(tmp_path / "ck3"),
                       "clone_c", startingVersion=3, onNonCdf="skip")
     assert got.count() == 0
+
+
+def test_max_bytes_per_batch_bounds_live_tail(spark, tmp_path):
+    """maxBytesPerBatch (VERDICT r8 item 6): steady-state micro-batches
+    cover versions whose PLANNED bytes (action-log file sizes, no data
+    IO) stay at or under the cap — except a single version larger than
+    the cap, which forms its own batch rather than stalling the stream.
+    Accumulated rows equal the unbounded read; offsets never regress.
+    The first batch of an incarnation stays uncapped (restart rule
+    shared with maxVersionsPerBatch)."""
+    import json as _json
+    import os as _os
+
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init({"acct": spark.createDataFrame(
+        [(1, 1.0)], "id long, v double")})
+
+    def version_bytes(v):
+        total = 0
+        with open(fmt._log_path(v)) as f:
+            for line in f:
+                a = _json.loads(line)
+                if "add" in a:
+                    total += a["add"]["size"]
+                elif "cdc" in a:
+                    total += a["cdc"].get("size") or _os.path.getsize(
+                        _os.path.join(fmt.cdc_dir, a["cdc"]["path"]))
+        return total
+
+    batches: list = []
+
+    def sink(df, bid):
+        batches.append(sorted(
+            r[0] for r in df.select("_commit_version").distinct().collect()
+        ))
+
+    # cap sized to ONE append version's bytes (+ slack): batches after
+    # the first must cover exactly one version each even though several
+    # committed versions are pending
+    fmt.append("acct", spark.createDataFrame([(2, 2.0)], "id long, v double"))
+    cap = version_bytes(1) + 16
+    for i in range(3, 7):  # v2..v5 pending before the stream starts
+        fmt.append("acct", spark.createDataFrame(
+            [(i, float(i))], "id long, v double"))
+
+    q = (
+        read_change_stream(
+            spark, fmt.root, "acct",
+            startingVersion="1", maxBytesPerBatch=str(cap),
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a version whose bytes EXCEED the cap still advances the stream
+        fmt.append("acct", spark.createDataFrame(
+            [(100 + k, float(k)) for k in range(2000)], "id long, v double"))
+        fmt.append("acct", spark.createDataFrame(
+            [(7, 7.0)], "id long, v double"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    for vs in batches[1:]:
+        assert vs, "empty planned batch"
+        total = sum(version_bytes(v) for v in vs)
+        assert total <= cap or len(vs) == 1, (
+            f"batch {vs} planned {total} bytes over the {cap} cap")
+    covered = [v for vs in batches for v in vs]
+    assert covered == sorted(covered), "offsets regressed (re-delivery)"
+    assert sorted(covered) == list(range(1, 8))
+    # the big version really was over the cap and really was alone
+    assert version_bytes(6) > cap
+    assert [6] in batches
