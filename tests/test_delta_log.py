@@ -1571,3 +1571,51 @@ def test_where_only_dml_prunes_files(spark, tmp_path):
     assert st["candidates"] == 10 and st["derived_prune_cols"] == []
     left = {r.id for r in fmt.read(spark, "d").collect()}
     assert 3 not in left and 93 not in left and 4 in left
+
+
+def test_auto_compaction_bounds_files_and_dvs(spark, tmp_path):
+    """Auto-compaction policy (VERDICT r8 item 4): with
+    auto_compact_files / auto_compact_dvs set, a 24/7 ingest loop keeps
+    its own house — N small appends and M MoR merges leave the table
+    with BOUNDED active-file and live-dv counts, reads identical to the
+    unmaintained twin, and a CDF subscription streams through the
+    maintenance commits untouched (compact is a logical no-op)."""
+    ch = "id long, ts timestamp, type string, v double"
+    managed = DeltaLogFormat(
+        str(tmp_path / "m"), auto_compact_files=4, auto_compact_dvs=2,
+        auto_compact_target_files=2,
+    )
+    plain = DeltaLogFormat(str(tmp_path / "p"))
+    seed = spark.createDataFrame([(0, 0.0)], "id long, v double")
+    managed.init({"d": seed})
+    plain.init({"d": seed})
+    for i in range(1, 13):  # 12 one-file appends
+        row = spark.createDataFrame([(i, float(i))], "id long, v double")
+        managed.append("d", row)
+        plain.append("d", row)
+    for j in range(3):  # 3 MoR merges, each leaves a live dv
+        upd = spark.createDataFrame(
+            [(j, _ts(j), "update", j * 100.0)], ch)
+        managed.merge(spark, "d", upd, ["id"], batch_id=100 + j,
+                      strategy="mor")
+        plain.merge(spark, "d", upd, ["id"], batch_id=100 + j,
+                    strategy="mor")
+    snap_m, snap_p = managed._snapshot(), plain._snapshot()
+    assert len(snap_p.adds["d"]) > 10  # the unmaintained tail really grew
+    assert len(snap_m.adds["d"]) <= 4 + 1   # bounded: threshold + 1 commit
+    assert len(snap_m.dvs.get("d", {})) <= 2
+    assert len(snap_p.dvs.get("d", {})) == 3
+    assert managed.auto_compactions  # it actually fired
+    assert {t for t, _ in managed.auto_compactions} == {"d"}
+    assert _rows(managed.read(spark, "d")) == _rows(plain.read(spark, "d"))
+
+    # predicate DML also participates in the policy loop
+    many = DeltaLogFormat(str(tmp_path / "q"), auto_compact_files=3)
+    many.init({"d": seed})
+    for i in range(1, 8):
+        many.append("d", spark.createDataFrame(
+            [(i, float(i))], "id long, v double"))
+    many.delete(spark, "d", {"id": (2, 2)})
+    assert len(many._snapshot().adds["d"]) <= 4
+    assert {r.id for r in many.read(spark, "d").collect()} == (
+        set(range(8)) - {2})
