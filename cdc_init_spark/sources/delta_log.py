@@ -1474,17 +1474,87 @@ class DeltaLogFormat(TableFormat):
         table's file set after planning (re-run against the new state).
         Returns the committed version, or -1 for a replayed batch_id.
         """
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"unknown merge strategy {strategy!r}")
+        snap = self._snapshot()
+        if batch_id is not None and batch_id <= snap.last_batch_id:
+            return -1
+        staged = self._stage_merge(
+            spark, snap, table, changes, pk_cols, order_col, type_col,
+            strategy, evolve_schema,
+        )
+        actions: list[dict] = [
+            {"commitInfo": {"operation": "merge" if strategy == "cow"
+                            else "merge-mor"}},
+            *staged["actions"],
+            {"txn": {"batch_id": batch_id if batch_id is not None
+                     else snap.last_batch_id}},
+        ]
+        if not self._try_write_commit(snap.version + 1, actions):
+            cur = self._snapshot()
+            if self._table_read_set(cur, table) == self._table_read_set(
+                snap, table
+            ) and (batch_id is None or batch_id > cur.last_batch_id):
+                # winner touched other tables only: our read set is intact
+                if self._try_write_commit(cur.version + 1, actions):
+                    self._maybe_checkpoint(cur.version + 1)
+                    self._maybe_auto_compact(spark, table)
+                    return cur.version + 1
+            self._abandon_staged(staged)
+            raise CommitConflictError(
+                f"concurrent commit changed {table!r}; re-run merge"
+            )
+        self._maybe_checkpoint(snap.version + 1)
+        self._maybe_auto_compact(spark, table)
+        return snap.version + 1
+
+    def _table_read_set(self, snap: _Snapshot, table: str) -> tuple:
+        """Everything a staged write against ``snap`` depends on for
+        ``table`` — compared against the current snapshot when an OCC
+        race is lost to decide retry-in-place vs conflict: active file
+        set, dv state, partition spec, schema, constraint set."""
+        return (
+            set(snap.adds.get(table, {})),
+            {
+                p: (info["cols"], sorted(info["applies_to"]))
+                for p, info in snap.dvs.get(table, {}).items()
+            },
+            tuple(snap.partition_cols.get(table) or []),
+            snap.schemas.get(table),
+            tuple(sorted(snap.constraints.get(table, {}).items())),
+        )
+
+    def _abandon_staged(self, staged: dict) -> None:
+        self._abandon(staged["adds"])
+        self._abandon_cdc(staged["cdc_adds"])
+        self._abandon_dv(staged["dv_paths"])
+
+    def _stage_merge(
+        self,
+        spark: SparkSession,
+        snap: _Snapshot,
+        table: str,
+        changes: DataFrame,
+        pk_cols: list[str],
+        order_col: str,
+        type_col: str,
+        strategy: str,
+        evolve_schema: bool,
+    ) -> dict:
+        """Plan and stage a MERGE against ``snap`` WITHOUT committing:
+        file-skip on the change keys' range cover, exact touch set,
+        CoW rewrite or MoR dv files, CDF capture — returns the staged
+        ``actions`` (meta/cdc/dv/remove/add, commitInfo and txn excluded)
+        plus the staged file lists for abandon-on-conflict. Shared by
+        ``merge`` and ``Transaction`` (VERDICT r8 item 5: a transaction
+        stages merges on several tables and commits them in ONE
+        version)."""
         from cdc_init_spark.streaming.apply import (
             UPSERT_TYPES,
             apply_changes,
             compact_changes,
         )
 
-        if strategy not in ("cow", "mor"):
-            raise ValueError(f"unknown merge strategy {strategy!r}")
-        snap = self._snapshot()
-        if batch_id is not None and batch_id <= snap.last_batch_id:
-            return -1
         active = snap.adds.get(table, {})
         schema = StructType.fromJson(json.loads(snap.schemas[table]))
         meta_action: dict | None = None
@@ -1644,10 +1714,7 @@ class DeltaLogFormat(TableFormat):
         if keys is not None:
             keys.unpersist()
         cdc_adds: list[dict] = []
-        actions: list[dict] = [
-            {"commitInfo": {"operation": "merge" if strategy == "cow"
-                            else "merge-mor"}}
-        ]
+        actions: list[dict] = []
         if meta_action is not None:
             actions.append(meta_action)
         if self.enable_cdf:
@@ -1696,46 +1763,25 @@ class DeltaLogFormat(TableFormat):
             for p in touched:
                 actions.append({"remove": {"table": table, "path": p}})
         actions.extend({"add": a} for a in adds)
-        actions.append(
-            {"txn": {"batch_id": batch_id if batch_id is not None
-                     else snap.last_batch_id}}
-        )
+        return {
+            "actions": actions,
+            "adds": adds,
+            "cdc_adds": cdc_adds,
+            "dv_paths": dv_paths,
+        }
 
-        def _dv_state(s: _Snapshot) -> dict:
-            return {
-                p: (info["cols"], sorted(info["applies_to"]))
-                for p, info in s.dvs.get(table, {}).items()
-            }
-
-        if not self._try_write_commit(snap.version + 1, actions):
-            cur = self._snapshot()
-            if (
-                set(cur.adds.get(table, {})) == set(active)
-                and _dv_state(cur) == _dv_state(snap)
-                and (cur.partition_cols.get(table) or [])
-                == (snap.partition_cols.get(table) or [])
-                # a concurrent schema change invalidates both the widened
-                # old_rows and a pending metaData action — conflict
-                and cur.schemas.get(table) == snap.schemas.get(table)
-                # our files were validated against the OLD constraint set
-                and cur.constraints.get(table, {})
-                == snap.constraints.get(table, {})
-                and (batch_id is None or batch_id > cur.last_batch_id)
-            ):
-                # winner touched other tables only: our read set is intact
-                if self._try_write_commit(cur.version + 1, actions):
-                    self._maybe_checkpoint(cur.version + 1)
-                    self._maybe_auto_compact(spark, table)
-                    return cur.version + 1
-            self._abandon(adds)
-            self._abandon_cdc(cdc_adds)
-            self._abandon_dv(dv_paths)
-            raise CommitConflictError(
-                f"concurrent commit changed {table!r}; re-run merge"
-            )
-        self._maybe_checkpoint(snap.version + 1)
-        self._maybe_auto_compact(spark, table)
-        return snap.version + 1
+    def transaction(self, spark: SparkSession) -> "Transaction":
+        """Begin a MULTI-TABLE atomic transaction (VERDICT r8 item 5):
+        stage keyed merges and overwrites across several tables, commit
+        them all in ONE log version — readers see every staged change or
+        none (the action log always supported multi-table actions; this
+        exposes them as one write surface). The motivating shape is the
+        continuously-maintained view (streaming/apply.py): merge the
+        change batch into ``base`` (O(touched files)) and overwrite the
+        group-sized ``agg`` in the same version, so no reader can ever
+        observe base ahead of agg — previously only achievable by
+        OVERWRITING the full base per micro-batch (O(table))."""
+        return Transaction(self, spark)
 
     # -- predicate DML (DELETE / UPDATE) -------------------------------------
 
@@ -2626,3 +2672,163 @@ class DeltaLogFormat(TableFormat):
             else:
                 deleted.append(f"_dv/{rel}")
         return sorted(deleted)
+
+
+class Transaction:
+    """Multi-table atomic commit over a DeltaLogFormat (VERDICT r8
+    item 5): stage keyed merges and overwrites against ONE snapshot,
+    land them all in ONE log version — a reader at any version sees
+    every staged change or none. The crash story is the commit
+    primitive's: data/cdc/dv files written before the log link are
+    invisible orphans until the single put-if-absent succeeds, so there
+    is no interleaving in which one table's update is observable without
+    the others' (the law pinned in tests/test_delta_log.py).
+
+    Created via ``DeltaLogFormat.transaction(spark)``; ops stage
+    eagerly (files written at stage time, CHECK constraints enforced
+    inside the write pass); ``commit(batch_id)`` is the only durable
+    step. Each table may be staged at most once — a second op on the
+    same table would plan against state the first already changed.
+    Overwrites staged here do not capture change data (use
+    ``DeltaLogFormat.commit(cdc_pk_cols=...)`` for CDF overwrites);
+    merges capture CDF exactly as ``merge`` does."""
+
+    def __init__(self, fmt: DeltaLogFormat, spark: SparkSession) -> None:
+        self.fmt = fmt
+        self.spark = spark
+        self.snap = fmt._snapshot()
+        self._staged: list[dict] = []
+        self._tables: list[str] = []
+        self._op_names: list[str] = []
+        self._finished = False
+
+    def _guard(self, table: str) -> None:
+        if self._finished:
+            raise RuntimeError("transaction already committed or aborted")
+        if table in self._tables:
+            raise ValueError(
+                f"table {table!r} is already staged in this transaction; "
+                "one op per table (a second would plan against state the "
+                "first already changed)"
+            )
+
+    def merge(
+        self,
+        table: str,
+        changes: DataFrame,
+        pk_cols: list[str],
+        order_col: str = "ts",
+        type_col: str = "type",
+        strategy: str = "cow",
+        evolve_schema: bool = False,
+    ) -> "Transaction":
+        """Stage a keyed MERGE (same planning, pruning, CDF capture and
+        MoR semantics as ``DeltaLogFormat.merge``) for this
+        transaction's single commit."""
+        self._guard(table)
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"unknown merge strategy {strategy!r}")
+        staged = self.fmt._stage_merge(
+            self.spark, self.snap, table, changes, pk_cols, order_col,
+            type_col, strategy, evolve_schema,
+        )
+        self._staged.append(staged)
+        self._tables.append(table)
+        self._op_names.append(
+            f"{'merge' if strategy == 'cow' else 'merge-mor'}({table})"
+        )
+        return self
+
+    def overwrite(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> "Transaction":
+        """Stage a full overwrite of ``table`` (the
+        ``DeltaLogFormat.commit`` shape for one table) for this
+        transaction's single commit. Creates the table when new."""
+        self._guard(table)
+        spec = (
+            partition_by
+            if partition_by is not None
+            else self.snap.partition_cols.get(table)
+        )
+        adds = self.fmt._write_data_files(
+            table, df, spec, self.snap.constraints.get(table, {})
+        )
+        actions: list[dict] = []
+        if (
+            table not in self.snap.schemas
+            or self.fmt._schema_change(self.snap.schemas[table], df)
+            or (spec or []) != (self.snap.partition_cols.get(table) or [])
+        ):
+            actions.append(self.fmt._meta_action(table, df, spec))
+        for p in self.snap.adds.get(table, {}):
+            actions.append({"remove": {"table": table, "path": p}})
+        actions.extend({"add": a} for a in adds)
+        self._staged.append(
+            {"actions": actions, "adds": adds, "cdc_adds": [],
+             "dv_paths": []}
+        )
+        self._tables.append(table)
+        self._op_names.append(f"overwrite({table})")
+        return self
+
+    def _abandon_all(self) -> None:
+        for s in self._staged:
+            self.fmt._abandon_staged(s)
+
+    def commit(self, batch_id: int | None = None) -> int:
+        """Land every staged op as ONE version. Returns the committed
+        version; -1 for a replayed ``batch_id`` (staged files are
+        abandoned — the earlier commit already holds this batch's
+        state). Raises CommitConflictError when a concurrent commit
+        changed any staged table after planning (re-run the whole
+        transaction against the new state)."""
+        if self._finished:
+            raise RuntimeError("transaction already committed or aborted")
+        if not self._staged:
+            raise ValueError("empty transaction: stage at least one op")
+        self._finished = True
+        snap = self.snap
+        if batch_id is not None and batch_id <= snap.last_batch_id:
+            self._abandon_all()
+            return -1
+        actions: list[dict] = [
+            {"commitInfo": {
+                "operation": f"txn[{', '.join(self._op_names)}]"}}
+        ]
+        for s in self._staged:
+            actions.extend(s["actions"])
+        actions.append(
+            {"txn": {"batch_id": batch_id if batch_id is not None
+                     else snap.last_batch_id}}
+        )
+
+        def _after(version: int) -> int:
+            self.fmt._maybe_checkpoint(version)
+            for t in dict.fromkeys(self._tables):
+                self.fmt._maybe_auto_compact(self.spark, t)
+            return version
+
+        if self.fmt._try_write_commit(snap.version + 1, actions):
+            return _after(snap.version + 1)
+        cur = self.fmt._snapshot()
+        if batch_id is not None and batch_id <= cur.last_batch_id:
+            # lost to our own replay twin: the batch is already durable
+            self._abandon_all()
+            return -1
+        if all(
+            self.fmt._table_read_set(cur, t)
+            == self.fmt._table_read_set(snap, t)
+            for t in self._tables
+        ):
+            # winner touched other tables only: every read set is intact
+            if self.fmt._try_write_commit(cur.version + 1, actions):
+                return _after(cur.version + 1)
+        self._abandon_all()
+        raise CommitConflictError(
+            f"concurrent commit changed {sorted(set(self._tables))}; "
+            "re-run the transaction"
+        )

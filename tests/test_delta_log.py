@@ -1619,3 +1619,163 @@ def test_auto_compaction_bounds_files_and_dvs(spark, tmp_path):
     assert len(many._snapshot().adds["d"]) <= 4
     assert {r.id for r in many.read(spark, "d").collect()} == (
         set(range(8)) - {2})
+
+
+def test_transaction_multi_table_atomic_commit(spark, tmp_path):
+    """Multi-table transaction (VERDICT r8 item 5): a keyed merge on
+    one table and an overwrite of another land in ONE log version —
+    reads at every version see both changes or neither; the merge arm
+    keeps its O(touched) copy-on-write shape (untouched inodes intact);
+    a replayed batch_id is a committed no-op; staging the same table
+    twice or committing twice raises."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+
+    def chunk(lo, hi):
+        return spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, hi)], "id long, v double"
+        ).coalesce(1)
+
+    fmt.init({"base": chunk(0, 10)})
+    fmt.append("base", chunk(10, 20))
+    fmt.overwrite_version = fmt.latest_version()
+    agg0 = spark.createDataFrame([("all", 190.0)], "g string, s double")
+    fmt.transaction(spark).overwrite("agg", agg0).commit(batch_id=0)
+    inodes = _data_inodes(fmt, "base")
+
+    txn = fmt.transaction(spark)
+    txn.merge("base", spark.createDataFrame(
+        [(3, _ts(1), "update", 300.0)],
+        "id long, ts timestamp, type string, v double"), ["id"])
+    txn.overwrite("agg", spark.createDataFrame(
+        [("all", 487.0)], "g string, s double"))
+    v = txn.commit(batch_id=1)
+    assert v == fmt.latest_version()
+    # one version carries BOTH tables' changes
+    assert {r.v for r in fmt.read(spark, "base").collect()
+            if r.id == 3} == {300.0}
+    assert _rows(fmt.read(spark, "agg")) == [("all", 487.0)]
+    # ...and the PRIOR version carries neither
+    assert {r.v for r in fmt.read(spark, "base", version=v - 1).collect()
+            if r.id == 3} == {3.0}
+    assert _rows(fmt.read(spark, "agg", version=v - 1)) == [("all", 190.0)]
+    # merge arm stayed copy-on-write: the untouched base file survives
+    after = _data_inodes(fmt, "base")
+    kept = set(inodes) & set(after)
+    assert kept and all(inodes[p] == after[p] for p in kept)
+
+    # replayed batch: no new version, staged files abandoned (no orphans)
+    pre = fmt.latest_version()
+    txn2 = fmt.transaction(spark)
+    txn2.overwrite("agg", spark.createDataFrame(
+        [("all", 0.0)], "g string, s double"))
+    assert txn2.commit(batch_id=1) == -1
+    assert fmt.latest_version() == pre
+    assert fmt.vacuum(horizon=0, retention_s=0.0) == []
+    assert _rows(fmt.read(spark, "agg")) == [("all", 487.0)]
+
+    # guards
+    txn3 = fmt.transaction(spark)
+    txn3.overwrite("agg", agg0)
+    with pytest.raises(ValueError, match="already staged"):
+        txn3.overwrite("agg", agg0)
+    txn3.commit()
+    with pytest.raises(RuntimeError, match="already committed"):
+        txn3.commit()
+    with pytest.raises(ValueError, match="empty transaction"):
+        fmt.transaction(spark).commit()
+
+
+def test_transaction_crash_and_conflict_never_tear(spark, tmp_path):
+    """Atomicity under crash and race: a crash AFTER staging but BEFORE
+    the single log link leaves both tables untouched (staged files are
+    invisible orphans, collected by vacuum); a concurrent commit that
+    changes a staged table's read set raises CommitConflictError and
+    abandons every staged file — in neither case can a reader observe
+    one table's update without the other's."""
+    root = str(tmp_path / "t")
+    fmt = DeltaLogFormat(root)
+    fmt.init({"base": spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double")})
+    fmt.transaction(spark).overwrite(
+        "agg", spark.createDataFrame([("all", 45.0)], "g string, s double")
+    ).commit()
+    ch = "id long, ts timestamp, type string, v double"
+
+    # crash injection: the commit primitive never runs
+    txn = fmt.transaction(spark)
+    txn.merge("base", spark.createDataFrame(
+        [(1, _ts(1), "update", 100.0)], ch), ["id"])
+    txn.overwrite("agg", spark.createDataFrame(
+        [("all", 144.0)], "g string, s double"))
+    pre = fmt.latest_version()
+    # the process dies here — simulated by simply dropping the txn
+    assert fmt.latest_version() == pre
+    assert {r.v for r in fmt.read(spark, "base").collect()
+            if r.id == 1} == {1.0}
+    assert _rows(fmt.read(spark, "agg")) == [("all", 45.0)]
+    orphans = fmt.vacuum(horizon=0, retention_s=0.0)
+    assert orphans  # the staged-and-never-committed files were collected
+
+    # conflict: a racing writer changes base between staging and commit
+    txn = fmt.transaction(spark)
+    txn.merge("base", spark.createDataFrame(
+        [(2, _ts(1), "update", 200.0)], ch), ["id"])
+    txn.overwrite("agg", spark.createDataFrame(
+        [("all", 243.0)], "g string, s double"))
+    DeltaLogFormat(root).append("base", spark.createDataFrame(
+        [(99, 99.0)], "id long, v double"))
+    with pytest.raises(CommitConflictError, match="re-run the transaction"):
+        txn.commit()
+    assert {r.v for r in fmt.read(spark, "base").collect()
+            if r.id == 2} == {2.0}
+    assert _rows(fmt.read(spark, "agg")) == [("all", 45.0)]
+    # conflict abandons staged files eagerly: nothing left to vacuum
+    assert fmt.vacuum(horizon=0, retention_s=0.0) == []
+
+    # a racing commit on an UNRELATED table retries in place and lands
+    txn = fmt.transaction(spark)
+    txn.overwrite("agg", spark.createDataFrame(
+        [("all", 343.0)], "g string, s double"))
+    DeltaLogFormat(root).append("base", spark.createDataFrame(
+        [(100, 100.0)], "id long, v double"))
+    v = txn.commit()
+    assert v == fmt.latest_version()
+    assert _rows(fmt.read(spark, "agg")) == [("all", 343.0)]
+
+
+def test_continuous_agg_view_never_sees_base_ahead_of_agg(spark, tmp_path):
+    """The maintained-view invariant q206's sink relies on: at EVERY
+    committed version of the view root, agg ≡ groupBy-recompute(base) —
+    i.e. base and agg move in lockstep because each micro-batch lands
+    as one transaction (merge base + overwrite agg in one version), and
+    the base merges are O(touched), not full rewrites."""
+    from cdc_init_spark.streaming.apply import (
+        continuous_agg_step,
+        init_continuous_agg,
+    )
+
+    fmt = DeltaLogFormat(str(tmp_path / "view"))
+    base0 = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id long, g int, val double")
+    init_continuous_agg(base0, fmt)
+    step = continuous_agg_step(
+        spark, fmt, ["id"], ["g"], "val", order_col="ts")
+    ch = "id long, ts timestamp, type string, g int, val double"
+    step(spark.createDataFrame(
+        [(1, _ts(1), "update", 1, 100.0), (2, _ts(1), "delete", None, None)],
+        ch), 1)
+    step(spark.createDataFrame(
+        [(4, _ts(2), "update", 1, 400.0)], ch), 2)
+    # the transaction path really was taken: merges, not base overwrites
+    ops = [h["operation"] for h in fmt.history()]
+    assert any(op and op.startswith("txn[merge(base)") for op in ops)
+    for v in range(1, fmt.latest_version() + 1):
+        if not fmt.has_table("agg", version=v):
+            continue
+        base_v = fmt.read(spark, "base", version=v)
+        agg_v = fmt.read(spark, "agg", version=v)
+        recomputed = base_v.groupBy("g").agg(
+            F.sum("val").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_rows"))
+        assert _rows(agg_v) == _rows(recomputed), f"torn view at v{v}"
