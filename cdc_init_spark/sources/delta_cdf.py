@@ -171,7 +171,16 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         #: versions ≤ pin is additive HISTORY (old files stream the
         #: later columns as NULL); a pinned column missing from metaData
         #: at a version AFTER the pin is a genuine drop — fail loudly.
-        self._pin_version = _snapshot(self.root).version
+        pin_snap = _snapshot(self.root)
+        self._pin_version = pin_snap.version
+        #: pinned logical → stable PHYSICAL column names (column
+        #: mapping): data/cdc bytes are physical-named, so history
+        #: written before a rename reads correctly under the new
+        #: logical name, and a column re-added after a drop (fresh
+        #: physical name) correctly reads pre-drop files as NULL
+        #: instead of resurrecting the retired bytes. The dict is
+        #: tiny and pickles to executors with the reader.
+        self._phys = dict(pin_snap.mappings.get(self.table, {}) or {})
 
     # -- offsets ------------------------------------------------------------
 
@@ -345,18 +354,21 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         columns: dict = {}
         for f in self.spark_schema.fields:
             at = to_arrow_type(f.dataType)
+            # on-disk bytes (and partition directories) carry the
+            # column's stable PHYSICAL name
+            phys = self._phys.get(f.name, f.name)
             if f.name == "_commit_version":
                 columns[f.name] = const(version, at)
             elif f.name == "type" and f.name not in self.data_fields:
                 columns[f.name] = (
                     tbl.column("type") if kind == "cdc" else const("insert", at)
                 )
-            elif kind == "add" and pvals and f.name in pvals:
+            elif kind == "add" and pvals and phys in pvals:
                 # Hive-partitioned add file: the value lives in the
                 # path/log, not the data pages
-                columns[f.name] = const(pvals[f.name], at)
-            elif f.name in tbl.column_names:
-                columns[f.name] = tbl.column(f.name)
+                columns[f.name] = const(pvals[phys], at)
+            elif phys in tbl.column_names:
+                columns[f.name] = tbl.column(phys)
             else:
                 columns[f.name] = pa.nulls(n, at)
         target = pa.schema(

@@ -83,7 +83,7 @@ from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from cdc_init_spark.sources.commit_store import (
     CommitStore,
@@ -397,6 +397,8 @@ class _Snapshot:
         "last_batch_id",
         "dvs",
         "constraints",
+        "mappings",
+        "retired",
     )
 
     def __init__(self):
@@ -405,6 +407,18 @@ class _Snapshot:
         self.schemas: dict[str, str] = {}  # table -> Spark schema json
         self.partition_cols: dict[str, list[str]] = {}
         self.last_batch_id = -1
+        #: column mapping (the Delta/Iceberg name-mapping shape, VERDICT
+        #: r8 item 2): table -> {logical name -> PHYSICAL name}. Physical
+        #: names are fixed at a column's first write and never change;
+        #: RENAME moves only the logical name, so every already-written
+        #: file stays readable under the version's own mapping. Only
+        #: non-identity entries are stored — a column absent from the
+        #: mapping is physical == logical (every pre-mapping table).
+        self.mappings: dict[str, dict[str, str]] = {}
+        #: physical names of DROPPED columns: table -> sorted list. A
+        #: logical re-add of the same name must mint a FRESH physical
+        #: name or the old files' bytes would resurrect under it.
+        self.retired: dict[str, list[str]] = {}
         #: merge-on-read deletion vectors: table -> dv path -> {"cols":
         #: key column names, "applies_to": set of DATA paths the delete
         #: keys still apply to}. A dv suppresses its keys' rows in
@@ -458,6 +472,8 @@ class _Snapshot:
             m = action["metaData"]
             self.schemas[m["table"]] = m["schema_json"]
             self.partition_cols[m["table"]] = m.get("partition_cols", [])
+            self.mappings[m["table"]] = dict(m.get("column_mapping") or {})
+            self.retired[m["table"]] = list(m.get("retired_physical") or [])
         elif "constraint" in action:
             c = action["constraint"]
             self.constraints.setdefault(c["table"], {})[c["name"]] = c["expr"]
@@ -471,7 +487,8 @@ class _Snapshot:
             # instead of not existing
             t = action["dropTable"]["table"]
             for store in (self.adds, self.schemas, self.partition_cols,
-                          self.dvs, self.constraints):
+                          self.dvs, self.constraints, self.mappings,
+                          self.retired):
                 store.pop(t, None)
 
 
@@ -722,16 +739,25 @@ class DeltaLogFormat(TableFormat):
                     }
                 )
         for table, sj in snap.schemas.items():
-            rows.append(
-                {
-                    "kind": "metaData",
-                    "table": table,
-                    "schema_json": sj,
-                    "partition_cols": json.dumps(
-                        snap.partition_cols.get(table, [])
-                    ),
-                }
-            )
+            row = {
+                "kind": "metaData",
+                "table": table,
+                "schema_json": sj,
+                "partition_cols": json.dumps(
+                    snap.partition_cols.get(table, [])
+                ),
+            }
+            # column-mapping state must survive log archival with the
+            # rest of the table metadata
+            if snap.mappings.get(table) or snap.retired.get(table):
+                row["mapping_json"] = json.dumps(
+                    {
+                        "mapping": snap.mappings.get(table, {}),
+                        "retired": sorted(snap.retired.get(table, [])),
+                    },
+                    sort_keys=True,
+                )
+            rows.append(row)
         for table, cs in snap.constraints.items():
             for cname, expr in cs.items():
                 rows.append(
@@ -755,6 +781,7 @@ class DeltaLogFormat(TableFormat):
             ("partition_cols", pa.string()),
             ("dv_info", pa.string()),
             ("constraint_json", pa.string()),
+            ("mapping_json", pa.string()),
         ]
         t = pa.table(
             {
@@ -815,6 +842,12 @@ class DeltaLogFormat(TableFormat):
                 snap.partition_cols[row["table"]] = json.loads(
                     row["partition_cols"] or "[]"
                 )
+                # .get(): checkpoints written before column mapping
+                # shipped have no such column
+                if row.get("mapping_json"):
+                    ms = json.loads(row["mapping_json"])
+                    snap.mappings[row["table"]] = ms.get("mapping", {})
+                    snap.retired[row["table"]] = ms.get("retired", [])
             elif row["kind"] == "constraint":
                 c = json.loads(row["constraint_json"])
                 snap.constraints.setdefault(row["table"], {})[c["name"]] = c[
@@ -883,6 +916,7 @@ class DeltaLogFormat(TableFormat):
         df: DataFrame,
         partition_cols: list[str] | None = None,
         checks: dict[str, str] | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> list[dict]:
         """Spark-write ``df`` (Hive-partitioned when the table has a
         partition spec), promote the part files to immutable
@@ -890,14 +924,24 @@ class DeltaLogFormat(TableFormat):
         ``col=value`` directory layout, harvest footer stats — with
         partition values folded in as exact min=max stats (the data
         pages don't carry partition columns; the path does) → the
-        commit's ``add`` actions."""
+        commit's ``add`` actions.
+
+        ``df`` and ``partition_cols`` arrive LOGICAL; ``mapping``
+        renames to the table's stable PHYSICAL field names before any
+        byte is written (CHECK constraints evaluate first, in logical
+        space). File stats and partition directories are therefore
+        always physical-named — rename-proof."""
         tdir = os.path.join(self.data_dir, table)
         os.makedirs(tdir, exist_ok=True)
         staging = os.path.join(self.root, f"_staging-{uuid.uuid4().hex}")
+        mapping = mapping or {}
         df = self._enforce_constraints(table, df, checks)
+        df = self._to_physical(df, mapping)
         writer = df.write
         if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
+            writer = writer.partitionBy(
+                *[mapping.get(c, c) for c in partition_cols]
+            )
         try:
             writer.parquet(staging)
         except Exception:
@@ -949,7 +993,12 @@ class DeltaLogFormat(TableFormat):
         return adds
 
     def _read_adds(
-        self, spark: SparkSession, table: str, adds: list[dict], schema: StructType
+        self,
+        spark: SparkSession,
+        table: str,
+        adds: list[dict],
+        schema: StructType,
+        mapping: dict[str, str] | None = None,
     ) -> DataFrame:
         """Read back the data files a transaction JUST WROTE (its ``add``
         actions) — the committed bytes, not a re-execution of the lazy
@@ -958,12 +1007,13 @@ class DeltaLogFormat(TableFormat):
         non-deterministic inputs (ADVICE r7, delta_log.py:812)."""
         if not adds:
             return spark.createDataFrame([], schema)
-        return (
-            spark.read.schema(schema)
+        mapping = mapping or {}
+        df = (
+            spark.read.schema(self._physicalize(schema, mapping))
             .option("basePath", os.path.join(self.data_dir, table))
             .parquet(*[os.path.join(self.data_dir, a["path"]) for a in adds])
-            .select(*[f.name for f in schema.fields])
         )
+        return self._to_logical(df, schema, mapping)
 
     def _abandon(self, adds: list[dict]) -> None:
         """Delete data files written for a transaction that will never
@@ -975,16 +1025,27 @@ class DeltaLogFormat(TableFormat):
             except OSError:
                 pass
 
-    def _write_cdc_files(self, table: str, df: DataFrame) -> list[dict]:
+    def _write_cdc_files(
+        self,
+        table: str,
+        df: DataFrame,
+        mapping: dict[str, str] | None = None,
+    ) -> list[dict]:
         """Persist a commit's change-data frame (pk + type + data cols,
         the diff_snapshots vocabulary) as immutable parquet under
         ``_cdc/{table}`` — version-independent unique names, so a lost
         commit race can retry with the SAME files (the change content is
-        defined by the transaction, not by the version it lands at)."""
+        defined by the transaction, not by the version it lands at).
+
+        Table columns are stored under their stable PHYSICAL names
+        (``type`` is DML metadata, never a table column, so it rides
+        through identity): change files written before and after a
+        rename agree on disk, and readers rename to their own pin's
+        logical vocabulary."""
         tdir = os.path.join(self.cdc_dir, table)
         os.makedirs(tdir, exist_ok=True)
         staging = os.path.join(self.root, f"_staging-cdc-{uuid.uuid4().hex}")
-        df.write.parquet(staging)
+        self._to_physical(df, mapping or {}).write.parquet(staging)
         out = []
         for name in sorted(os.listdir(staging)):
             if not name.endswith(".parquet"):
@@ -1043,15 +1104,115 @@ class DeltaLogFormat(TableFormat):
 
     @staticmethod
     def _meta_action(
-        table: str, df: DataFrame, partition_cols: list[str] | None = None
+        table: str,
+        df: DataFrame,
+        partition_cols: list[str] | None = None,
+        mapping: dict[str, str] | None = None,
+        retired: list[str] | None = None,
     ) -> dict:
-        return {
-            "metaData": {
-                "table": table,
-                "schema_json": df.schema.json(),
-                "partition_cols": partition_cols or [],
-            }
+        m: dict = {
+            "table": table,
+            "schema_json": df.schema.json(),
+            "partition_cols": partition_cols or [],
         }
+        # column-mapping state rides every metaData refresh — omitted
+        # when identity/empty so plain tables keep the plain log format
+        if mapping:
+            m["column_mapping"] = dict(mapping)
+        if retired:
+            m["retired_physical"] = sorted(retired)
+        return {"metaData": m}
+
+    @staticmethod
+    def _physicalize(schema: StructType, mapping: dict[str, str]) -> StructType:
+        """The stored logical schema under PHYSICAL field names — what
+        the parquet files actually carry."""
+        if not mapping:
+            return schema
+        from pyspark.sql.types import StructField
+
+        return StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+
+    @staticmethod
+    def _to_logical(
+        df: DataFrame, schema: StructType, mapping: dict[str, str]
+    ) -> DataFrame:
+        """Physical-named frame → the logical column names (and order)
+        of ``schema``."""
+        return df.select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    @staticmethod
+    def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+        if not mapping:
+            return df
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+
+    def _evolve_mapping(
+        self, snap: "_Snapshot", table: str, new_cols: list[str]
+    ) -> tuple[dict[str, str], list[str]]:
+        """Column mapping + retired set for ``table`` when its logical
+        column set becomes ``new_cols``: persisting columns keep their
+        stable physical names, disappearing columns retire theirs (the
+        bytes may persist in old data/CDC files — a physical name is
+        NEVER reused), and brand-new columns get identity physical
+        unless that collides with a retired or in-use physical name, in
+        which case a fresh suffixed name is minted so a re-added
+        logical name cannot resurrect old bytes."""
+        if table not in snap.schemas:
+            return {}, []
+        base = snap.mappings.get(table, {}) or {}
+        retired = set(snap.retired.get(table, []) or [])
+        old_cols = [
+            f.name
+            for f in StructType.fromJson(
+                json.loads(snap.schemas[table])
+            ).fields
+        ]
+        new_set = set(new_cols)
+        mapping: dict[str, str] = {}
+        used = set(retired)
+        for c in old_cols:
+            phys = base.get(c, c)
+            if c in new_set:
+                if phys != c:
+                    mapping[c] = phys
+                used.add(phys)
+            else:
+                retired.add(phys)
+                used.add(phys)
+        for c in new_cols:
+            if c in old_cols:
+                continue
+            if c in used:
+                fresh = f"{c}-{uuid.uuid4().hex[:8]}"
+                mapping[c] = fresh
+                used.add(fresh)
+        return mapping, sorted(retired)
+
+    def _mapping_state(
+        self, snap: "_Snapshot", table: str
+    ) -> tuple[dict[str, str], list[str]]:
+        """The (mapping, retired) pair a write against ``snap`` plans
+        under — compared across OCC retries to decide whether staged
+        physical-named files are still valid."""
+        return (
+            dict(snap.mappings.get(table, {}) or {}),
+            list(snap.retired.get(table, []) or []),
+        )
 
     @staticmethod
     def _schema_change(old_json: str, df: DataFrame) -> str | None:
@@ -1133,9 +1294,19 @@ class DeltaLogFormat(TableFormat):
         checks_used = {
             name: snap.constraints.get(name, {}) for name in tables
         }
+        # per-table column mapping: an overwrite keeps every persisting
+        # column's stable physical name (change-feed continuity — files
+        # and cdc bytes written before and after agree on physical
+        # names) and retires the physicals of columns the reshape drops
+        maps_state = {name: self._mapping_state(snap, name) for name in tables}
+        maps_used = {
+            name: self._evolve_mapping(snap, name, list(df.columns))
+            for name, df in tables.items()
+        }
         new_adds: dict[str, list[dict]] = {
             name: self._write_data_files(
-                name, df, specs_used[name], checks_used[name]
+                name, df, specs_used[name], checks_used[name],
+                maps_used[name][0],
             )
             for name, df in tables.items()
         }
@@ -1168,10 +1339,12 @@ class DeltaLogFormat(TableFormat):
                         spark, snap, name, snap.adds.get(name, {})
                     )
                     new_state = self._read_adds(
-                        spark, name, new_adds[name], df.schema
+                        spark, name, new_adds[name], df.schema,
+                        maps_used[name][0],
                     ).select(*old_state.columns)
                     files = self._write_cdc_files(
-                        name, diff_snapshots(old_state, new_state, pks)
+                        name, diff_snapshots(old_state, new_state, pks),
+                        maps_used[name][0],
                     )
                     cdc_files.extend(files)
                     actions.append(
@@ -1189,7 +1362,10 @@ class DeltaLogFormat(TableFormat):
                     != (snap.partition_cols.get(name) or [])
                 ):
                     actions.append(
-                        self._meta_action(name, df, specs_used[name])
+                        self._meta_action(
+                            name, df, specs_used[name],
+                            maps_used[name][0], maps_used[name][1],
+                        )
                     )
                 for p in snap.adds.get(name, {}):
                     actions.append({"remove": {"table": name, "path": p}})
@@ -1218,14 +1394,24 @@ class DeltaLogFormat(TableFormat):
             for name, df in tables.items():
                 cur_spec = spec_of(name)
                 cur_checks = snap.constraints.get(name, {})
-                if (cur_spec or []) != (specs_used[name] or []) or (
-                    cur_checks != checks_used[name]
+                cur_maps = self._mapping_state(snap, name)
+                if (
+                    (cur_spec or []) != (specs_used[name] or [])
+                    or cur_checks != checks_used[name]
+                    or cur_maps != maps_state[name]
                 ):
+                    # a winner's rename/drop changed the logical→physical
+                    # map: our staged files carry physical names planned
+                    # against the OLD mapping — re-derive and rewrite
                     self._abandon(new_adds[name])
                     specs_used[name] = cur_spec
                     checks_used[name] = cur_checks
+                    maps_state[name] = cur_maps
+                    maps_used[name] = self._evolve_mapping(
+                        snap, name, list(df.columns)
+                    )
                     new_adds[name] = self._write_data_files(
-                        name, df, cur_spec, cur_checks
+                        name, df, cur_spec, cur_checks, maps_used[name][0]
                     )
 
     def read(
@@ -1282,7 +1468,10 @@ class DeltaLogFormat(TableFormat):
         schema: StructType,
         rel_paths: list[str],
     ) -> DataFrame:
-        """Raw scan of the given data files (no deletion vectors)."""
+        """Raw scan of the given data files (no deletion vectors),
+        returned under PHYSICAL column names — deletion vectors join in
+        physical space (their key files are physical-named and
+        rename-proof); _read_files renames to logical last."""
         paths = [os.path.join(self.data_dir, p) for p in rel_paths]
         missing = [p for p in paths if not os.path.exists(p)]
         if missing:
@@ -1294,11 +1483,12 @@ class DeltaLogFormat(TableFormat):
         # basePath lets partition columns materialize from the col=value
         # directory layout; harmless for unpartitioned tables. Column
         # order follows the stored schema either way.
+        phys = self._physicalize(schema, snap.mappings.get(table, {}))
         return (
-            spark.read.schema(schema)
+            spark.read.schema(phys)
             .option("basePath", os.path.join(self.data_dir, table))
             .parquet(*paths)
-            .select(*[f.name for f in schema.fields])
+            .select(*[f.name for f in phys.fields])
         )
 
     def _read_files(
@@ -1344,7 +1534,9 @@ class DeltaLogFormat(TableFormat):
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        # physical → the version's LOGICAL names, last (dv anti-joins
+        # above ran in physical space, where the key files live)
+        return self._to_logical(out, schema, snap.mappings.get(table, {}))
 
     def latest_version(self) -> int:
         return self._snapshot().version
@@ -1367,20 +1559,37 @@ class DeltaLogFormat(TableFormat):
         pre = self._snapshot()
         spec_used = pre.partition_cols.get(table)
         checks_used = pre.constraints.get(table, {})
-        adds = self._write_data_files(table, df, spec_used)
+        maps_state = self._mapping_state(pre, table)
+        mapping_used, retired_used = self._evolve_mapping(
+            pre, table, list(df.columns)
+        )
+        adds = self._write_data_files(
+            table, df, spec_used, mapping=mapping_used
+        )
         while True:
             snap = self._snapshot()
             if batch_id is not None and batch_id <= snap.last_batch_id:
                 self._abandon(adds)
                 return -1
-            if snap.constraints.get(table, {}) != checks_used:
+            if (
+                snap.constraints.get(table, {}) != checks_used
+                or self._mapping_state(snap, table) != maps_state
+            ):
                 # a concurrent add_constraint validated the table WITHOUT
-                # our staged files; re-write them so the new checks run
-                # against our rows before they can become visible
+                # our staged files (re-write so the new checks run against
+                # our rows before they can become visible); likewise a
+                # concurrent rename/drop changed the logical→physical map
+                # our staged files were written under
                 self._abandon(adds)
                 checks_used = snap.constraints.get(table, {})
                 spec_used = snap.partition_cols.get(table)
-                adds = self._write_data_files(table, df, spec_used)
+                maps_state = self._mapping_state(snap, table)
+                mapping_used, retired_used = self._evolve_mapping(
+                    snap, table, list(df.columns)
+                )
+                adds = self._write_data_files(
+                    table, df, spec_used, checks_used, mapping_used
+                )
                 continue
             if (snap.partition_cols.get(table) or []) != (spec_used or []):
                 # a concurrent overwrite re-specced the table's partition
@@ -1390,7 +1599,9 @@ class DeltaLogFormat(TableFormat):
                 # current spec (ADVICE r6, delta_log.py:470)
                 self._abandon(adds)
                 spec_used = snap.partition_cols.get(table)
-                adds = self._write_data_files(table, df, spec_used)
+                adds = self._write_data_files(
+                    table, df, spec_used, checks_used, mapping_used
+                )
             actions: list[dict] = [{"commitInfo": {"operation": "append"}}]
             if table not in snap.schemas:
                 actions.append(self._meta_action(table, df))
@@ -1401,12 +1612,15 @@ class DeltaLogFormat(TableFormat):
                     raise ValueError(
                         f"append to {table!r} would rename/drop/retype "
                         "columns; only additive schema evolution is "
-                        "allowed outside an overwrite commit"
+                        "allowed outside an overwrite commit — use "
+                        "rename_column()/drop_column() for mapped "
+                        "evolution, or an overwrite for a reshape"
                     )
                 if change == "additive":
                     actions.append(
                         self._meta_action(
-                            table, df, snap.partition_cols.get(table)
+                            table, df, snap.partition_cols.get(table),
+                            mapping_used, retired_used,
                         )
                     )
             actions.extend({"add": a} for a in adds)
@@ -1522,6 +1736,8 @@ class DeltaLogFormat(TableFormat):
             tuple(snap.partition_cols.get(table) or []),
             snap.schemas.get(table),
             tuple(sorted(snap.constraints.get(table, {}).items())),
+            tuple(sorted((snap.mappings.get(table) or {}).items())),
+            tuple(snap.retired.get(table) or []),
         )
 
     def _abandon_staged(self, staged: dict) -> None:
@@ -1557,6 +1773,7 @@ class DeltaLogFormat(TableFormat):
 
         active = snap.adds.get(table, {})
         schema = StructType.fromJson(json.loads(snap.schemas[table]))
+        mapping, retired = self._mapping_state(snap, table)
         meta_action: dict | None = None
         if evolve_schema:
             # the change frame's DATA columns (order/type are DML
@@ -1581,14 +1798,19 @@ class DeltaLogFormat(TableFormat):
                         if f.name not in old_names
                     ]
                 )
-                meta_action = {
-                    "metaData": {
-                        "table": table,
-                        "schema_json": schema.json(),
-                        "partition_cols": snap.partition_cols.get(table)
-                        or [],
-                    }
+                mapping, retired = self._evolve_mapping(
+                    snap, table, [f.name for f in schema.fields]
+                )
+                m: dict = {
+                    "table": table,
+                    "schema_json": schema.json(),
+                    "partition_cols": snap.partition_cols.get(table) or [],
                 }
+                if mapping:
+                    m["column_mapping"] = dict(mapping)
+                if retired:
+                    m["retired_physical"] = sorted(retired)
+                meta_action = {"metaData": m}
 
         # distinct change keys, shared by the range summary, the
         # broadcast gate, and the exact-touch semi-join (rows with a
@@ -1614,9 +1836,15 @@ class DeltaLogFormat(TableFormat):
                 if n_keys <= self.merge_range_summary_key_limit
                 else 1,
             )
+        # file stats are PHYSICAL-named (harvested from the written
+        # bytes); the change keys arrive logical — translate before
+        # intersecting
+        phys_key_ranges = {
+            mapping.get(c, c): r for c, r in key_ranges.items()
+        }
         candidates = {}
         for p, a in active.items():
-            if _file_intersects_ranges(a.get("stats") or {}, key_ranges):
+            if _file_intersects_ranges(a.get("stats") or {}, phys_key_ranges):
                 candidates[p] = a
         # (2) exact touched-file set: which candidate files hold a changed key
         touched: list[str] = []
@@ -1629,10 +1857,16 @@ class DeltaLogFormat(TableFormat):
                 # driver: hash-shuffle both sides on the pk instead
                 keyed, key_join = keys.hint("shuffle_hash"), "shuffle_hash"
             probe = (
-                spark.read.schema(schema)
+                spark.read.schema(self._physicalize(schema, mapping))
                 .option("basePath", os.path.join(self.data_dir, table))
                 .parquet(*cand_paths)
-                .withColumn("_f", F.input_file_name())
+                .select(
+                    *[
+                        F.col(mapping.get(c, c)).alias(c)
+                        for c in pk_cols
+                    ],
+                    F.input_file_name().alias("_f"),
+                )
                 .join(keyed, on=pk_cols, how="left_semi")
                 .select("_f")
                 .distinct()
@@ -1691,17 +1925,22 @@ class DeltaLogFormat(TableFormat):
             upserts = latest.filter(
                 F.col(type_col).isin(*UPSERT_TYPES)
             ).select(*[f.name for f in schema.fields])
-            adds = self._write_data_files(table, upserts, spec)
+            adds = self._write_data_files(
+                table, upserts, spec, mapping=mapping
+            )
             if touched:
                 # small key sets collapse to one delete file (a tiny
                 # file per shuffle partition would just multiply the
                 # read path's anti-join inputs); backfill-scale sets
-                # keep their partitioning
+                # keep their partitioning. Key files are written under
+                # PHYSICAL names so the read path's anti-join (which
+                # runs pre-rename, in physical space) is rename-proof.
+                dv_keys_df = self._to_physical(keys, mapping)
                 dv_paths = self._write_dv_files(
                     table,
-                    keys.coalesce(1)
+                    dv_keys_df.coalesce(1)
                     if n_keys <= self.merge_broadcast_key_limit
-                    else keys,
+                    else dv_keys_df,
                 )
         else:
             # (3-cow) rewrite of touched rows + the changes; the rewrite
@@ -1710,7 +1949,9 @@ class DeltaLogFormat(TableFormat):
             rewritten = apply_changes(
                 old_rows, changes, pk_cols, order_col, type_col
             )
-            adds = self._write_data_files(table, rewritten, spec)
+            adds = self._write_data_files(
+                table, rewritten, spec, mapping=mapping
+            )
         if keys is not None:
             keys.unpersist()
         cdc_adds: list[dict] = []
@@ -1730,20 +1971,27 @@ class DeltaLogFormat(TableFormat):
             # delete keys) ∪ the added rows — all committed bytes.
             from cdc_init_spark.streaming.apply import diff_snapshots
 
-            new_region = self._read_adds(spark, table, adds, schema)
+            new_region = self._read_adds(spark, table, adds, schema, mapping)
             if dv_paths:
+                # dv key files are physical-named; rename to logical for
+                # the anti-join against the logical old_rows frame
                 dv_keys = (
                     spark.read.parquet(
                         *[os.path.join(self.dv_dir, p) for p in dv_paths]
                     )
-                    .select(*pk_cols)
+                    .select(
+                        *[
+                            F.col(mapping.get(c, c)).alias(c)
+                            for c in pk_cols
+                        ]
+                    )
                     .distinct()
                 )
                 new_region = old_rows.join(
                     dv_keys, on=pk_cols, how="left_anti"
                 ).unionByName(new_region)
             cdc_adds = self._write_cdc_files(
-                table, diff_snapshots(old_rows, new_region, pk_cols)
+                table, diff_snapshots(old_rows, new_region, pk_cols), mapping
             )
             # marker: CDF was captured for this table in this commit
             # (present even when the diff is empty, so the stream reader
@@ -1755,7 +2003,8 @@ class DeltaLogFormat(TableFormat):
             actions.extend({"cdc": a} for a in cdc_adds)
         if strategy == "mor":
             actions.extend(
-                {"dv": {"table": table, "path": p, "cols": pk_cols,
+                {"dv": {"table": table, "path": p,
+                        "cols": [mapping.get(c, c) for c in pk_cols],
                         "applies_to": sorted(touched)}}
                 for p in dv_paths
             )
@@ -1883,7 +2132,11 @@ class DeltaLogFormat(TableFormat):
             except TypeError:
                 continue  # incomparable with the declared range: keep it
             prune_ranges[column] = (plo, phi)
-        candidates = self._prune_files_by_ranges(active, prune_ranges)
+        # ranges arrive logical; file stats are physical-named
+        mapping = dict(snap.mappings.get(table, {}) or {})
+        candidates = self._prune_files_by_ranges(
+            active, {mapping.get(c, c): r for c, r in prune_ranges.items()}
+        )
         # the full row condition: ranges AND residual, NULL = no match
         cond = F.lit(True)
         for column, (lo, hi) in predicates.items():
@@ -1898,10 +2151,16 @@ class DeltaLogFormat(TableFormat):
         touched: list[str] = []
         if candidates:
             probe = (
-                spark.read.schema(schema)
+                spark.read.schema(self._physicalize(schema, mapping))
                 .option("basePath", os.path.join(self.data_dir, table))
                 .parquet(*[os.path.join(self.data_dir, p) for p in candidates])
-                .withColumn("_f", F.input_file_name())
+                .select(
+                    *[
+                        F.col(mapping.get(f.name, f.name)).alias(f.name)
+                        for f in schema.fields
+                    ],
+                    F.input_file_name().alias("_f"),
+                )
                 .filter(cond)
                 .select("_f")
                 .distinct()
@@ -1961,7 +2220,9 @@ class DeltaLogFormat(TableFormat):
                     )
         else:
             new_region = old_rows.filter(~cond)
-        adds = self._write_data_files(table, new_region, spec or None)
+        adds = self._write_data_files(
+            table, new_region, spec or None, mapping=mapping
+        )
         cdc_adds: list[dict] = []
         actions: list[dict] = [
             {"commitInfo": {"operation": self.last_rewrite_stats["op"]}}
@@ -1969,9 +2230,9 @@ class DeltaLogFormat(TableFormat):
         if self.enable_cdf and pk_cols:
             from cdc_init_spark.streaming.apply import diff_snapshots
 
-            committed = self._read_adds(spark, table, adds, schema)
+            committed = self._read_adds(spark, table, adds, schema, mapping)
             cdc_adds = self._write_cdc_files(
-                table, diff_snapshots(old_rows, committed, pk_cols)
+                table, diff_snapshots(old_rows, committed, pk_cols), mapping
             )
             actions.append({"cdcMeta": {"table": table, "pk_cols": pk_cols}})
             actions.extend({"cdc": a} for a in cdc_adds)
@@ -1999,6 +2260,8 @@ class DeltaLogFormat(TableFormat):
                 and cur.schemas.get(table) == snap.schemas.get(table)
                 and cur.constraints.get(table, {})
                 == snap.constraints.get(table, {})
+                and self._mapping_state(cur, table)
+                == self._mapping_state(snap, table)
                 and (batch_id is None or batch_id > cur.last_batch_id)
             ):
                 if self._try_write_commit(cur.version + 1, actions):
@@ -2084,7 +2347,10 @@ class DeltaLogFormat(TableFormat):
         Returns (df, files_total, files_read)."""
         snap = self._snapshot(version)
         active = snap.adds.get(table, {})
-        kept = self._prune_files_by_ranges(active, predicates)
+        mapping = snap.mappings.get(table, {}) or {}
+        kept = self._prune_files_by_ranges(
+            active, {mapping.get(c, c): r for c, r in predicates.items()}
+        )
         df = self._read_files(spark, snap, table, kept)
         for column, (lo, hi) in predicates.items():
             if lo is not None:
@@ -2129,7 +2395,10 @@ class DeltaLogFormat(TableFormat):
             )
         else:
             df = df.repartition(target_files)
-        adds = self._write_data_files(table, df, snap.partition_cols.get(table))
+        adds = self._write_data_files(
+            table, df, snap.partition_cols.get(table),
+            mapping=snap.mappings.get(table, {}),
+        )
         actions = [{"commitInfo": {"operation": "compact"}}]
         actions += [{"remove": {"table": table, "path": p}} for p in active]
         actions.extend({"add": a} for a in adds)
@@ -2220,15 +2489,21 @@ class DeltaLogFormat(TableFormat):
                 raise ValueError(f"unknown table {src!r}")
             if dst in snap.schemas:
                 raise ValueError(f"table {dst!r} already exists")
+            dst_meta = {
+                "table": dst,
+                "schema_json": snap.schemas[src],
+                "partition_cols": snap.partition_cols.get(src, []),
+            }
+            # the hard-linked twins are physical-named bytes: the clone
+            # needs the source's column mapping (and its never-reuse
+            # retired set) to read them
+            if snap.mappings.get(src):
+                dst_meta["column_mapping"] = dict(snap.mappings[src])
+            if snap.retired.get(src):
+                dst_meta["retired_physical"] = sorted(snap.retired[src])
             actions: list[dict] = [
                 {"commitInfo": {"operation": f"clone({src}->{dst})"}},
-                {
-                    "metaData": {
-                        "table": dst,
-                        "schema_json": snap.schemas[src],
-                        "partition_cols": snap.partition_cols.get(src, []),
-                    }
-                },
+                {"metaData": dst_meta},
             ]
 
             def _twin(rel_path: str) -> str:
@@ -2358,6 +2633,160 @@ class DeltaLogFormat(TableFormat):
                 self._maybe_checkpoint(snap.version + 1)
                 return snap.version + 1
 
+    @staticmethod
+    def _constraints_referencing(
+        snap: "_Snapshot", table: str, column: str
+    ) -> list[str]:
+        """Names of CHECK constraints whose expression mentions
+        ``column`` as a whole word — conservative (a string literal
+        containing the name matches too), which errs loud, never
+        silent."""
+        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(column)}(?![A-Za-z0-9_`])")
+        return sorted(
+            name
+            for name, expr in snap.constraints.get(table, {}).items()
+            if pat.search(expr)
+        )
+
+    def rename_column(self, table: str, old: str, new: str) -> int:
+        """ALTER TABLE ... RENAME COLUMN (column mapping, VERDICT r8
+        item 2; the Delta `columnMapping.mode=name` / Iceberg field-ID
+        shape, cf. reference core.clj:50-54's identifier algebra for
+        the naming rules a CDC pipeline hits): a METADATA-ONLY commit —
+        the column keeps its stable PHYSICAL name, so every
+        already-written data/dv/cdc file stays readable, time travel
+        reads each version under its own mapping, and zero bytes move
+        regardless of table size (the 100 TB point). Constraints that
+        reference the column must be dropped first (their expressions
+        are logical-space); partition columns rename freely (the
+        col=value directories are physical-named). Returns the
+        committed version."""
+        if not new or new == old:
+            raise ValueError(f"invalid rename {old!r} -> {new!r}")
+        while True:
+            snap = self._snapshot()
+            if table not in snap.schemas:
+                raise ValueError(f"unknown table {table!r}")
+            schema = StructType.fromJson(json.loads(snap.schemas[table]))
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"no column {old!r} on {table!r}")
+            if new in names:
+                raise ValueError(
+                    f"column {new!r} already exists on {table!r}"
+                )
+            refs = self._constraints_referencing(snap, table, old)
+            if refs:
+                raise ValueError(
+                    f"cannot rename {old!r} on {table!r}: CHECK "
+                    f"constraints {refs} reference it — drop them first "
+                    "and re-add against the new name"
+                )
+            mapping = dict(snap.mappings.get(table, {}) or {})
+            phys = mapping.pop(old, old)
+            if phys != new:
+                mapping[new] = phys
+            new_schema = StructType(
+                [
+                    StructField(new, f.dataType, f.nullable, f.metadata)
+                    if f.name == old
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            spec = [
+                new if c == old else c
+                for c in (snap.partition_cols.get(table) or [])
+            ]
+            m: dict = {
+                "table": table,
+                "schema_json": new_schema.json(),
+                "partition_cols": spec,
+            }
+            if mapping:
+                m["column_mapping"] = mapping
+            if snap.retired.get(table):
+                m["retired_physical"] = sorted(snap.retired[table])
+            actions = [
+                {"commitInfo": {
+                    "operation": f"rename-column({old}->{new})"}},
+                {"metaData": m},
+                {"txn": {"batch_id": snap.last_batch_id}},
+            ]
+            if self._try_write_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(snap.version + 1)
+                return snap.version + 1
+
+    def drop_column(self, table: str, column: str) -> int:
+        """ALTER TABLE ... DROP COLUMN: a METADATA-ONLY commit — the
+        column's physical name is RETIRED (never reused: a later
+        re-add of the same logical name mints a fresh physical name,
+        so the old files' bytes can never resurrect under it), old
+        versions still show the column under time travel, and zero
+        bytes move. Refuses to drop partition columns (the file layout
+        depends on them — re-spec with an overwrite), the last column,
+        columns referenced by CHECK constraints, and columns serving
+        as live deletion-vector keys (compact() first to retire the
+        dvs). Returns the committed version."""
+        while True:
+            snap = self._snapshot()
+            if table not in snap.schemas:
+                raise ValueError(f"unknown table {table!r}")
+            schema = StructType.fromJson(json.loads(snap.schemas[table]))
+            names = [f.name for f in schema.fields]
+            if column not in names:
+                raise ValueError(f"no column {column!r} on {table!r}")
+            if len(names) == 1:
+                raise ValueError(
+                    f"cannot drop the last column of {table!r}"
+                )
+            if column in (snap.partition_cols.get(table) or []):
+                raise ValueError(
+                    f"cannot drop partition column {column!r} of "
+                    f"{table!r}; re-spec the layout with an overwrite "
+                    "commit first"
+                )
+            refs = self._constraints_referencing(snap, table, column)
+            if refs:
+                raise ValueError(
+                    f"cannot drop {column!r} on {table!r}: CHECK "
+                    f"constraints {refs} reference it — drop them first"
+                )
+            mapping = dict(snap.mappings.get(table, {}) or {})
+            phys = mapping.pop(column, column)
+            dv_users = sorted(
+                p
+                for p, info in snap.dvs.get(table, {}).items()
+                if phys in info["cols"]
+            )
+            if dv_users:
+                raise ValueError(
+                    f"cannot drop {column!r} on {table!r}: live "
+                    f"deletion vectors {dv_users[:3]} use it as a "
+                    "delete key — compact() the table first"
+                )
+            retired = set(snap.retired.get(table, []) or [])
+            retired.add(phys)
+            new_schema = StructType(
+                [f for f in schema.fields if f.name != column]
+            )
+            m: dict = {
+                "table": table,
+                "schema_json": new_schema.json(),
+                "partition_cols": snap.partition_cols.get(table) or [],
+                "retired_physical": sorted(retired),
+            }
+            if mapping:
+                m["column_mapping"] = mapping
+            actions = [
+                {"commitInfo": {"operation": f"drop-column({column})"}},
+                {"metaData": m},
+                {"txn": {"batch_id": snap.last_batch_id}},
+            ]
+            if self._try_write_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(snap.version + 1)
+                return snap.version + 1
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... VERSION AS OF: commit a NEW version whose
         live set (every table: files, schema, partition spec) equals
@@ -2393,17 +2822,25 @@ class DeltaLogFormat(TableFormat):
             ]
             for table in set(cur.schemas) | set(target.schemas):
                 if table in target.schemas:
-                    actions.append(
-                        {
-                            "metaData": {
-                                "table": table,
-                                "schema_json": target.schemas[table],
-                                "partition_cols": target.partition_cols.get(
-                                    table, []
-                                ),
-                            }
-                        }
-                    )
+                    tm = {
+                        "table": table,
+                        "schema_json": target.schemas[table],
+                        "partition_cols": target.partition_cols.get(
+                            table, []
+                        ),
+                    }
+                    # the restored version's files read under ITS
+                    # column mapping; the retired set stays the UNION
+                    # (physical names are never reused, even by restore
+                    # — cdc bytes from the undone span persist)
+                    if target.mappings.get(table):
+                        tm["column_mapping"] = dict(target.mappings[table])
+                    merged_retired = set(
+                        target.retired.get(table, [])
+                    ) | set(cur.retired.get(table, []))
+                    if merged_retired:
+                        tm["retired_physical"] = sorted(merged_retired)
+                    actions.append({"metaData": tm})
                 else:
                     # the table didn't exist at the target version: drop
                     # it entirely — dropTable retires its files, dvs,
@@ -2478,11 +2915,34 @@ class DeltaLogFormat(TableFormat):
                 self.last_changes_path = "cdc-files"
                 return fast
         self.last_changes_path = "diff"
-        return diff_snapshots(
-            self.read(spark, table, version=v_old),
-            self.read(spark, table, version=v_new),
-            pk_cols,
-        )
+        old_df = self.read(spark, table, version=v_old)
+        new_df = self.read(spark, table, version=v_new)
+        s_old = self._snapshot(v_old)
+        s_new = self._snapshot(v_new)
+        m_old = s_old.mappings.get(table, {}) or {}
+        m_new = s_new.mappings.get(table, {}) or {}
+        if set(old_df.columns) != set(new_df.columns) or m_old != m_new:
+            # the span crosses a schema change: align the OLD side to
+            # v_new's logical vocabulary via the stable physical names —
+            # a pure rename contributes NO row changes (same bytes, new
+            # label), a dropped column stops participating, and a column
+            # added in the span reads as NULL on the old side (exactly
+            # what v_new's untouched old files report)
+            old_by_phys = {m_old.get(c, c): c for c in old_df.columns}
+            new_schema = StructType.fromJson(
+                json.loads(s_new.schemas[table])
+            )
+            old_df = old_df.select(
+                *[
+                    F.col(old_by_phys[m_new.get(f.name, f.name)]).alias(
+                        f.name
+                    )
+                    if m_new.get(f.name, f.name) in old_by_phys
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in new_schema.fields
+                ]
+            )
+        return diff_snapshots(old_df, new_df, pk_cols)
 
     def _changes_of_version(
         self, spark: SparkSession, table: str, version: int, pk_cols: list[str]
@@ -2541,10 +3001,19 @@ class DeltaLogFormat(TableFormat):
                 f"(e.g. {missing[0]}); CDC reads below the vacuum horizon "
                 "are gone by design"
             )
+        # cdc bytes are PHYSICAL-named ("type" is DML metadata, identity)
+        mapping = snap.mappings.get(table, {}) or {}
         df = spark.read.parquet(*full)
-        if set(out_cols) - set(df.columns):
+        phys_cols = {c: mapping.get(c, c) for c in out_cols if c != "type"}
+        if (set(phys_cols.values()) | {"type"}) - set(df.columns):
             return None  # stored under different key columns: exact diff
-        return df.select(*out_cols)
+        return df.select(
+            *[
+                F.col("type") if c == "type"
+                else F.col(phys_cols[c]).alias(c)
+                for c in out_cols
+            ]
+        )
 
     def vacuum(
         self,
@@ -2754,8 +3223,11 @@ class Transaction:
             if partition_by is not None
             else self.snap.partition_cols.get(table)
         )
+        mapping, retired = self.fmt._evolve_mapping(
+            self.snap, table, list(df.columns)
+        )
         adds = self.fmt._write_data_files(
-            table, df, spec, self.snap.constraints.get(table, {})
+            table, df, spec, self.snap.constraints.get(table, {}), mapping
         )
         actions: list[dict] = []
         if (
@@ -2763,7 +3235,9 @@ class Transaction:
             or self.fmt._schema_change(self.snap.schemas[table], df)
             or (spec or []) != (self.snap.partition_cols.get(table) or [])
         ):
-            actions.append(self.fmt._meta_action(table, df, spec))
+            actions.append(
+                self.fmt._meta_action(table, df, spec, mapping, retired)
+            )
         for p in self.snap.adds.get(table, {}):
             actions.append({"remove": {"table": table, "path": p}})
         actions.extend({"add": a} for a in adds)

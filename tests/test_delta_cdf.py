@@ -453,6 +453,7 @@ def test_arrow_batches_beat_tuple_path_2x(spark, tmp_path):
     reader.spark_schema = schema
     reader.fields = [f.name for f in schema.fields]
     reader.data_fields = reader.fields[:-2]
+    reader._phys = {}  # identity column mapping
 
     def arrow_path():
         part = InputPartition(("add", 7, path, {}))
