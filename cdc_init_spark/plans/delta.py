@@ -413,3 +413,88 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q209_delta_column_mapping",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id,
+             max_by(event_type, ts) AS op,
+             max_by(value, ts) AS new_bal
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+      GROUP BY user_id
+    )
+    SELECT c.c_custkey,
+           ROUND(CASE WHEN l.user_id IS NOT NULL THEN l.new_bal
+                      ELSE c.c_acctbal END, 4) AS balance,
+           CAST(NULL AS VARCHAR) AS segment_v2
+    FROM customer c
+    LEFT JOIN latest l ON l.user_id = c.c_custkey AND l.op <> 'error'
+    WHERE NOT EXISTS (
+      SELECT 1 FROM latest d WHERE d.user_id = c.c_custkey AND d.op = 'error'
+    )
+    UNION ALL
+    SELECT * FROM (VALUES
+      (CAST(9000001 AS BIGINT), CAST(111.5 AS DOUBLE), 'SEG_A'),
+      (CAST(9000002 AS BIGINT), CAST(222.25 AS DOUBLE), 'SEG_B')
+    ) v(c_custkey, balance, segment_v2)
+    ORDER BY c_custkey
+    """,
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping schema evolution through the format (VERDICT r8
+    item 2, the Delta columnMapping.mode=name / Iceberg field-ID
+    shape; sources/delta_log.py:rename_column/drop_column): rename
+    ``c_acctbal`` → ``balance`` (a METADATA-ONLY commit — the stored
+    bytes keep their stable physical name), MERGE the q203 change set
+    addressed at the NEW logical name (stats skipping and the exact-
+    touch probe must translate logical→physical to keep pruning),
+    DROP ``c_mktsegment`` (its physical name retires), then re-add a
+    column of the SAME logical name via additive append evolution —
+    which must mint a FRESH physical name, so every pre-drop row reads
+    the re-added column as NULL instead of resurrecting the retired
+    bytes. The oracle recomputes the final state in pure SQL: merged
+    balances under the new name, NULL segment for every original row
+    (the anti-resurrection law, hash-gated), and the two appended rows
+    with their literal segments."""
+    from cdc_init_spark.sources.delta_log import DeltaLogFormat
+
+    fmt = DeltaLogFormat(_workdir("q209", sf_dir))
+    fmt.init({"customer": load_table(spark, sf_dir, "customer")})
+    fmt.rename_column("customer", "c_acctbal", "balance")
+    fmt.merge(
+        spark, "customer",
+        _customer_change_set(spark, sf_dir).withColumnRenamed(
+            "c_acctbal", "balance"
+        ),
+        pk_cols=["c_custkey"], order_col="ts", batch_id=0,
+    )
+    fmt.drop_column("customer", "c_mktsegment")
+    fmt.append(
+        "customer",
+        spark.createDataFrame(
+            [
+                (9000001, "added-1", 1, 111.5, "SEG_A"),
+                (9000002, "added-2", 2, 222.25, "SEG_B"),
+            ],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "balance double, c_mktsegment string",
+        ),
+    )
+    snap = fmt._snapshot()
+    if snap.mappings["customer"].get("balance") != "c_acctbal":
+        raise AssertionError("rename did not keep the stable physical name")
+    if snap.mappings["customer"].get("c_mktsegment", "c_mktsegment") == (
+        "c_mktsegment"
+    ):
+        raise AssertionError("re-added column did not mint a fresh physical")
+    return (
+        fmt.read(spark, "customer")
+        .select(
+            "c_custkey",
+            round_compat(F.col("balance"), 4).alias("balance"),
+            F.col("c_mktsegment").alias("segment_v2"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -142,9 +142,11 @@ def test_corpus_frozen_at_196():
     driver-gated artifact. VERDICT r7 stretch item 8 (merge-on-read) is
     gated by q207 (stacked deletion-vector read) and q208 (compact as
     the dv reconciler) — "every operator you claim as done needs BOTH a
-    queries() entry and an oracle_sql() entry". Frozen again at 198."""
-    assert len(QUERIES) == 198
-    assert len(ORACLE) >= 181
+    queries() entry and an oracle_sql() entry". VERDICT r8 item 2
+    (column-mapping rename/drop evolution) is gated by q209 under the
+    same both-entries rule. Frozen again at 199."""
+    assert len(QUERIES) == 199
+    assert len(ORACLE) >= 182
 
 
 def test_corpus_md_in_sync():
