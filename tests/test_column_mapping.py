@@ -340,6 +340,65 @@ def test_change_stream_history_reads_correctly_across_rename(spark, tmp_path):
     ]
 
 
+def test_rename_mid_subscription_fails_loudly_then_restart_continues(
+    spark, tmp_path
+):
+    """A rename landing under a LIVE subscription kills the stream with
+    a clear error (the pinned logical schema can no longer represent
+    the feed — never silent, even under onNonCdf=skip), and a restart
+    on the same checkpoint re-pins the new schema and streams the
+    post-rename versions under the new name."""
+    from cdc_init_spark.sources.delta_cdf import read_change_stream
+
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init(
+        {"acct": spark.createDataFrame([(1, "n1")], "id long, name string")}
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        read_change_stream(spark, str(tmp_path / "t"), "acct", onNonCdf="skip")
+        .writeStream.foreachBatch(lambda df, _bid: df.count())
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        fmt.rename_column("acct", "name", "nm")
+        with pytest.raises(Exception, match="drops column 'name'"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass
+    # post-rename commit, then restart on the SAME checkpoint: the new
+    # pin resolves the new logical name and delivers the rename version
+    # (a no-op) plus the merge under it
+    ch = spark.createDataFrame(
+        [(1, _ts(1), "update", "N1")],
+        "id long, ts timestamp, type string, nm string",
+    )
+    fmt.merge(spark, "acct", ch, ["id"])
+    acc: list = []
+
+    def sink(df, _bid):
+        acc.extend(df.select("id", "type", "nm", "_commit_version").collect())
+
+    q2 = (
+        read_change_stream(spark, str(tmp_path / "t"), "acct")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination()
+    assert sorted(map(tuple, acc)) == [(1, "update", "N1", 2)]
+
+
 def test_clone_restore_checkpoint_carry_mapping(spark, tmp_path):
     """The mapping rides every metadata surface: clones read like their
     source, restore returns each version under its own names, and a
