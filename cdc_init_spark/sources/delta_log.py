@@ -2717,6 +2717,88 @@ class DeltaLogFormat(TableFormat):
                 self._maybe_checkpoint(snap.version + 1)
                 return snap.version + 1
 
+    #: exactness-preserving widenings the Spark 4 parquet reader
+    #: handles NATIVELY on narrow files (probed: int32 pages read under
+    #: a wider read schema without rewrite). long→double is deliberately
+    #: absent — it loses precision above 2^53.
+    _WIDEN_LATTICE = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+        ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+    }
+
+    def widen_column_type(self, table: str, column: str, new_type) -> int:
+        """ALTER TABLE ... ALTER COLUMN ... TYPE (type widening, the
+        Delta 4.0 feature): a METADATA-ONLY commit — the Spark 4
+        parquet reader natively reads the already-written narrow pages
+        under the widened read schema, so zero bytes move and every
+        version still time-travels under its own type. Only
+        exactness-preserving promotions are allowed (int-chain up to
+        bigint, float→double, sub-int to double); anything lossy or
+        narrowing raises. ``new_type`` is a DDL string ("bigint") or a
+        Spark DataType. Subsequent writes must arrive already-wide
+        (the append/merge type checks stay strict — cast the frame).
+        Live change-feed subscriptions fail loudly at this version
+        (pinned schema cannot represent the feed) and restart on the
+        widened schema; historical change bytes upcast in the Arrow
+        read. Returns the committed version."""
+        from pyspark.sql.types import DataType, _parse_datatype_string
+
+        if not isinstance(new_type, DataType):
+            new_type = _parse_datatype_string(str(new_type))
+        while True:
+            snap = self._snapshot()
+            if table not in snap.schemas:
+                raise ValueError(f"unknown table {table!r}")
+            schema = StructType.fromJson(json.loads(snap.schemas[table]))
+            by_name = {f.name: f for f in schema.fields}
+            if column not in by_name:
+                raise ValueError(f"no column {column!r} on {table!r}")
+            old_t = by_name[column].dataType
+            pair = (old_t.simpleString(), new_type.simpleString())
+            if pair[0] == pair[1]:
+                raise ValueError(
+                    f"column {column!r} of {table!r} is already "
+                    f"{pair[0]}"
+                )
+            if pair not in self._WIDEN_LATTICE:
+                raise ValueError(
+                    f"cannot widen {column!r} of {table!r} from "
+                    f"{pair[0]} to {pair[1]}: only exactness-preserving "
+                    "promotions are supported "
+                    "(tinyint/smallint/int→bigint, float→double, "
+                    "sub-int→double)"
+                )
+            new_schema = StructType(
+                [
+                    StructField(f.name, new_type, f.nullable, f.metadata)
+                    if f.name == column
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            m: dict = {
+                "table": table,
+                "schema_json": new_schema.json(),
+                "partition_cols": snap.partition_cols.get(table) or [],
+            }
+            if snap.mappings.get(table):
+                m["column_mapping"] = dict(snap.mappings[table])
+            if snap.retired.get(table):
+                m["retired_physical"] = sorted(snap.retired[table])
+            actions = [
+                {"commitInfo": {
+                    "operation":
+                        f"widen-column({column}:{pair[0]}->{pair[1]})"}},
+                {"metaData": m},
+                {"txn": {"batch_id": snap.last_batch_id}},
+            ]
+            if self._try_write_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(snap.version + 1)
+                return snap.version + 1
+
     def drop_column(self, table: str, column: str) -> int:
         """ALTER TABLE ... DROP COLUMN: a METADATA-ONLY commit — the
         column's physical name is RETIRED (never reused: a later
@@ -2921,22 +3003,26 @@ class DeltaLogFormat(TableFormat):
         s_new = self._snapshot(v_new)
         m_old = s_old.mappings.get(table, {}) or {}
         m_new = s_new.mappings.get(table, {}) or {}
-        if set(old_df.columns) != set(new_df.columns) or m_old != m_new:
+        if (
+            s_old.schemas.get(table) != s_new.schemas.get(table)
+            or m_old != m_new
+        ):
             # the span crosses a schema change: align the OLD side to
             # v_new's logical vocabulary via the stable physical names —
             # a pure rename contributes NO row changes (same bytes, new
-            # label), a dropped column stops participating, and a column
-            # added in the span reads as NULL on the old side (exactly
-            # what v_new's untouched old files report)
+            # label), a widened column upcasts (exact by the widen
+            # lattice), a dropped column stops participating, and a
+            # column added in the span reads as NULL on the old side
+            # (exactly what v_new's untouched old files report)
             old_by_phys = {m_old.get(c, c): c for c in old_df.columns}
             new_schema = StructType.fromJson(
                 json.loads(s_new.schemas[table])
             )
             old_df = old_df.select(
                 *[
-                    F.col(old_by_phys[m_new.get(f.name, f.name)]).alias(
-                        f.name
-                    )
+                    F.col(old_by_phys[m_new.get(f.name, f.name)])
+                    .cast(f.dataType)
+                    .alias(f.name)
                     if m_new.get(f.name, f.name) in old_by_phys
                     else F.lit(None).cast(f.dataType).alias(f.name)
                     for f in new_schema.fields

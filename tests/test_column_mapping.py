@@ -434,6 +434,78 @@ def test_clone_restore_checkpoint_carry_mapping(spark, tmp_path):
     assert fresh.read(spark, "acct").columns == ["id", "nm2", "v"]
 
 
+def test_widen_column_type_metadata_only(spark, tmp_path):
+    """Type widening (the Delta 4.0 shape): int→bigint and float→double
+    are METADATA-ONLY commits — zero bytes move (inode-verified), the
+    narrow pages read natively under the wide schema, values are exact,
+    old versions time-travel under their own types, and post-widen
+    writes/merges address the wide type. Lossy or narrowing changes
+    raise."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    fmt.init(
+        {
+            "m": spark.createDataFrame(
+                [(i, float(i) / 2) for i in range(1, 9)], "id int, v float"
+            )
+        }
+    )
+    before_rows = _rows(fmt.read(spark, "m"))
+    before_inodes = _data_inodes(fmt, "m")
+    v1 = fmt.widen_column_type("m", "id", "bigint")
+    fmt.widen_column_type("m", "v", "double")
+    assert _data_inodes(fmt, "m") == before_inodes  # zero bytes moved
+    df = fmt.read(spark, "m")
+    assert dict(df.dtypes) == {"id": "bigint", "v": "double"}
+    assert _rows(df) == before_rows  # exact values through the upcast
+    assert dict(fmt.read(spark, "m", version=v1 - 1).dtypes) == {
+        "id": "int", "v": "float"
+    }
+    # a value only the wide type can hold, then a keyed merge whose
+    # probe reads the NARROW files under the wide schema
+    big = 2**40
+    fmt.append(
+        "m", spark.createDataFrame([(big, 1.25)], "id bigint, v double")
+    )
+    ch = spark.createDataFrame(
+        [(3, _ts(1), "delete", None), (big, _ts(1), "update", 2.5)],
+        "id bigint, ts timestamp, type string, v double",
+    )
+    fmt.merge(spark, "m", ch, ["id"])
+    got = {r["id"]: r["v"] for r in fmt.read(spark, "m").collect()}
+    assert 3 not in got and got[big] == 2.5 and got[4] == 2.0
+    # file skipping still prunes on the widened column's narrow stats
+    _, total, read = fmt.read_where(spark, "m", "id", big, None)
+    assert read < total
+    # guards: lossy / narrowing / no-op all refuse
+    for bad in [("id", "int"), ("id", "double"), ("v", "float"),
+                ("v", "double")]:
+        with pytest.raises(ValueError):
+            fmt.widen_column_type("m", *bad)
+
+
+def test_widen_cdc_and_rename_compose(spark, tmp_path):
+    """CDC across a widen: the widen version itself is an empty diff, a
+    wide span upcasts the old side (no spurious changes), and widen
+    composes with rename (both metadata-only, same stable physical)."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"), enable_cdf=True)
+    fmt.init(
+        {"m": spark.createDataFrame([(1, 1.5), (2, 2.5)], "id int, v float")}
+    )
+    v_w = fmt.widen_column_type("m", "v", "double")
+    d = fmt.changes_between(spark, "m", v_w - 1, v_w, ["id"])
+    assert d.count() == 0
+    fmt.rename_column("m", "v", "val")
+    ch = spark.createDataFrame(
+        [(1, _ts(1), "update", 9.75)],
+        "id int, ts timestamp, type string, val double",
+    )
+    v_m = fmt.merge(spark, "m", ch, ["id"])
+    wide = fmt.changes_between(spark, "m", 0, v_m, ["id"])
+    assert wide.columns == ["id", "type", "val"]
+    assert dict(wide.dtypes)["val"] == "double"
+    assert _rows(wide) == [(1, "update", 9.75)]
+
+
 def test_overwrite_keeps_physical_names_and_retires_reshaped(spark, tmp_path):
     """An overwrite keeps persisting columns' physical names (feed
     continuity) and retires the physicals of columns its reshape drops,
