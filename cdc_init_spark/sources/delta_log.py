@@ -57,6 +57,20 @@ spec, delta.io PROTOCOL.md; Iceberg's spec is the same shape):
   skipping; ``enable_cdf`` captures per-commit change data that
   ``changes_between`` and the streaming source (sources/delta_cdf.py)
   read back O(delta).
+- **Column-mapping schema evolution (r9).** Logical column names map to
+  STABLE physical field names recorded in ``metaData`` (the Delta
+  ``columnMapping.mode=name`` / Iceberg field-ID shape):
+  ``rename_column`` and ``drop_column`` are metadata-only commits —
+  zero bytes move, every data/dv/cdc file and partition directory is
+  physical-named and therefore rename-proof, each version time-travels
+  under its own mapping, and stats pruning / merge planning /
+  where-derived DML pruning translate predicates logical→physical. A
+  dropped column's physical name is RETIRED and never reused: re-adding
+  the logical name mints a fresh physical name, so the old bytes cannot
+  resurrect. ``widen_column_type`` promotes int-chain→bigint /
+  float→double / sub-int→double, also metadata-only — the Spark 4
+  parquet reader reads narrow pages natively under the wide schema;
+  lossy promotions are refused.
 
 The TableFormat contract (atomic visibility, batch-id replay
 idempotence, monotonic versions) is proven by running the SAME pytest
