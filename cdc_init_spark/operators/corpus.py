@@ -338,7 +338,12 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col), F.explode(dedup.tokens(F.col(text_col))).alias("__tok")
     )
-    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    # pin the vocabulary counts: the total and the scoring join both
+    # derive from them, and without the pin each branch re-runs the
+    # corpus tokenize+explode+aggregate. Vocabulary-sized (zipfian,
+    # ≪ corpus) — the only scale-safe cache here; the token stream
+    # itself still streams once per consumer (guide §5).
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c")).persist()
     total = vocab.agg(F.sum("__c").alias("__n"))
     vocab_p = vocab.join(F.broadcast(total)).select(
         "__tok",
@@ -462,9 +467,14 @@ def bigram_logprob(
     corpus-wide shuffle."""
     bg = dedup.ngram_rows(df, text_col, id_col, n=2, distinct=False)
     toks = df.select(F.explode(dedup.tokens(F.col(text_col))).alias("__tok"))
-    uni = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c1"))
+    # pin the two model count frames (vocabulary-/vocabulary²-bounded —
+    # scale-safe): V derives from uni, and the model join consumes both;
+    # without the pins each reference re-runs the corpus tokenize or the
+    # bigram window (guide §5). The bigram occurrence STREAM stays
+    # unpinned — it is corpus-sized and streams twice by design.
+    uni = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c1")).persist()
     vsize = uni.agg(F.count(F.lit(1)).cast("double").alias("__v"))
-    c12 = bg.groupBy("_g").agg(F.count(F.lit(1)).alias("__c12"))
+    c12 = bg.groupBy("_g").agg(F.count(F.lit(1)).alias("__c12")).persist()
     model = (
         c12.withColumn("__w1", F.split("_g", " ").getItem(0))
         .join(uni, F.col("__w1") == F.col("__tok"))

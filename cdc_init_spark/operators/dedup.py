@@ -827,11 +827,17 @@ def dedup_clusters(
       deep instead of O(rounds); the convergence test piggybacks on the
       checkpointed frame (max label-change flag)."""
     pe = pairs.select("a", "b").distinct().persist()
-    n_pairs = pe.count()
-    if n_pairs <= driver_threshold:
-        import pandas as pd  # noqa: F401 — toPandas requires it anyway
+    # ONE bounded action decides the strategy AND fetches the edges for
+    # the driver path: collect up to threshold+1 rows (CollectLimit
+    # short-circuits, so the oversized case moves only threshold+1 rows,
+    # ~80 MB at the default — the same driver budget the small path
+    # always had). Previously this was a full count() job followed by a
+    # separate toPandas() job (guide §1.2: fewer driver-synchronized
+    # actions).
+    import pandas as pd  # noqa: F401 — toPandas requires it anyway
 
-        pdf = pe.toPandas()
+    pdf = pe.limit(driver_threshold + 1).toPandas()
+    if len(pdf) <= driver_threshold:
         parent: dict = {}
 
         def find(x):

@@ -680,6 +680,12 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
         # oracle's len(t) >= 2 gate)
         .filter(F.size(F.split(F.col("_g"), " ")) >= 2)
     )
+    # NOTE (r9 optimization pass): pinning this bigram-type relation was
+    # tried and measured SLOWER at sf0.1 (2.79 s → 3.44 s min-of-3): the
+    # plan's textual duplication (10 scans of documents) is already
+    # collapsed at runtime by AQE exchange reuse, and the cache fill +
+    # materialization barrier cost more than they save. Left unpinned
+    # deliberately.
     c12 = occ.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )

@@ -174,6 +174,7 @@ def _change_key_ranges(
     pk_cols: list[str],
     dtypes: dict[str, str],
     max_ranges: int,
+    bounds: dict[str, tuple] | None = None,
 ) -> dict[str, list[tuple]]:
     """Bounded superset cover of a merge's change keys, per pk column:
     up to ``max_ranges`` [lo, hi] ranges obtained by sorting the distinct
@@ -200,16 +201,23 @@ def _change_key_ranges(
 
     Returns {col: [(lo, hi), ...]} sorted ascending; a column with no
     non-null keys maps to [] (no file can match — equi-joins never match
-    NULL keys)."""
+    NULL keys).
+
+    ``bounds`` — optional precomputed {col: (lo, hi)} global bounds. The
+    merge path computes them together with the distinct-key COUNT in one
+    aggregate action (guide §1.2: fewer driver-synchronized jobs), so
+    passing them here skips this function's own bounds aggregate."""
     from pyspark.sql.window import Window
 
-    g = keys.agg(
-        *[F.min(c).alias(f"_lo_{c}") for c in pk_cols],
-        *[F.max(c).alias(f"_hi_{c}") for c in pk_cols],
-    ).collect()[0]
+    if bounds is None:
+        g = keys.agg(
+            *[F.min(c).alias(f"_lo_{c}") for c in pk_cols],
+            *[F.max(c).alias(f"_hi_{c}") for c in pk_cols],
+        ).collect()[0]
+        bounds = {c: (g[f"_lo_{c}"], g[f"_hi_{c}"]) for c in pk_cols}
     out: dict[str, list[tuple]] = {}
     for c in pk_cols:
-        lo, hi = g[f"_lo_{c}"], g[f"_hi_{c}"]
+        lo, hi = bounds[c]
         if lo is None:
             out[c] = []
             continue
@@ -241,6 +249,12 @@ def _change_key_ranges(
         out[c] = ranges
     return out
 
+
+#: merge planning: when the free global-box cover already prunes the
+#: candidate set to at most this many files, the widest-gap range-cover
+#: window job is skipped — its only purpose is cutting probe IO across
+#: MANY candidate files, and probing a handful costs less than the job
+_GAP_COVER_SKIP_FILES = 8
 
 #: sentinel for "token is not a literal this parser understands" —
 #: distinct from None, which _ranges_from_where uses for open range ends
@@ -1826,40 +1840,81 @@ class DeltaLogFormat(TableFormat):
                     m["retired_physical"] = sorted(retired)
                 meta_action = {"metaData": m}
 
+        # ONE pass over the (possibly expensive) change pipeline: compact
+        # to the latest row per key and pin it. The compacted frame feeds
+        # key planning, the CoW rewrite (apply_changes re-compacts
+        # idempotently — one row per key in, the same row out), and the
+        # MoR upsert set; without the pin the caller's change plan (scans,
+        # joins, the compaction shuffle) re-executes two to three times
+        # per merge (guide §1.2/§5: don't compute things twice).
+        latest = compact_changes(changes, pk_cols, order_col).persist()
         # distinct change keys, shared by the range summary, the
         # broadcast gate, and the exact-touch semi-join (rows with a
         # NULL in any pk column are dropped: an equi-join never matches
-        # them, so they can touch no file)
+        # them, so they can touch no file). ``latest`` is one row per
+        # distinct key already, so the projection needs no extra
+        # distinct exchange.
         n_keys = 0
         key_ranges: dict[str, list[tuple]] = {}
         key_join = None
         keys = None
         if active:
-            keys = (
-                changes.na.drop(subset=pk_cols).select(*pk_cols).distinct()
-            ).persist()
-            n_keys = keys.count()
-            # (1) stats-based file skipping on a bounded range cover of
-            # the change keys (global [min,max] box when the key count
-            # exceeds the summary limit — always a correct cover)
-            key_ranges = _change_key_ranges(
-                keys,
-                pk_cols,
-                dict(changes.dtypes),
-                self.merge_key_ranges
-                if n_keys <= self.merge_range_summary_key_limit
-                else 1,
-            )
-        # file stats are PHYSICAL-named (harvested from the written
-        # bytes); the change keys arrive logical — translate before
-        # intersecting
-        phys_key_ranges = {
-            mapping.get(c, c): r for c, r in key_ranges.items()
-        }
-        candidates = {}
-        for p, a in active.items():
-            if _file_intersects_ranges(a.get("stats") or {}, phys_key_ranges):
-                candidates[p] = a
+            keys = latest.na.drop(subset=pk_cols).select(*pk_cols).persist()
+            # distinct-key count and per-column global bounds in a
+            # SINGLE aggregate action (previously count() then a second
+            # min/max aggregate — two driver-synchronized jobs)
+            g = keys.agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.min(c).alias(f"_lo_{c}") for c in pk_cols],
+                *[F.max(c).alias(f"_hi_{c}") for c in pk_cols],
+            ).collect()[0]
+            n_keys = g["_n"]
+            bounds = {c: (g[f"_lo_{c}"], g[f"_hi_{c}"]) for c in pk_cols}
+            # (1) stats-based file skipping. The global [min,max] box
+            # comes free with the aggregate above — apply it FIRST (file
+            # stats are PHYSICAL-named; the change keys arrive logical —
+            # translate before intersecting). The widest-gap range cover
+            # is a separate single-partition window JOB whose only value
+            # is cutting probe IO across many candidate files; when the
+            # box alone prunes to a handful of files (or the key count
+            # exceeds the summary limit — the documented box fallback),
+            # skip that job outright (guide §1.2: remove whole jobs
+            # before tuning them). At 100 TB a selective merge against a
+            # many-file table still runs the gap pass.
+            key_ranges = {
+                c: ([] if lo is None else [(lo, hi)])
+                for c, (lo, hi) in bounds.items()
+            }
+            phys_box = {mapping.get(c, c): r for c, r in key_ranges.items()}
+            candidates = {
+                p: a
+                for p, a in active.items()
+                if _file_intersects_ranges(a.get("stats") or {}, phys_box)
+            }
+            if (
+                len(candidates) > _GAP_COVER_SKIP_FILES
+                and self.merge_key_ranges > 1
+                and n_keys <= self.merge_range_summary_key_limit
+            ):
+                key_ranges = _change_key_ranges(
+                    keys,
+                    pk_cols,
+                    dict(changes.dtypes),
+                    self.merge_key_ranges,
+                    bounds=bounds,
+                )
+                phys_key_ranges = {
+                    mapping.get(c, c): r for c, r in key_ranges.items()
+                }
+                candidates = {
+                    p: a
+                    for p, a in candidates.items()
+                    if _file_intersects_ranges(
+                        a.get("stats") or {}, phys_key_ranges
+                    )
+                }
+        else:
+            candidates = {}
         # (2) exact touched-file set: which candidate files hold a changed key
         touched: list[str] = []
         if candidates:
@@ -1932,13 +1987,21 @@ class DeltaLogFormat(TableFormat):
         dv_paths: list[str] = []
         if strategy == "mor":
             # (3-mor) write ONLY the change set: the latest upserted row
-            # per key becomes new data files; every touched key goes
-            # into a delete-key file that suppresses its old versions in
-            # exactly the touched files. Nothing is rewritten.
-            latest = compact_changes(changes, pk_cols, order_col)
+            # per key (the pinned ``latest`` frame) becomes new data
+            # files; every touched key goes into a delete-key file that
+            # suppresses its old versions in exactly the touched files.
+            # Nothing is rewritten.
             upserts = latest.filter(
                 F.col(type_col).isin(*UPSERT_TYPES)
             ).select(*[f.name for f in schema.fields])
+            # the pinned ``latest`` keeps its pre-AQE shuffle width
+            # (persisted frames are never re-coalesced), which would
+            # splinter a small change set into one near-empty add file
+            # per partition — collapse small sets to one file under the
+            # same key-count gate the dv files already use; backfill-
+            # scale sets keep their partitioning
+            if n_keys <= self.merge_broadcast_key_limit:
+                upserts = upserts.coalesce(1)
             adds = self._write_data_files(
                 table, upserts, spec, mapping=mapping
             )
@@ -1957,17 +2020,20 @@ class DeltaLogFormat(TableFormat):
                     else dv_keys_df,
                 )
         else:
-            # (3-cow) rewrite of touched rows + the changes; the rewrite
-            # preserves the table's partition layout so every active
-            # file sits under a consistent col=value structure
+            # (3-cow) rewrite of touched rows + the changes (the pinned
+            # pre-compacted frame — apply_changes' own compaction is a
+            # no-op over it); the rewrite preserves the table's partition
+            # layout so every active file sits under a consistent
+            # col=value structure
             rewritten = apply_changes(
-                old_rows, changes, pk_cols, order_col, type_col
+                old_rows, latest, pk_cols, order_col, type_col
             )
             adds = self._write_data_files(
                 table, rewritten, spec, mapping=mapping
             )
         if keys is not None:
             keys.unpersist()
+        latest.unpersist()
         cdc_adds: list[dict] = []
         actions: list[dict] = []
         if meta_action is not None:
