@@ -753,12 +753,17 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    # pin the order-statistic table: it feeds TWO broadcast builds (lo
+    # and hi lookups) whose subtrees differ only by renames, so exchange
+    # reuse cannot collapse them and the global sort ran twice.
+    # Values-sized by contract (at 100 TB this table is replaced by the
+    # KLL sketch per the docstring), so the pin is scale-safe.
     g = d.select(
         F.col("n_chars").alias("v"),
         (
             F.row_number().over(Window.orderBy("n_chars", "doc_id")) - 1
         ).alias("idx"),
-    )
+    ).persist()
     n = d.count()
     wsrc = Window.partitionBy("source").orderBy("n_chars")
     wcnt = Window.partitionBy("source")
