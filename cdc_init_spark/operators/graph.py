@@ -32,8 +32,23 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _bcast_node_limit() -> int:
+    """Node-count ceiling under which the iterative operators broadcast
+    their per-iteration state vector instead of shuffling it (guide
+    §3.1: broadcast the side that fits). A rank/label row is ~16 bytes
+    of data (~64 bytes framed in a broadcast hash relation), so the
+    4M-row default keeps the built relation around the session's 64 MB
+    auto-broadcast bound. At 100 TB a billion-node graph exceeds any
+    sane limit and the operators keep today's shuffle path — the
+    decision is made from the MEASURED node count, not the deploy
+    target. Env-tunable for clusters with bigger executors."""
+    return int(os.environ.get("SPARK_GRAFT_GRAPH_BCAST_NODES", str(4_000_000)))
 
 
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -51,7 +66,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_every: int | None = None,
-    broadcast_state: bool = False,
+    broadcast_state: bool | None = None,
     dedupe: bool = True,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list ``(src, dst)``.
@@ -89,6 +104,14 @@ def pagerank(
         .persist()
     )
     n = float(nodes.count())  # one scalar to the driver, O(1)
+    if broadcast_state is None:
+        # auto (guide §3.1): the rank vector is n rows; when it fits the
+        # broadcast bound, shuffling the (persisted) edge relation's join
+        # side every iteration buys nothing — broadcast the state and
+        # each iteration is map-side up to one partial-agg exchange.
+        # Size-adaptive, from the measured count: a 100 TB graph with
+        # billions of nodes keeps the shuffle path.
+        broadcast_state = n <= _bcast_node_limit()
     ed = e.join(deg, "src").persist()
     teleport = (1.0 - damping) / n
 
@@ -96,10 +119,11 @@ def pagerank(
     for i in range(iters):
         rstate = ranks.withColumnRenamed("node", "src")
         if broadcast_state:
-            # node set is dimension-bounded (caller's contract): the rank
-            # vector broadcasts, the edge scan never shuffles, and the
-            # partial-aggregated contribution exchange carries ≤ |nodes|
-            # rows per partition — each iteration becomes map-side work.
+            # node set fits (caller's contract or the measured auto
+            # bound): the rank vector broadcasts, the edge scan never
+            # shuffles, and the partial-aggregated contribution exchange
+            # carries ≤ |nodes| rows per partition — each iteration
+            # becomes map-side work.
             rstate = F.broadcast(rstate)
         contrib = (
             ed.join(rstate, "src")
@@ -107,6 +131,11 @@ def pagerank(
             .agg(F.sum(F.col("pr") / F.col("_outdeg")).alias("_s"))
             .withColumnRenamed("dst", "node")
         )
+        if broadcast_state:
+            # contribution vector is ≤ |nodes| rows — broadcasting it
+            # back onto the pinned node list removes the per-iteration
+            # outer-join exchange too (BuildRight broadcast left join).
+            contrib = F.broadcast(contrib)
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
             (F.lit(teleport) + F.lit(damping) * F.coalesce("_s", F.lit(0.0))).alias(
@@ -260,7 +289,7 @@ def triangles_adjacency(
 def hits(
     edges: DataFrame,
     iters: int = 2,
-    broadcast_state: bool = False,
+    broadcast_state: bool | None = None,
     dedupe: bool = True,
 ) -> DataFrame:
     """HITS hub/authority scores (Kleinberg, JACM'99) over a directed
@@ -286,6 +315,12 @@ def hits(
         .distinct()
         .persist()
     )
+    if broadcast_state is None:
+        # auto (guide §3.1, same rule as pagerank): hub/auth vectors are
+        # |nodes| rows; broadcast them when the measured count fits, so
+        # each update is map-side against the pinned edge relation up to
+        # one partial-agg exchange. Billions of nodes → shuffle path.
+        broadcast_state = nodes.count() <= _bcast_node_limit()
     hub = nodes.withColumn("hub", F.lit(1.0))
     auth = nodes.withColumn("auth", F.lit(1.0))
     maybe_b = F.broadcast if broadcast_state else (lambda df: df)
@@ -300,10 +335,12 @@ def hits(
     for _ in range(iters):
         auth = (
             nodes.join(
-                e.join(maybe_b(hub.withColumnRenamed("node", "src")), "src")
-                .groupBy("dst")
-                .agg(F.sum("hub").alias("_a"))
-                .withColumnRenamed("dst", "node"),
+                maybe_b(
+                    e.join(maybe_b(hub.withColumnRenamed("node", "src")), "src")
+                    .groupBy("dst")
+                    .agg(F.sum("hub").alias("_a"))
+                    .withColumnRenamed("dst", "node")
+                ),
                 "node",
                 "left",
             )
@@ -312,17 +349,19 @@ def hits(
         )
         hub = (
             nodes.join(
-                e.join(maybe_b(auth.withColumnRenamed("node", "dst")), "dst")
-                .groupBy("src")
-                .agg(F.sum("auth").alias("_h"))
-                .withColumnRenamed("src", "node"),
+                maybe_b(
+                    e.join(maybe_b(auth.withColumnRenamed("node", "dst")), "dst")
+                    .groupBy("src")
+                    .agg(F.sum("auth").alias("_h"))
+                    .withColumnRenamed("src", "node")
+                ),
                 "node",
                 "left",
             )
             .select("node", F.coalesce("_h", F.lit(0.0)).alias("hub"))
             .persist()
         )
-    return hub.join(auth, "node")
+    return hub.join(maybe_b(auth), "node")
 
 
 def khop_distances(
