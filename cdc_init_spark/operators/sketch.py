@@ -193,14 +193,40 @@ def bloom_might_contain(
     the set that built ``bits``."""
     m = m if m is not None else len(bits) * 64
     lit_bits = F.lit(bits)
-    checks = [
-        (
-            F.element_at(lit_bits, (p / 64).cast("int") + 1).bitwiseAND(_bit(p))
-            != 0
-        )
-        for p in _bloom_positions(col, m, k, salt)
-    ]
-    return reduce(lambda a, b: a & b, checks)
+    # Bind the digest halves through a higher-order-function lambda so
+    # the md5 and the two hex→bigint conversions are evaluated ONCE per
+    # row: FilterExec generates each conjunct separately (short-circuit
+    # evaluation), so codegen subexpression elimination does NOT share
+    # the digest across the k probe checks — measured ~25% of the whole
+    # probe stage at sf0.1 (q123). The probe positions are bit-identical
+    # to _bloom_positions' (same md5 windows, same stride), so sketch
+    # contents and oracle replays are unchanged.
+    keyed = (
+        F.concat(col.cast("string"), F.lit(salt)) if salt else col.cast("string")
+    )
+    digest = F.md5(keyed)
+    halves = F.transform(
+        F.array(digest),
+        lambda dg: F.struct(
+            F.conv(F.substring(dg, 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(dg, 9, 8), 16, 10).cast("bigint").alias("h2"),
+        ),
+    )
+
+    def _all_probes_set(h: Column) -> Column:
+        stride = h["h2"] * F.lit(2) + F.lit(1)
+        checks = []
+        for i in range(k):
+            p = (h["h1"] + F.lit(i) * stride) % m
+            checks.append(
+                F.element_at(lit_bits, (p / 64).cast("int") + 1).bitwiseAND(
+                    _bit(p)
+                )
+                != 0
+            )
+        return reduce(lambda a, b: a & b, checks)
+
+    return F.exists(halves, _all_probes_set)
 
 
 def bloom_prune(
