@@ -1917,7 +1917,21 @@ class DeltaLogFormat(TableFormat):
             candidates = {}
         # (2) exact touched-file set: which candidate files hold a changed key
         touched: list[str] = []
-        if candidates:
+        if len(candidates) == 1:
+            # the probe job can only CONFIRM a single candidate, never
+            # prune below it — and probing costs a read of the same file
+            # the rewrite is about to read again. Skip the job and treat
+            # the candidate as touched: if it happens to hold no change
+            # key the rewrite copies its rows unchanged (and a MoR dv
+            # anti-joins zero rows) — identical table state, CDF diff
+            # and read results, bounded at one file of extra rewrite IO
+            # in the key-missing case (guide §1.2: remove whole
+            # driver-synchronized jobs before tuning them). Merges with
+            # ≥2 candidates — the 100 TB shape — keep the exact probe.
+            touched = list(candidates)
+            key_join = "skipped_single_candidate"
+            self._last_key_join_plan = None
+        elif candidates:
             cand_paths = [os.path.join(self.data_dir, p) for p in candidates]
             if n_keys <= self.merge_broadcast_key_limit:
                 keyed, key_join = F.broadcast(keys), "broadcast"

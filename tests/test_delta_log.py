@@ -956,8 +956,13 @@ def test_merge_broadcast_gate_switches_to_shuffle_join(spark, tmp_path):
         fmt.append("m", spark.createDataFrame(
             [(i, 0.0) for i in range(100, 200)],
             "id long, v double").coalesce(1))
+        # keys in BOTH files: ≥2 candidates, so the exact-touch probe
+        # (whose join plan this test pins) actually runs — a single
+        # candidate skips the probe outright (see
+        # test_merge_single_candidate_skips_probe)
         ch = spark.createDataFrame(
-            [(i, _ts(1), "update", 1.0) for i in range(40, 60)],
+            [(i, _ts(1), "update", 1.0) for i in range(40, 60)]
+            + [(i, _ts(1), "update", 1.0) for i in range(140, 160)],
             "id long, ts timestamp, type string, v double")
         fmt.merge(spark, "m", ch, ["id"])
         return fmt
@@ -973,8 +978,40 @@ def test_merge_broadcast_gate_switches_to_shuffle_join(spark, tmp_path):
 
     # identical outcomes either way
     assert big.last_merge_stats["touched"] == \
-        small.last_merge_stats["touched"] == 1
+        small.last_merge_stats["touched"] == 2
     assert _rows(big.read(spark, "m")) == _rows(small.read(spark, "m"))
+
+
+def test_merge_single_candidate_skips_probe(spark, tmp_path):
+    """r9 optimization: when stats pruning leaves exactly ONE candidate
+    file the exact-touch probe job is skipped (it could only confirm,
+    never prune) and the candidate is rewritten directly — identical
+    results, one fewer driver-synchronized job. With ≥2 candidates the
+    probe still runs and prunes."""
+    fmt = DeltaLogFormat(str(tmp_path / "t"))
+    fmt.init({"m": spark.createDataFrame(
+        [(i, 0.0) for i in range(100)], "id long, v double").coalesce(1)})
+    fmt.append("m", spark.createDataFrame(
+        [(i, 0.0) for i in range(100, 200)],
+        "id long, v double").coalesce(1))
+    ch = spark.createDataFrame(
+        [(i, _ts(1), "update", 1.0) for i in range(40, 60)],
+        "id long, ts timestamp, type string, v double")
+    fmt.merge(spark, "m", ch, ["id"])
+    assert fmt.last_merge_stats["candidates"] == 1
+    assert fmt.last_merge_stats["touched"] == 1
+    assert fmt.last_merge_stats["key_join"] == "skipped_single_candidate"
+    assert fmt._last_key_join_plan is None
+    got = {r.id: r.v for r in fmt.read(spark, "m").collect()}
+    assert got == {i: (1.0 if 40 <= i < 60 else 0.0) for i in range(200)}
+    # a second merge touching both files has 2 candidates -> probe runs
+    ch2 = spark.createDataFrame(
+        [(50, _ts(2), "update", 2.0), (150, _ts(2), "update", 2.0)],
+        "id long, ts timestamp, type string, v double")
+    fmt.merge(spark, "m", ch2, ["id"])
+    assert fmt.last_merge_stats["candidates"] >= 2
+    assert fmt.last_merge_stats["key_join"] == "broadcast"
+    assert fmt._last_key_join_plan is not None
 
 
 @pytest.mark.parametrize("strategy", ["cow", "mor"])
