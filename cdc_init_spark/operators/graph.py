@@ -42,13 +42,25 @@ def _bcast_node_limit() -> int:
     """Node-count ceiling under which the iterative operators broadcast
     their per-iteration state vector instead of shuffling it (guide
     §3.1: broadcast the side that fits). A rank/label row is ~16 bytes
-    of data (~64 bytes framed in a broadcast hash relation), so the
-    4M-row default keeps the built relation around the session's 64 MB
-    auto-broadcast bound. At 100 TB a billion-node graph exceeds any
-    sane limit and the operators keep today's shuffle path — the
-    decision is made from the MEASURED node count, not the deploy
-    target. Env-tunable for clusters with bigger executors."""
-    return int(os.environ.get("SPARK_GRAFT_GRAPH_BCAST_NODES", str(4_000_000)))
+    of data but ~64 bytes FRAMED in a built broadcast hash relation, so
+    the 1M-row default keeps each built relation around 64 MB — and an
+    iteration may hold two of them live (state + contribution), so the
+    worst case is ~128 MB of driver/executor memory, comfortable under
+    the default 8 GB driver. At 100 TB a billion-node graph exceeds any
+    sane limit and the operators keep the shuffle path — the decision is
+    made from the MEASURED node count, not the deploy target.
+    Env-tunable for clusters with bigger executors."""
+    return int(os.environ.get("SPARK_GRAFT_GRAPH_BCAST_NODES", str(1_000_000)))
+
+
+def _bcast_edge_limit() -> int:
+    """Edge-count ceiling for broadcasting edge-shaped relations in the
+    triangle counters (the oriented edge list / the adjacency-array
+    relation). An adjacency payload carries ~2 entries per undirected
+    edge at ~32 bytes framed, so the 2M default keeps the built relation
+    near 128 MB. Same contract as ``_bcast_node_limit``: the decision is
+    made from the measured edge count, env-tunable."""
+    return int(os.environ.get("SPARK_GRAFT_GRAPH_BCAST_EDGES", str(2_000_000)))
 
 
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -77,11 +89,18 @@ def pagerank(
     graphs should ``symmetrize`` first (then no dangling nodes exist and
     Σ pr = 1 exactly, up to float rounding). Initial rank is 1/N.
 
-    Driver traffic is one scalar (the node count N); everything else is
-    executor-side. Each iteration: edges+outdeg ⋈ ranks on src (shuffle
-    hash join), then sum of contributions grouped by dst (partial agg →
-    one shuffle), then a left join back onto the node list so nodes with
-    no in-edges keep the teleport term (1-d)/N.
+    ``broadcast_state=None`` (default) decides from the MEASURED node
+    count: at or under ``_bcast_node_limit()`` (env
+    ``SPARK_GRAFT_GRAPH_BCAST_NODES``) the per-iteration rank and
+    contribution vectors are built into broadcast relations — which
+    means up to that many rows are collected to the driver EVERY
+    iteration (bounded by the limit, ~64 MB framed each) in exchange for
+    iterations that never shuffle the edge relation. Above the limit the
+    shuffle path runs and driver traffic is one scalar (the node count
+    N). Each shuffle-path iteration: edges+outdeg ⋈ ranks on src
+    (shuffle hash join), then sum of contributions grouped by dst
+    (partial agg → one shuffle), then a left join back onto the node
+    list so nodes with no in-edges keep the teleport term (1-d)/N.
     """
     # Pin the deduped edge list: callers typically derive `edges` from an
     # expensive join pipeline, and without this persist that pipeline
@@ -169,7 +188,8 @@ def _prec(d1: Column, n1: Column, d2: Column, n2: Column) -> Column:
 
 def triangles_per_node(
     edges: DataFrame, src: str = "src", dst: str = "dst",
-    broadcast_edges: bool = False,
+    broadcast_edges: bool | None = None,
+    canonicalize: bool = True,
 ) -> DataFrame:
     """Exact per-node triangle counts over an undirected edge list.
 
@@ -180,16 +200,25 @@ def triangles_per_node(
     wedge join output O(m^1.5) worst-case instead of Σ deg² — the
     difference between a star-node blowup and a bounded join at scale.
 
-    ``broadcast_edges=True``: the wedge stream is m^1.5-sized — the
+    ``broadcast_edges``: the wedge stream is m^1.5-sized — the
     LARGEST relation in the plan — so when the oriented edge list
-    itself fits an executor (≈24 bytes/edge; tens of millions of edges)
-    broadcasting it to both the wedge and closure joins means the wedge
-    stream is never exchanged: it pipelines map-side from generation
-    through closure into the partial-aggregated corner count. With the
-    default False the closure is a shuffle join on (v1, v2) — the
-    billion-edge path where nothing fits.
+    itself fits an executor (≈24 bytes/edge) broadcasting it to both
+    the wedge and closure joins means the wedge stream is never
+    exchanged: it pipelines map-side from generation through closure
+    into the partial-aggregated corner count. ``None`` (default)
+    decides from the MEASURED edge count against ``_bcast_edge_limit()``
+    (the oriented list is persisted anyway, so the count is one cheap
+    extra action); ``False`` forces the shuffle closure join on
+    (v1, v2) — the billion-edge path where nothing fits.
+
+    ``canonicalize=False``: caller asserts the edge list is already
+    distinct ``(a, b)`` with a < b and no self-loops — skips a
+    full-width dedup exchange that would otherwise be a no-op.
     """
-    e = _undirected_canonical(edges, src, dst)
+    if canonicalize:
+        e = _undirected_canonical(edges, src, dst)
+    else:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -215,6 +244,10 @@ def triangles_per_node(
         .otherwise(F.col("_da"))
         .alias("_dv"),
     ).persist()
+    if broadcast_edges is None:
+        # measured-count gate (guide §3.1): the count materializes the
+        # persist that the wedge/closure joins need anyway
+        broadcast_edges = o.count() <= _bcast_edge_limit()
     # wedges at the pivot u: (u→v, u→w) with v ≺ w in the same order
     o1 = o.select("u", F.col("v").alias("v1"), F.col("_dv").alias("_d1"))
     o2 = o.select("u", F.col("v").alias("v2"), F.col("_dv").alias("_d2"))
@@ -239,7 +272,8 @@ def triangles_per_node(
 
 def triangles_adjacency(
     edges: DataFrame, src: str = "src", dst: str = "dst",
-    broadcast_adjacency: bool = True,
+    broadcast_adjacency: bool | None = None,
+    canonicalize: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts by sorted-adjacency intersection — the
     bounded-degree fast path to ``triangles_per_node`` (same result,
@@ -257,8 +291,24 @@ def triangles_adjacency(
     endpoint joins, so the per-edge ``array_intersect`` runs map-side
     in codegen and the final per-node sum is partial-aggregated — no
     wedge stream ever exists (the m^1.5 relation the orientation method
-    must build), which is why this wins whenever the arrays fit."""
-    e = _undirected_canonical(edges, src, dst)
+    must build), which is why this wins whenever the arrays fit.
+
+    ``broadcast_adjacency=None`` (default): decided from the MEASURED
+    canonical edge count against ``_bcast_edge_limit()`` (adjacency
+    payload = 2 entries/edge) — one count action over the pinned edge
+    list, which the three downstream references reuse. Above the limit
+    the adjacency relation shuffles (and the pin is dropped).
+    ``canonicalize=False``: caller asserts distinct (a, b), a < b, no
+    self-loops — skips the no-op dedup exchange."""
+    if canonicalize:
+        e = _undirected_canonical(edges, src, dst)
+    else:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if broadcast_adjacency is None:
+        e = e.persist()
+        broadcast_adjacency = e.count() <= _bcast_edge_limit()
+        if not broadcast_adjacency:
+            e.unpersist()
     sym = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
         e.select(F.col("b").alias("x"), F.col("a").alias("y"))
     )
@@ -365,7 +415,8 @@ def hits(
 
 
 def khop_distances(
-    edges: DataFrame, seeds: DataFrame, k: int, broadcast_state: bool = False
+    edges: DataFrame, seeds: DataFrame, k: int,
+    broadcast_state: bool | None = None,
 ) -> DataFrame:
     """Minimum-hop distances from a seed set, out to ``k`` hops —
     distributed BFS by iterated frontier expansion.
@@ -373,10 +424,33 @@ def khop_distances(
     ``edges`` is directed ``(src, dst)`` (symmetrize for undirected);
     ``seeds`` has a ``node`` column. Returns ``(node, hops)`` with
     hops = min distance ≤ k. Each round expands only the NEWLY reached
-    frontier (not the whole visited set) through one shuffle join, then
-    one min-aggregate folds rediscoveries — k joins total, each sized
-    by the frontier, the textbook scalable BFS (no quadratic closure).
-    """
+    frontier (not the whole visited set) through one join, then one
+    min-aggregate folds rediscoveries (duplicate discoveries collapse in
+    the map-side partial min — no separate distinct pass) — k joins
+    total, each sized by the frontier, the textbook scalable BFS (no
+    quadratic closure).
+
+    ``broadcast_state=None`` (default) measures the node universe
+    (seeds ∪ edge destinations — every row the state vector can ever
+    hold) with one count; at or under ``_bcast_node_limit()`` the edge
+    relation is pinned and each round's frontier broadcasts (the
+    frontier, bounded by that count, is collected to the driver per
+    round), so the edge side is never shuffled. Above the limit the
+    shuffle path runs unchanged and the edge input stays uncached
+    (caching it measurably regresses the shuffle path — it blocks
+    AQE/broadcast planning on the cached side)."""
+    if broadcast_state is None:
+        e = edges.persist()
+        n_universe = (
+            seeds.select("node")
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .count()
+        )
+        broadcast_state = n_universe <= _bcast_node_limit()
+        if not broadcast_state:
+            e.unpersist()
+        edges = e
     dist = seeds.select("node").distinct().withColumn("hops", F.lit(0))
     frontier = dist
     for i in range(1, k + 1):
@@ -386,7 +460,6 @@ def khop_distances(
         reached = (
             fstate.join(edges.withColumnRenamed("src", "node"), "node")
             .select(F.col("dst").alias("node"))
-            .distinct()
             .withColumn("hops", F.lit(i))
         )
         prev = dist
@@ -407,7 +480,7 @@ def bellman_ford(
     seeds: DataFrame,
     k: int,
     weight: str = "w",
-    broadcast_state: bool = False,
+    broadcast_state: bool | None = None,
 ) -> DataFrame:
     """Weighted single/multi-source shortest paths, ``k`` relaxation
     rounds — the weighted generalization of ``khop_distances``.
@@ -421,7 +494,25 @@ def bellman_ford(
     transitive closure. Integer weights stay integer-exact, so the
     result is engine-portable (the oracle unrolls the same recurrence).
     ``persist`` pins each round's frontier; for deep k add
-    localCheckpoint (PageRank discipline)."""
+    localCheckpoint (PageRank discipline).
+
+    ``broadcast_state=None`` (default): same measured-count auto gate as
+    ``khop_distances`` — one count of the node universe decides; under
+    the limit the edge relation is pinned and the distance vector
+    broadcasts each round (collected to the driver, bounded by the
+    limit); over it, today's shuffle path with the edge input uncached."""
+    if broadcast_state is None:
+        e = edges.persist()
+        n_universe = (
+            seeds.select("node")
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .count()
+        )
+        broadcast_state = n_universe <= _bcast_node_limit()
+        if not broadcast_state:
+            e.unpersist()
+        edges = e
     dist = (
         seeds.select("node")
         .distinct()
@@ -453,7 +544,7 @@ def bellman_ford(
 
 
 def label_propagation(
-    edges: DataFrame, iters: int = 2, broadcast_state: bool = False
+    edges: DataFrame, iters: int = 2, broadcast_state: bool | None = None
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007), made deterministic: every node starts with its own id as
@@ -468,17 +559,31 @@ def label_propagation(
     Per round: ONE shuffle join (labels ⋈ edges on src) + ONE
     (dst, label) count aggregate + ONE per-node argmax (max_by on the
     (count, -label) pair — partial-aggregable, no window). Hub skew is
-    an AQE skew-join case, counts combine map-side."""
+    an AQE skew-join case, counts combine map-side.
+
+    ``broadcast_state=None`` (default): measured-count auto gate (same
+    rule as ``pagerank``) — the node frame is counted once; at or under
+    ``_bcast_node_limit()`` the edge relation is pinned and both the
+    label vector (per-round join) and the per-node argmax result
+    (join-back) broadcast, so only the (node, label) count exchange
+    remains per round. Each broadcast collects ≤ limit rows to the
+    driver per round. Above the limit: today's shuffle path, edge input
+    uncached (caching it regressed the shuffle path — measured)."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if broadcast_state is None:
+        e = edges.persist()
+        broadcast_state = nodes.count() <= _bcast_node_limit()
+        if not broadcast_state:
+            e.unpersist()
+        edges = e
+    maybe_b = F.broadcast if broadcast_state else (lambda df: df)
     labels = nodes.withColumn("label", F.col("node").cast("bigint"))
     for _ in range(iters):
-        lstate = labels.withColumnRenamed("node", "src")
-        if broadcast_state:
-            lstate = F.broadcast(lstate)
+        lstate = maybe_b(labels.withColumnRenamed("node", "src"))
         neigh = (
             lstate
             .join(edges, "src")
@@ -494,7 +599,7 @@ def label_propagation(
         )
         prev = labels
         labels = (
-            labels.join(best, "node", "left")
+            labels.join(maybe_b(best), "node", "left")
             .select(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),

@@ -17,9 +17,12 @@ corpus size — and a point estimate for a term is the MIN of its
 ``bloom_bits`` / ``bloom_might_contain`` / ``bloom_prune`` implement a
 Bloom filter the same way: membership state is ``m`` bits built from a
 key relation with ONE word-level aggregate (≤ m/64 rows ever reach the
-driver), and the membership test is a pure column expression — k bucket
-probes into a broadcast literal bitmask, fully inside whole-stage
-codegen. That is Spark's missing runtime-filter as an explicit
+driver), and the membership test is a pure column expression — one digest
+bound through a higher-order ``exists`` over k bucket probes into a
+broadcast literal bitmask (no join, no shuffle, no Python; the HOF
+lambda itself evaluates as a CodegenFallback expression inside the
+codegen'd filter stage). That is Spark's missing runtime-filter as an
+explicit
 operator: prune a 100 TB fact scan against a dim/eval key set that is
 too large to broadcast as raw strings but collapses to a fixed
 m/8-byte bitmask. Guarantee: no false negatives (a pruned row is

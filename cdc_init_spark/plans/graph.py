@@ -176,7 +176,9 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
-    tri = graph.triangles_adjacency(pairs)
+    # pairs is already distinct (a, b) with a < b (the filter above) —
+    # skip the operator's no-op canonicalization exchange
+    tri = graph.triangles_adjacency(pairs, canonicalize=False)
     p = load_table(spark, sf, "part").select("p_partkey")
     return (
         p.join(deg, p.p_partkey == deg.node, "left")

@@ -1926,8 +1926,14 @@ class DeltaLogFormat(TableFormat):
             # anti-joins zero rows) — identical table state, CDF diff
             # and read results, bounded at one file of extra rewrite IO
             # in the key-missing case (guide §1.2: remove whole
-            # driver-synchronized jobs before tuning them). Merges with
-            # ≥2 candidates — the 100 TB shape — keep the exact probe.
+            # driver-synchronized jobs before tuning them). Known cost
+            # of the trade: under MoR the skip attaches a (possibly
+            # empty) deletion vector to that file, so every subsequent
+            # read pays its dv anti-join until compaction folds it —
+            # one-shot under CoW, recurring-but-empty under MoR — and
+            # last_merge_stats["touched"] may overcount by one. Merges
+            # with ≥2 candidates — the 100 TB shape — keep the exact
+            # probe.
             touched = list(candidates)
             key_join = "skipped_single_candidate"
             self._last_key_join_plan = None

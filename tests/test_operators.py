@@ -712,6 +712,59 @@ def test_hits_bipartite_known_graph(spark):
     }
 
 
+def test_graph_broadcast_gate_paths_agree(spark, monkeypatch):
+    """The measured-count auto-broadcast gate (broadcast_state=None)
+    must produce identical results on BOTH physical paths, and the
+    shuffle path must be retained above the limit: with the node limit
+    forced to 0 every graph is 'too big', so the plan carries no
+    explicit broadcast hint of the state vector; with the default limit
+    a tiny graph broadcasts (hint present in the analyzed plan)."""
+    from cdc_init_spark.operators.graph import (
+        bellman_ford,
+        khop_distances,
+        label_propagation,
+        symmetrize,
+        triangles_adjacency,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+    )
+    edges = symmetrize(path)
+    seeds = spark.createDataFrame([(1,)], "node long")
+    wedges = edges.withColumn("w", F.lit(2).cast("bigint"))
+
+    def hinted(df) -> bool:
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    # auto gate ON at the default limit (6 nodes ≤ 1M): hint present
+    k_auto = khop_distances(edges, seeds, k=2)
+    b_auto = bellman_ford(wedges, seeds, k=2)
+    l_auto = label_propagation(edges, iters=2)
+    t_auto = triangles_adjacency(path)
+    assert hinted(k_auto) and hinted(b_auto) and hinted(l_auto)
+    assert hinted(t_auto)
+    snap = [
+        sorted(map(tuple, df.collect()))
+        for df in (k_auto, b_auto, l_auto, t_auto)
+    ]
+
+    # limits forced to 0: every graph is over the limit → shuffle path,
+    # no state-broadcast hint anywhere, same results
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_BCAST_NODES", "0")
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_BCAST_EDGES", "0")
+    k_sh = khop_distances(edges, seeds, k=2)
+    b_sh = bellman_ford(wedges, seeds, k=2)
+    l_sh = label_propagation(edges, iters=2)
+    t_sh = triangles_adjacency(path)
+    for df in (k_sh, b_sh, l_sh, t_sh):
+        assert not hinted(df)
+    assert snap == [
+        sorted(map(tuple, df.collect()))
+        for df in (k_sh, b_sh, l_sh, t_sh)
+    ]
+
+
 def test_khop_distances_path_graph(spark):
     """Path 1-2-3-4-5 with seed {1}: hops are the path distances,
     truncated at k; node 5 is unreached at k=3."""
